@@ -1,0 +1,383 @@
+"""Point-cloud voxelization as sort + segment-reduce (TPU-native rebuild of
+the reference's hash-map voxelizer, d3d/voxel/voxelize.cpp — single-threaded
+CPU there; here one fused fixed-shape XLA program).
+
+Algorithm: linearize each point's voxel coordinate into an integer key,
+stable-argsort points by key, detect segment boundaries, and assign voxel ids
+by *first-encounter order* (the stable sort preserves point order within a
+cell, and ranking segments by their first point index reproduces the
+reference's hash-insertion ordering exactly — required because the TRIM
+filters are order-dependent, voxelize.cpp:110-125).
+
+All cores are jit-compiled with static max sizes and return padded arrays +
+counts; the `VoxelGenerator` front-end slices to the dynamic count on host to
+match the reference's return contract (d3d/voxel/__init__.py:79-104), while
+`voxelize_dense_padded` keeps everything fixed-shape for on-device pipelines
+(e.g. the PointPillars model in d3d_tpu.models).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import EDict
+
+__all__ = ["VoxelGenerator", "voxelize_dense_padded", "voxelize_sparse_padded"]
+
+_INT_SENTINEL = np.iinfo(np.int64).max
+
+
+def _segment_structure(key):
+    """Shared machinery: stable-sort points by voxel key and derive segment
+    ids, first-encounter voxel ranks and in-voxel slots.
+
+    :param key: (N,) int64 cell key; invalid points must carry _INT_SENTINEL
+    :return: dict with sorted-order arrays (suffix ``_s``) and per-segment
+        arrays of length N (segments beyond the actual voxel count are
+        invalid and carry rank >= N).
+    """
+    n = key.shape[0]
+    order = jnp.argsort(key, stable=True)  # point indices in key order
+    k_s = key[order]
+    valid_s = k_s != _INT_SENTINEL
+    newseg = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    seg_id_s = jnp.cumsum(newseg) - 1  # 0-based segment index in key order
+
+    pos = jnp.arange(n)
+    seg_start = jax.ops.segment_min(pos, seg_id_s, num_segments=n)
+    slot_s = pos - seg_start[seg_id_s]  # encounter order within the voxel
+
+    # first original point index per segment (stable sort => first in segment)
+    first_idx = jax.ops.segment_min(
+        jnp.where(valid_s, order, n), seg_id_s, num_segments=n
+    )
+    # insertion rank: segments ordered by first point index; invalid segments
+    # carry first_idx >= n and therefore rank after every valid one
+    seg_order = jnp.argsort(first_idx)
+    rank = jnp.zeros(n, jnp.int32).at[seg_order].set(jnp.arange(n, dtype=jnp.int32))
+
+    npoints_seg = jax.ops.segment_sum(
+        valid_s.astype(jnp.int32), seg_id_s, num_segments=n
+    )
+    nvoxels = jnp.sum((npoints_seg > 0).astype(jnp.int32))
+    return dict(
+        order=order,
+        valid_s=valid_s,
+        seg_id_s=seg_id_s,
+        slot_s=slot_s,
+        rank_of_seg=rank,
+        npoints_seg=npoints_seg,
+        nvoxels=nvoxels,
+    )
+
+
+def _scatter_rows(target_rows, idx, rows, mask):
+    """Scatter `rows` into a (R+1, F) zero buffer at row `idx` (masked rows go
+    to the trash row R), returning the first R rows."""
+    r = target_rows
+    idx = jnp.where(mask, idx, r)
+    buf = jnp.zeros((r + 1,) + rows.shape[1:], rows.dtype)
+    return buf.at[idx].set(rows)[:r]
+
+
+@partial(jax.jit, static_argnames=("max_points", "max_voxels", "reduction"))
+def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels, reduction):
+    """Dense voxelization core (reference voxelize.cpp:46-199 semantics).
+
+    :param points: (N, F) float array, xyz in the first 3 columns
+    :param shape: (3,) int grid shape
+    :param bounds: (6,) [xmin,xmax,ymin,ymax,zmin,zmax]
+    :param reduction: one of "none", "mean", "max", "min"
+    :return: EDict of fixed-shape arrays padded to max_voxels + ``nvoxels``
+    """
+    n, f = points.shape
+    b = bounds.reshape(3, 2)
+    vsize = (b[:, 1] - b[:, 0]) / shape
+    scaled = (points[:, :3] - b[:, 0]) / vsize
+    # reference uses a C `int()` cast (trunc toward zero), voxelize.cpp:102
+    idx = jnp.trunc(scaled).astype(jnp.int64)
+    inr = jnp.all((idx >= 0) & (idx < shape), axis=1)
+    key = (idx[:, 0] * shape[1] + idx[:, 1]) * shape[2] + idx[:, 2]
+    key = jnp.where(inr, key, _INT_SENTINEL)
+
+    s = _segment_structure(key)
+    order, seg_id_s, slot_s = s["order"], s["seg_id_s"], s["slot_s"]
+    vid_s = s["rank_of_seg"][seg_id_s]  # insertion-order voxel id per point
+    pt_in_kept_voxel = s["valid_s"] & (vid_s < max_voxels)
+
+    # ---- voxels tensor + pmask: only the first max_points slots are filled
+    feats_s = points[order]
+    fill = pt_in_kept_voxel & (slot_s < max_points)
+    flat = vid_s * max_points + jnp.where(fill, slot_s, 0)
+    voxels = _scatter_rows(max_voxels * max_points, flat, feats_s, fill)
+    voxels = voxels.reshape(max_voxels, max_points, f)
+    pmask = _scatter_rows(
+        max_voxels * max_points, flat, jnp.ones((n, 1), bool), fill
+    ).reshape(max_voxels, max_points)
+
+    # ---- per-voxel bookkeeping (npoints counts *all* points in the cell,
+    # even beyond max_points, voxelize.cpp:128-135)
+    seg_rows = jnp.arange(n)
+    seg_keep = (s["npoints_seg"] > 0) & (s["rank_of_seg"] < max_voxels)
+    npoints = _scatter_rows(
+        max_voxels, s["rank_of_seg"], s["npoints_seg"][:, None], seg_keep
+    )[:, 0]
+    idx_s = idx[order]
+    coords_seg = jax.ops.segment_min(
+        jnp.where(s["valid_s"][:, None], idx_s, _INT_SENTINEL), seg_id_s,
+        num_segments=n,
+    )
+    coords = _scatter_rows(max_voxels, s["rank_of_seg"], coords_seg, seg_keep)
+
+    out = EDict(
+        voxels=voxels,
+        coords=coords,
+        voxel_pmask=pmask,
+        voxel_npoints=npoints,
+        nvoxels=jnp.minimum(s["nvoxels"], max_voxels),
+    )
+
+    # ---- aggregates over all points of each kept voxel
+    if reduction != "none":
+        w = pt_in_kept_voxel[:, None]
+        if reduction == "mean":
+            acc = jax.ops.segment_sum(
+                jnp.where(w, feats_s, 0), seg_id_s, num_segments=n
+            )
+            agg_seg = acc / jnp.maximum(s["npoints_seg"], 1)[:, None]
+        elif reduction == "max":
+            agg_seg = jax.ops.segment_max(
+                jnp.where(w, feats_s, -jnp.inf), seg_id_s, num_segments=n
+            )
+        elif reduction == "min":
+            agg_seg = jax.ops.segment_min(
+                jnp.where(w, feats_s, jnp.inf), seg_id_s, num_segments=n
+            )
+        else:
+            raise ValueError("Unsupported reduction type in voxelization!")
+        out.aggregates = _scatter_rows(
+            max_voxels, s["rank_of_seg"], agg_seg.astype(points.dtype), seg_keep
+        )
+    return out
+
+
+@jax.jit
+def voxelize_sparse_padded(points, voxel_size):
+    """Sparse (unbounded-grid) voxelization core (voxelize.cpp:288-335):
+    cells are ``floor(xyz / voxel_size)``; every point is mapped.
+
+    :return: EDict(points_mapping (N,), coords (N,3) padded, voxel_npoints
+        (N,) padded, nvoxels)
+    """
+    n = points.shape[0]
+    idx = jnp.floor(points[:, :3] / voxel_size).astype(jnp.int64)
+    cmin = jnp.min(idx, axis=0)
+    rng = jnp.max(idx, axis=0) - cmin + 1
+    rel = idx - cmin
+    key = (rel[:, 0] * rng[1] + rel[:, 1]) * rng[2] + rel[:, 2]
+    # no sentinel: all points valid; but guard against key == sentinel
+    key = jnp.minimum(key, _INT_SENTINEL - 1)
+
+    s = _segment_structure(key)
+    vid_s = s["rank_of_seg"][s["seg_id_s"]]
+    pm = jnp.zeros(n, jnp.int64).at[s["order"]].set(vid_s.astype(jnp.int64))
+
+    seg_keep = s["npoints_seg"] > 0
+    npoints = _scatter_rows(n, s["rank_of_seg"], s["npoints_seg"][:, None], seg_keep)[:, 0]
+    idx_s = idx[s["order"]]
+    coords_seg = jax.ops.segment_min(idx_s, s["seg_id_s"], num_segments=n)
+    coords = _scatter_rows(n, s["rank_of_seg"], coords_seg, seg_keep)
+    return EDict(points_mapping=pm, coords=coords, voxel_npoints=npoints,
+                 nvoxels=s["nvoxels"])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "min_points", "max_points", "max_voxels",
+        "max_points_filter", "max_voxels_filter", "use_bounds",
+    ),
+)
+def voxelize_filter_padded(
+    points_mapping, coords, voxel_npoints, nvoxels, coords_bound,
+    min_points, max_points, max_voxels,
+    max_points_filter, max_voxels_filter, use_bounds,
+):
+    """Voxel/point filtering core (voxelize.cpp:337-484 semantics).
+
+    Works on the padded sparse output. Voxel filters:
+      * ``none``: bound + min_points only (no count cap)
+      * ``trim``: keep the first max_voxels passing voxels in insertion order
+      * ``descending``: keep the max_voxels most populated (new ids in
+        descending-npoints order, like the reference's argsort loop)
+    Point filter ``trim`` drops points beyond max_points per kept voxel in
+    original point order.
+
+    :return: EDict(points_mapping (N,) with -1 for dropped, coords (V,3)
+        padded, voxel_npoints (V,), nvoxels_filtered)
+    """
+    n = points_mapping.shape[0]
+    v = coords.shape[0]
+    varange = jnp.arange(v)
+    vvalid = varange < nvoxels
+
+    passing = vvalid & (voxel_npoints >= min_points)
+    if use_bounds:
+        inb = jnp.all(
+            (coords >= coords_bound[:, 0]) & (coords < coords_bound[:, 1]), axis=1
+        )
+        passing = passing & inb
+
+    if max_voxels_filter == "descending":
+        sort_key = jnp.where(vvalid, -voxel_npoints, 1)
+        seq = jnp.argsort(sort_key, stable=True)  # descending npoints
+    else:
+        seq = varange  # insertion order
+
+    pass_seq = passing[seq]
+    new_id_seq = jnp.cumsum(pass_seq) - 1
+    keep_seq = pass_seq
+    if max_voxels_filter in ("trim", "descending"):
+        keep_seq = keep_seq & (new_id_seq < max_voxels)
+    # map back to original voxel index space
+    keep = jnp.zeros(v, bool).at[seq].set(keep_seq)
+    new_id = jnp.full(v, -1, jnp.int64).at[seq].set(
+        jnp.where(keep_seq, new_id_seq, -1)
+    )
+    nkept = jnp.sum(keep.astype(jnp.int32))
+
+    # ---- remap points
+    pm_new = jnp.where(points_mapping >= 0, new_id[points_mapping], -1)
+    if max_points_filter == "trim":
+        # rank of each point within its (kept) voxel, in original point order
+        key = jnp.where(pm_new >= 0, pm_new, v)
+        order = jnp.argsort(key, stable=True)
+        k_s = key[order]
+        newseg = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+        seg_id_s = jnp.cumsum(newseg) - 1
+        pos = jnp.arange(n)
+        start = jax.ops.segment_min(pos, seg_id_s, num_segments=n)
+        slot_s = pos - start[seg_id_s]
+        slot = jnp.zeros(n, slot_s.dtype).at[order].set(slot_s)
+        pm_new = jnp.where(slot < max_points, pm_new, -1)
+
+    # ---- new per-voxel point counts + coords in new id order
+    counts = jax.ops.segment_sum(
+        (pm_new >= 0).astype(jnp.int32),
+        jnp.where(pm_new >= 0, pm_new, v).astype(jnp.int32),
+        num_segments=v + 1,
+    )[:v]
+    coords_new = _scatter_rows(v, jnp.where(keep, new_id, v), coords, keep)
+    return EDict(
+        points_mapping=pm_new, coords=coords_new, voxel_npoints=counts,
+        nvoxels=nkept,
+    )
+
+
+class VoxelGenerator:
+    """Convert a point cloud to voxels; drop-in equivalent of the reference
+    `d3d.voxel.VoxelGenerator` (d3d/voxel/__init__.py:12-104).
+
+    :param bounds: grid boundary [xmin, xmax, ymin, ymax, zmin, zmax]
+    :param shape: voxel grid shape (3,)
+    :param min_points: minimum points per voxel (sparse only)
+    :param max_points: maximum points kept per voxel
+    :param max_voxels: maximum voxel count
+    :param reduction: per-voxel feature reduction {none, mean, max, min}
+        (dense only)
+    :param dense: dense [max_voxels, max_points, F] output vs sparse mapping
+    :param max_points_filter: {none, trim, farthest_sampling} (sparse)
+    :param max_voxels_filter: {none, trim, descending} (sparse)
+    """
+
+    def __init__(self, bounds, shape, min_points=0, max_points=30,
+                 max_voxels=20000, max_points_filter=None,
+                 max_voxels_filter=None, reduction=None, dense=False):
+        self._bounds = np.asarray(bounds, np.float32)
+        self._shape = np.asarray(shape, np.int32)
+        self._min_points = int(min_points)
+        self._max_points = int(max_points)
+        self._max_voxels = int(max_voxels)
+        self._dense = bool(dense)
+
+        barr = self._bounds.reshape(3, 2)
+        self._size = (barr[:, 1] - barr[:, 0]) / self._shape
+        dist = barr[:, 0] / self._size
+        if np.any(np.abs(np.round(dist) - dist) > 1e-3):
+            raise ValueError(
+                "The voxelization grid is not aligned with the origin, "
+                "which could lead to unexpected behavior!"
+            )
+        self._offset = np.round(dist).astype(np.int64)
+        self._vbounds = np.round(barr / self._size.reshape(3, 1)).astype(np.int64)
+
+        self._reduction = (reduction or "none").lower()
+        if self._reduction not in ("none", "mean", "max", "min"):
+            raise ValueError("Unsupported reduction type in VoxelGenerator!")
+        if self._reduction != "none" and not dense:
+            raise ValueError("Reduction is only for dense voxelization!")
+
+        self._max_points_filter = (max_points_filter or "none").lower()
+        if self._max_points_filter not in ("none", "trim", "farthest_sampling"):
+            raise ValueError("Unsupported maximum points filter in VoxelGenerator!")
+        if self._max_points_filter == "farthest_sampling":
+            raise NotImplementedError("Farthest Sampling not implemented!")
+        self._max_voxels_filter = (max_voxels_filter or "none").lower()
+        if self._max_voxels_filter not in ("none", "trim", "descending"):
+            raise ValueError("Unsupported maximum voxels filter in VoxelGenerator!")
+
+        if dense:
+            if min_points > 0:
+                raise NotImplementedError(
+                    "Minimum points filtering is not implemented for dense"
+                )
+            if self._max_points_filter not in ("none", "trim"):
+                raise NotImplementedError(
+                    "Only trim is implemented for max points filtering"
+                )
+            if self._max_voxels_filter not in ("none", "trim"):
+                raise NotImplementedError(
+                    "Only trim is implemented for max voxels filtering"
+                )
+
+    def __call__(self, points):
+        """Voxelize. Accepts (N, F) numpy or jax arrays; returns an EDict of
+        numpy arrays sliced to the true voxel count (see the reference's
+        return-dict docs, d3d/voxel/__init__.py:82-94)."""
+        points = np.asarray(points, np.float32)
+        if self._dense:
+            ret = voxelize_dense_padded(
+                jnp.asarray(points), jnp.asarray(self._shape),
+                jnp.asarray(self._bounds),
+                self._max_points, self._max_voxels, self._reduction,
+            )
+            nv = int(ret.nvoxels)
+            out = EDict(
+                voxels=np.asarray(ret.voxels)[:nv],
+                coords=np.asarray(ret.coords)[:nv],
+                voxel_pmask=np.asarray(ret.voxel_pmask)[:nv],
+                voxel_npoints=np.asarray(ret.voxel_npoints)[:nv],
+            )
+            if self._reduction != "none":
+                out.aggregates = np.asarray(ret.aggregates)[:nv]
+            return out
+
+        sparse = voxelize_sparse_padded(jnp.asarray(points), jnp.asarray(self._size))
+        filt = voxelize_filter_padded(
+            sparse.points_mapping, sparse.coords, sparse.voxel_npoints,
+            sparse.nvoxels, jnp.asarray(self._vbounds),
+            self._min_points, self._max_points, self._max_voxels,
+            self._max_points_filter, self._max_voxels_filter, True,
+        )
+        pm = np.asarray(filt.points_mapping)
+        nv = int(filt.nvoxels)
+        masked = np.where(pm >= 0)[0]
+        return EDict(
+            points=points[masked],
+            points_mask=masked,
+            points_mapping=pm[masked],
+            voxel_npoints=np.asarray(filt.voxel_npoints)[:nv],
+            coords=np.asarray(filt.coords)[:nv] - self._offset,
+        )

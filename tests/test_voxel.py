@@ -1,0 +1,126 @@
+"""VoxelGenerator tests: invariants + spconv `VoxelGeneratorV2` parity via
+the stored dump (fixture copied from the reference test data,
+/root/reference/test/voxel_data.npz; semantics per test_voxel.py there)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from d3d_tpu.ops.voxel import VoxelGenerator
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "voxel_data.npz")
+
+
+@pytest.fixture
+def cloud(rng):
+    c = rng.random((2000, 4), dtype=np.float32)
+    outliers = np.array([[-1, -1, -1, -100], [-2, -2, -2, 100]], dtype=np.float32)
+    return np.concatenate([c, outliers], axis=0)
+
+
+class TestDense:
+    def test_generate_voxel_mean(self, cloud):
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], reduction="mean",
+                             max_points=5, max_voxels=20000,
+                             max_points_filter="trim", max_voxels_filter="trim",
+                             dense=True)
+        data = gen(cloud)
+        assert len(data.voxels) == len(data.coords)
+        assert len(data.voxels) <= 1000
+        # only filled slots carry point data
+        filled = data.voxels[data.voxel_pmask]
+        assert np.all((filled >= 0) & (filled <= 1))
+        assert np.all((data.coords >= 0) & (data.coords <= 10))
+        assert "aggregates" in data
+        # coordinate consistency: every stored point falls in its voxel cell
+        for i in range(len(data.voxels)):
+            for j in range(min(data.voxel_npoints[i], 5)):
+                for k in range(3):
+                    assert data.coords[i, k] == int(data.voxels[i, j, k] * 10)
+        # mean aggregate averages over ALL encountered points
+        dense_pts = cloud[np.all((cloud[:, :3] >= 0) & (cloud[:, :3] < 1), axis=1)]
+        cell = tuple(data.coords[0])
+        sel = dense_pts[
+            np.all((dense_pts[:, :3] * 10).astype(np.int64) == np.array(cell), axis=1)
+        ]
+        assert np.allclose(data.aggregates[0], sel.mean(axis=0), atol=1e-5)
+
+    def test_generate_voxel_none(self, cloud):
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], reduction="none",
+                             max_points=5, max_voxels=20000,
+                             max_points_filter="trim", max_voxels_filter="trim",
+                             dense=True)
+        data = gen(cloud)
+        assert "aggregates" not in data
+        assert len(data.voxels) == len(data.coords) <= 1000
+
+    def test_max_voxels_order(self, cloud):
+        """TRIM keeps the first-encountered voxels."""
+        full = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], dense=True)(cloud)
+        trimmed = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10],
+                                 max_voxels=50, dense=True)(cloud)
+        assert len(trimmed.coords) == 50
+        assert np.array_equal(trimmed.coords, full.coords[:50])
+
+    def test_spconv_parity(self):
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], max_points=5,
+                             max_points_filter="trim", dense=True)
+        data = np.load(FIXTURE)
+        ret = gen(data["cloud"])
+        assert np.allclose(ret.voxels, data["voxels"])
+        assert np.allclose(ret.coords, data["coords"])
+
+
+class TestSparse:
+    def test_sparse_basic(self, cloud):
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10])
+        data = gen(cloud)
+        assert len(data.points) == 2000  # outliers filtered by bounds
+        assert len(data.coords) <= 1000
+        assert np.all((data.points[:, :3] >= 0) & (data.points[:, :3] <= 1))
+        assert np.all((data.coords >= 0) & (data.coords <= 10))
+        # mapping consistency
+        cell = np.floor(data.points[:, :3] * 10).astype(np.int64)
+        assert np.array_equal(data.coords[data.points_mapping], cell)
+        # npoints consistency
+        counts = np.bincount(data.points_mapping, minlength=len(data.coords))
+        assert np.array_equal(counts, data.voxel_npoints)
+
+    def test_bound_filter(self, rng):
+        cloud = (rng.random((2000, 3), dtype=np.float32) - 0.5) * 4
+        gen = VoxelGenerator([-1, 1, -1, 1, -1, 1], [20, 20, 20])
+        data = gen(cloud)
+        assert np.all((data.points >= -1) & (data.points <= 1))
+        assert np.all((data.coords >= 0) & (data.coords <= 20))
+        cell = np.floor((data.points + 1) * 10).astype(np.int64)
+        assert np.array_equal(data.coords[data.points_mapping], cell)
+
+    def test_max_voxels_filters(self, rng):
+        cloud = (rng.random((2000, 3), dtype=np.float32) - 0.5) * 4
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], max_voxels=10,
+                             max_voxels_filter="trim")
+        assert len(gen(cloud).coords) <= 10
+
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], max_voxels=10,
+                             max_voxels_filter="descending")
+        data = gen(cloud)
+        assert len(data.coords) <= 10
+        # descending filter keeps the most populated voxels, sorted
+        assert np.all(np.diff(data.voxel_npoints) <= 0)
+
+    def test_min_max_points(self, rng):
+        cloud = (rng.random((2000, 3), dtype=np.float32) - 0.5) * 4
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], min_points=2,
+                             max_points=4, max_points_filter="trim")
+        data = gen(cloud)
+        assert np.all((data.voxel_npoints >= 2) & (data.voxel_npoints <= 4))
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            VoxelGenerator([0.05, 1, 0, 1, 0, 1], [10, 10, 10])  # misaligned
+        with pytest.raises(ValueError):
+            VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], reduction="mean")
+        with pytest.raises(NotImplementedError):
+            VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10],
+                           max_points_filter="farthest_sampling")
