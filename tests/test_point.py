@@ -1,0 +1,107 @@
+"""aligned_scatter tests: forward values against manual lattice math and
+backward grads against analytic weights (oracle layout mirrors the reference
+suite /root/reference/test/test_point.py)."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3d_tpu.ops.point import aligned_scatter
+
+
+def _setup(rng):
+    coord = np.array(
+        [[0, 0.25, 0.25, 0.25], [0, 1.25, 1.25, 1.25], [1, 2.25, 2.25, 2.25]]
+    )
+    feat = rng.random((2, 10, 3, 3, 3))
+    lat = np.array(list(itertools.product([0, 1], repeat=3)))[:, ::-1]  # bit0=dim0
+    return coord, feat, lat
+
+
+def test_drop(rng):
+    coord, feat, _ = _setup(rng)
+    out = aligned_scatter(coord, feat, "drop")
+    ic = coord.astype(int)
+    expected = np.stack([feat[ic[i, 0], :, ic[i, 1], ic[i, 2], ic[i, 3]] for i in range(3)])
+    assert np.allclose(out, expected)
+
+
+def test_mean(rng):
+    coord, feat, lat = _setup(rng)
+    out = aligned_scatter(coord, feat, "mean")
+    exp0 = feat[0, :, lat[:, 0], lat[:, 1], lat[:, 2]].mean(axis=0)
+    exp1 = feat[0, :, lat[:, 0] + 1, lat[:, 1] + 1, lat[:, 2] + 1].mean(axis=0)
+    assert np.allclose(out[0], exp0)
+    assert np.allclose(out[1], exp1)
+    assert np.allclose(out[2], feat[1, :, 2, 2, 2])  # clamped corner
+
+    g = jax.grad(
+        lambda f: jnp.sum(aligned_scatter(jnp.asarray(coord), f, "mean"))
+    )(jnp.asarray(feat))
+    g = np.asarray(g)
+    assert np.allclose(g[0, :, 0, 0, 0], 1 / 8)
+    assert np.allclose(g[0, :, 1, 1, 1], 1 / 4)  # shared by both lattices
+    assert np.allclose(g[1, :, 2, 2, 2], 1.0)
+
+
+def test_linear(rng):
+    coord, feat, lat = _setup(rng)
+    out = aligned_scatter(coord, feat, "linear")
+    nhigh = lat.sum(axis=1)
+    w = (0.25 ** nhigh) * (0.75 ** (3 - nhigh))
+    exp0 = (feat[0, :, lat[:, 0], lat[:, 1], lat[:, 2]] * w[:, None]).sum(axis=0)
+    exp1 = (feat[0, :, lat[:, 0] + 1, lat[:, 1] + 1, lat[:, 2] + 1] * w[:, None]).sum(axis=0)
+    assert np.allclose(out[0], exp0)
+    assert np.allclose(out[1], exp1)
+    assert np.allclose(out[2], feat[1, :, 2, 2, 2])  # halved clamp weights sum to 1
+
+    g = jax.grad(
+        lambda f: jnp.sum(aligned_scatter(jnp.asarray(coord), f, "linear"))
+    )(jnp.asarray(feat))
+    g = np.asarray(g)
+    assert np.allclose(g[0, :, 0, 0, 0], 0.75 ** 3)
+    assert np.allclose(g[0, :, 1, 1, 1], 0.75 ** 3 + 0.25 ** 3)
+    assert np.allclose(g[1, :, 2, 2, 2], 1.0)
+
+
+def test_max(rng):
+    coord, feat, lat = _setup(rng)
+    out = aligned_scatter(coord, feat, "max")
+    exp0 = feat[0, :, lat[:, 0], lat[:, 1], lat[:, 2]].max(axis=0)
+    assert np.allclose(out[0], exp0)
+    assert np.allclose(out[2], feat[1, :, 2, 2, 2])
+
+
+def test_nearest(rng):
+    coord, feat, _ = _setup(rng)
+    out = aligned_scatter(coord, feat, "nearest")
+    # 0.25 rounds down, 1.25 rounds down, 2.25 rounds down (within range)
+    assert np.allclose(out[0], feat[0, :, 0, 0, 0])
+    assert np.allclose(out[1], feat[0, :, 1, 1, 1])
+    assert np.allclose(out[2], feat[1, :, 2, 2, 2])
+
+
+def test_2d(rng):
+    feat = rng.random((1, 4, 5, 5))
+    coord = np.array([[0, 1.5, 2.25]])
+    out = aligned_scatter(coord, feat, "linear")
+    expected = (
+        0.5 * 0.75 * feat[0, :, 1, 2]
+        + 0.5 * 0.75 * feat[0, :, 2, 2]
+        + 0.5 * 0.25 * feat[0, :, 1, 3]
+        + 0.5 * 0.25 * feat[0, :, 2, 3]
+    )
+    assert np.allclose(out[0], expected)
+
+
+def test_2d_integer_coordinate_reference_semantics(rng):
+    """At exact integer coordinates the reference's ceil-based weights make
+    floor and ceil the same cell with weight 1 each, doubling the feature
+    per integer dimension (scatter.cpp:63-76). Kept for parity."""
+    feat = rng.random((1, 4, 5, 5))
+    coord = np.array([[0, 1.5, 2.0]])
+    out = aligned_scatter(coord, feat, "linear")
+    expected = feat[0, :, 1, 2] + feat[0, :, 2, 2]
+    assert np.allclose(out[0], expected)
