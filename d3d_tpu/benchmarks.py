@@ -1,0 +1,884 @@
+"""Detection / tracking / segmentation evaluators
+(reference d3d/benchmarks.pyx).
+
+TPU-first redesign: the reference keeps per-class C++ hashmaps of per-
+threshold vectors and fills the DT x GT rotated-IoU matrix with a scalar
+nogil loop; here every per-(class, threshold) counter is a dense numpy
+vector (so merging partial stats is pure `+`/weighted-mean and a multi-host
+reduction is one `psum` over stacked arrays — see
+:func:`d3d_tpu.parallel.reduce_stats`) and the IoU matrix comes from one
+batched device call (ScoreMatcher.prepare_boxes). The greedy per-threshold
+re-matching is tiny host bookkeeping over ids and stays in Python, exactly
+reproducing the reference's assignment semantics (verified by the
+scenario tests' exact id-switch/fragment counts).
+"""
+
+import numpy as np
+import scipy.stats as sps
+from enum import Enum
+
+from .abstraction import Target3DArray, TransformSet
+from .ops.special import quatdiff, wmean
+from .tracking.matcher import DistanceTypes, ScoreMatcher
+
+__all__ = [
+    "DetectionEvalStats",
+    "DetectionEvaluator",
+    "TrackingEvalStats",
+    "TrackingEvaluator",
+    "SegmentationStats",
+    "SegmentationEvaluator",
+]
+
+
+def _calc_precision(tp, fp):
+    return 1.0 if fp == 0 else tp / (tp + fp)
+
+
+def _calc_recall(tp, fn):
+    return 1.0 if fn == 0 else tp / (tp + fn)
+
+
+def _calc_fscore(tp, fp, fn, b2):
+    return (1 + b2) * tp / ((1 + b2) * tp + b2 * fn + fp)
+
+
+class DetectionEvalStats:
+    """Detection statistics of one evaluation step: per class value, dense
+    per-threshold vectors (reference benchmarks.pyx:60-84)."""
+
+    def __init__(self, classes=(), nsamples=0):
+        self.ngt = {k: 0 for k in classes}
+        self.ndt = {k: np.zeros(nsamples, int) for k in classes}
+        self.tp = {k: np.zeros(nsamples, int) for k in classes}
+        self.fp = {k: np.zeros(nsamples, int) for k in classes}
+        self.fn = {k: np.zeros(nsamples, int) for k in classes}
+        self.acc_iou = {k: np.full(nsamples, np.nan) for k in classes}
+        self.acc_angular = {k: np.full(nsamples, np.nan) for k in classes}
+        self.acc_dist = {k: np.full(nsamples, np.nan) for k in classes}
+        self.acc_box = {k: np.full(nsamples, np.nan) for k in classes}
+        self.acc_var = {k: np.full(nsamples, np.nan) for k in classes}
+
+    def as_object(self):
+        return dict(ngt=self.ngt, tp=self.tp, fp=self.fp, fn=self.fn,
+                    ndt=self.ndt, acc_iou=self.acc_iou,
+                    acc_angular=self.acc_angular, acc_dist=self.acc_dist,
+                    acc_box=self.acc_box, acc_var=self.acc_var)
+
+
+class DetectionEvaluator:
+    """Object detection benchmark; association by descending score
+    (reference benchmarks.pyx:87-446).
+
+    :param classes: classes (Enum members) to consider
+    :param min_overlaps: min rotated-3D-IoU per class (scalar or list)
+    :param pr_sample_count: number of precision/recall sample thresholds
+    :param min_score: minimum score threshold
+    :param pr_sample_scale: "lin" or "logX" spacing of score thresholds
+    """
+
+    def __init__(self, classes, min_overlaps, pr_sample_count=40,
+                 min_score=0.0, pr_sample_scale="log10"):
+        if isinstance(classes, (list, tuple)):
+            assert len(classes) > 0
+            self._class_type = type(classes[0])
+            self._classes = [c.value for c in classes]
+        else:
+            self._class_type = type(classes)
+            self._classes = [classes.value]
+        if isinstance(min_overlaps, (list, tuple)):
+            self._max_distance = {classes[i].value: 1 - v
+                                  for i, v in enumerate(min_overlaps)}
+        elif isinstance(min_overlaps, (int, float)):
+            self._max_distance = {c: 1 - min_overlaps for c in self._classes}
+        else:
+            raise ValueError("min_overlaps should be a list or a single value")
+
+        self._pr_nsamples = pr_sample_count
+        self._min_score = min_score
+
+        if pr_sample_scale == "lin":
+            thresholds = np.linspace(min_score, 1, pr_sample_count,
+                                     endpoint=False, dtype=np.float32)
+        elif pr_sample_scale.startswith("log"):
+            logstart, logend = 1, int(pr_sample_scale[3:] or "10")
+            thresholds = np.geomspace(logstart, logend, pr_sample_count + 1,
+                                      dtype=np.float32)
+            thresholds = (thresholds - logstart) * (1 - min_score) / (logend - logstart)
+            thresholds = (1 - thresholds)[:0:-1]
+        else:
+            raise ValueError("Unrecognized PR sample type")
+        self._pr_thresholds = np.asarray(thresholds)
+
+        self._stats = DetectionEvalStats(self._classes, self._pr_nsamples)
+
+    def reset(self):
+        self._stats = DetectionEvalStats(self._classes, self._pr_nsamples)
+
+    # -- per-frame statistics -----------------------------------------------
+    def _aggregate_stats(self, acc, gt_tags):
+        """Mean accuracy per (class, threshold); acc is a list (per
+        threshold) of {gt_idx: value} dicts."""
+        out = {k: np.full(self._pr_nsamples, np.nan) for k in self._classes}
+        sums = {k: np.zeros(self._pr_nsamples) for k in self._classes}
+        counts = {k: np.zeros(self._pr_nsamples, int) for k in self._classes}
+        for si in range(self._pr_nsamples):
+            for gt_idx, val in acc[si].items():
+                k = gt_tags[gt_idx]
+                sums[k][si] += val
+                counts[k][si] += 1
+        for k in self._classes:
+            nz = counts[k] > 0
+            out[k][nz] = sums[k][nz] / counts[k][nz]
+        return out
+
+    def _accuracy_entries(self, gt_box, dt_box, iou):
+        dist = float(np.linalg.norm(gt_box.position - dt_box.position))
+        box = float(np.linalg.norm(gt_box.dimension - dt_box.dimension))
+        ang = quatdiff(gt_box.orientation.as_quat(), dt_box.orientation.as_quat())
+        if dt_box.orientation_var > 0:
+            var = sps.multivariate_normal.logpdf(
+                gt_box.position, dt_box.position, cov=dt_box.position_var)
+            var += sps.multivariate_normal.logpdf(
+                gt_box.dimension, dt_box.dimension, cov=dt_box.dimension_var)
+            var += sps.vonmises.logpdf(ang, kappa=1 / dt_box.orientation_var)
+        else:
+            var = -np.inf
+        return iou, dist, box, ang / np.pi, var
+
+    def calc_stats(self, gt_boxes: Target3DArray, dt_boxes: Target3DArray,
+                   calib: TransformSet = None):
+        """Evaluate one frame; returns a mergeable DetectionEvalStats."""
+        if gt_boxes.frame != dt_boxes.frame:
+            if calib is None:
+                raise ValueError("Calibration is not provided when dt_boxes "
+                                 "and gt_boxes are in different frames!")
+            gt_boxes = calib.transform_objects(gt_boxes, frame_to=dt_boxes.frame)
+
+        matcher = ScoreMatcher()
+        matcher.prepare_boxes(dt_boxes, gt_boxes, DistanceTypes.RIoU)
+
+        summary = DetectionEvalStats(self._classes, self._pr_nsamples)
+        iou_acc = [dict() for _ in range(self._pr_nsamples)]
+        angular_acc = [dict() for _ in range(self._pr_nsamples)]
+        dist_acc = [dict() for _ in range(self._pr_nsamples)]
+        box_acc = [dict() for _ in range(self._pr_nsamples)]
+        var_acc = [dict() for _ in range(self._pr_nsamples)]
+
+        gt_indices = []
+        for gt_idx, gt_box in enumerate(gt_boxes):
+            gt_tag = gt_box.tag.labels[0]
+            if gt_tag not in self._stats.ngt:
+                continue
+            summary.ngt[gt_tag] += 1
+            gt_indices.append(gt_idx)
+
+        scores = [b.tag.scores[0] for b in dt_boxes]
+        tags = [b.tag.labels[0] for b in dt_boxes]
+        for si, thres in enumerate(self._pr_thresholds):
+            dt_indices = []
+            for dt_idx, dt_box in enumerate(dt_boxes):
+                if tags[dt_idx] not in self._stats.ngt:
+                    continue
+                if scores[dt_idx] < thres:
+                    continue
+                summary.ndt[tags[dt_idx]][si] += 1
+                dt_indices.append(dt_idx)
+
+            matcher.clear_match()
+            matcher.match(dt_indices, gt_indices, self._max_distance)
+
+            for gt_idx in gt_indices:
+                gt_box = gt_boxes[gt_idx]
+                gt_tag = gt_box.tag.labels[0]
+                dt_idx = matcher.query_dst_match(gt_idx)
+                if dt_idx < 0:
+                    summary.fn[gt_tag][si] += 1
+                    continue
+                summary.tp[gt_tag][si] += 1
+                dt_box = dt_boxes[dt_idx]
+                iou = 1 - matcher._distance_cache[dt_idx, gt_idx]
+                (iou_acc[si][gt_idx], dist_acc[si][gt_idx],
+                 box_acc[si][gt_idx], angular_acc[si][gt_idx],
+                 var_acc[si][gt_idx]) = self._accuracy_entries(
+                    gt_box, dt_box, iou)
+
+            for dt_idx in dt_indices:
+                if matcher.query_src_match(dt_idx) < 0:
+                    summary.fp[tags[dt_idx]][si] += 1
+
+        gt_tags = [b.tag.labels[0] for b in gt_boxes]
+        summary.acc_iou = self._aggregate_stats(iou_acc, gt_tags)
+        summary.acc_angular = self._aggregate_stats(angular_acc, gt_tags)
+        summary.acc_dist = self._aggregate_stats(dist_acc, gt_tags)
+        summary.acc_box = self._aggregate_stats(box_acc, gt_tags)
+        summary.acc_var = self._aggregate_stats(var_acc, gt_tags)
+        return summary
+
+    def add_stats(self, stats):
+        """Merge a partial stats object into the accumulated database
+        (associative -> multiprocess/multi-host friendly)."""
+        s = self._stats
+        for k in self._classes:
+            s.ngt[k] += stats.ngt[k]
+            for i in range(self._pr_nsamples):
+                otp, ntp = int(s.tp[k][i]), int(stats.tp[k][i])
+                for field in ("acc_angular", "acc_box", "acc_iou",
+                              "acc_dist", "acc_var"):
+                    old = getattr(s, field)[k]
+                    new = getattr(stats, field)[k]
+                    old[i] = wmean(old[i], otp, new[i], ntp)
+            s.ndt[k] += stats.ndt[k]
+            s.tp[k] += stats.tp[k]
+            s.fp[k] += stats.fp[k]
+            s.fn[k] += stats.fn[k]
+
+    def get_stats(self):
+        return self._stats
+
+    # -- metric queries ------------------------------------------------------
+    def _get_score_idx(self, score):
+        if score is None or (isinstance(score, float) and np.isnan(score)):
+            return self._pr_nsamples // 2
+        return int(np.searchsorted(self._pr_thresholds, score, side="left"))
+
+    @property
+    def score_thresholds(self):
+        return np.asarray(self._pr_thresholds)
+
+    def gt_count(self):
+        return dict(self._stats.ngt)
+
+    def dt_count(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): int(v[si]) for k, v in self._stats.ndt.items()}
+
+    def tp(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): int(v[si]) for k, v in self._stats.tp.items()}
+
+    def fp(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): int(v[si]) for k, v in self._stats.fp.items()}
+
+    def fn(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): int(v[si]) for k, v in self._stats.fn.items()}
+
+    def precision(self, score=None, return_all=False):
+        if return_all:
+            return {self._class_type(k): [
+                _calc_precision(self._stats.tp[k][i], self._stats.fp[k][i])
+                for i in range(self._pr_nsamples)] for k in self._classes}
+        si = self._get_score_idx(score)
+        return {self._class_type(k): _calc_precision(
+            self._stats.tp[k][si], self._stats.fp[k][si]) for k in self._classes}
+
+    def recall(self, score=None, return_all=False):
+        if return_all:
+            return {self._class_type(k): [
+                _calc_recall(self._stats.tp[k][i], self._stats.fn[k][i])
+                for i in range(self._pr_nsamples)] for k in self._classes}
+        si = self._get_score_idx(score)
+        return {self._class_type(k): _calc_recall(
+            self._stats.tp[k][si], self._stats.fn[k][si]) for k in self._classes}
+
+    def fscore(self, score=None, beta=1, return_all=False):
+        b2 = beta * beta
+        if return_all:
+            return {self._class_type(k): [
+                _calc_fscore(self._stats.tp[k][i], self._stats.fp[k][i],
+                             self._stats.fn[k][i], b2)
+                for i in range(self._pr_nsamples)] for k in self._classes}
+        si = self._get_score_idx(score)
+        return {self._class_type(k): _calc_fscore(
+            self._stats.tp[k][si], self._stats.fp[k][si],
+            self._stats.fn[k][si], b2) for k in self._classes}
+
+    def ap(self):
+        """(Mean) average precision: area under the PR curve."""
+        p = self.precision(return_all=True)
+        r = self.recall(return_all=True)
+        return {k: -np.trapezoid(p[k], r[k])
+                for k in (self._class_type(c) for c in self._classes)}
+
+    def acc_iou(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): v[si] for k, v in self._stats.acc_iou.items()}
+
+    def acc_box(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): v[si] for k, v in self._stats.acc_box.items()}
+
+    def acc_dist(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): v[si] for k, v in self._stats.acc_dist.items()}
+
+    def acc_angular(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): v[si] for k, v in self._stats.acc_angular.items()}
+
+    def summary(self, score_thres=0.8, verbose=False):
+        """Human-readable report (format per reference benchmarks.pyx:410-446)."""
+        si = self._get_score_idx(score_thres)
+        lines = [""]
+        precision, recall = self.precision(score_thres), self.recall(score_thres)
+        fscore, ap = self.fscore(return_all=True), self.ap()
+
+        lines.append("========== Benchmark Summary ==========")
+        for k in self._classes:
+            tk = self._class_type(k)
+            if verbose:
+                lines.append("Results for %s:" % tk.name)
+                lines.append("\tTotal processed targets:\t%d gt boxes, %d dt boxes" % (
+                    self._stats.ngt[k], max(self._stats.ndt[k])))
+                lines.append("\tPrecision (score > %.2f):\t%.3f" % (score_thres, precision[tk]))
+                lines.append("\tRecall (score > %.2f):\t\t%.3f" % (score_thres, recall[tk]))
+                lines.append("\tMax F1:\t\t\t\t%.3f" % max(fscore[tk]))
+                lines.append("\tAP:\t\t\t\t%.3f" % ap[tk])
+                lines.append("")
+                lines.append("\tMean IoU (score > %.2f):\t\t%.3f" % (score_thres, self._stats.acc_iou[k][si]))
+                lines.append("\tMean angular error (score > %.2f):\t%.3f" % (score_thres, self._stats.acc_angular[k][si]))
+                lines.append("\tMean distance (score > %.2f):\t\t%.3f" % (score_thres, self._stats.acc_dist[k][si]))
+                lines.append("\tMean box error (score > %.2f):\t\t%.3f" % (score_thres, self._stats.acc_box[k][si]))
+                if not np.isinf(self._stats.acc_var[k][si]):
+                    lines.append("\tMean variance error (score > %.2f):\t%.3f" % (score_thres, self._stats.acc_var[k][si]))
+            else:
+                lines.append("\tResults for %s: AP=%.3f" % (tk.name, ap[tk]))
+        lines.append("mAP: %.3f" % np.mean(list(ap.values())))
+        lines.append("========== Summary End ==========")
+        return "\n".join(lines)
+
+
+class TrackingEvalStats(DetectionEvalStats):
+    """Adds id-switch / fragment counts and per-trajectory frame counters
+    (reference benchmarks.pyx:448-486)."""
+
+    def __init__(self, classes=(), nsamples=0):
+        super().__init__(classes, nsamples)
+        self.id_switches = {k: np.zeros(nsamples, int) for k in classes}
+        self.fragments = {k: np.zeros(nsamples, int) for k in classes}
+        self.ngt_ids = {k: {} for k in classes}
+        self.ngt_tracked = {k: [dict() for _ in range(nsamples)] for k in classes}
+        self.ndt_ids = {k: [dict() for _ in range(nsamples)] for k in classes}
+
+    def as_object(self):
+        d = super().as_object()
+        d.update(id_switches=self.id_switches, fragments=self.fragments,
+                 ngt_ids=self.ngt_ids, ngt_tracked=self.ngt_tracked,
+                 ndt_ids=self.ndt_ids)
+        return d
+
+
+class TrackingEvaluator(DetectionEvaluator):
+    """Object tracking benchmark with CLEAR-MOT metrics; keeps per-threshold
+    frame-to-frame assignments to count id switches and fragments
+    (reference benchmarks.pyx:488-889)."""
+
+    def __init__(self, classes, min_overlaps, pr_sample_count=40,
+                 min_score=0.0, pr_sample_scale="log10"):
+        super().__init__(classes, min_overlaps,
+                         pr_sample_count=pr_sample_count, min_score=min_score,
+                         pr_sample_scale=pr_sample_scale)
+        n = self._pr_nsamples
+        self._last_gt_assignment = [dict() for _ in range(n)]
+        self._last_dt_assignment = [dict() for _ in range(n)]
+        self._last_gt_tags = [dict() for _ in range(n)]
+        self._last_dt_tags = [dict() for _ in range(n)]
+        self._stats = TrackingEvalStats(self._classes, n)
+
+    def reset(self):
+        self._stats = TrackingEvalStats(self._classes, self._pr_nsamples)
+        for i in range(self._pr_nsamples):
+            self._last_gt_assignment[i].clear()
+            self._last_dt_assignment[i].clear()
+            self._last_gt_tags[i].clear()
+            self._last_dt_tags[i].clear()
+
+    def calc_stats(self, gt_boxes, dt_boxes, calib=None):
+        if gt_boxes.frame != dt_boxes.frame:
+            if calib is None:
+                raise ValueError("Calibration is not provided when dt_boxes "
+                                 "and gt_boxes are in different frames!")
+            dt_boxes = calib.transform_objects(dt_boxes, frame_to=gt_boxes.frame)
+
+        matcher = ScoreMatcher()
+        matcher.prepare_boxes(dt_boxes, gt_boxes, DistanceTypes.RIoU)
+
+        summary = TrackingEvalStats(self._classes, self._pr_nsamples)
+        iou_acc = [dict() for _ in range(self._pr_nsamples)]
+        angular_acc = [dict() for _ in range(self._pr_nsamples)]
+        dist_acc = [dict() for _ in range(self._pr_nsamples)]
+        box_acc = [dict() for _ in range(self._pr_nsamples)]
+        var_acc = [dict() for _ in range(self._pr_nsamples)]
+
+        gt_indices = []
+        gt_tid_set = set()
+        for gt_idx, gt_box in enumerate(gt_boxes):
+            gt_tag = gt_box.tag.labels[0]
+            if gt_tag not in summary.ngt:
+                continue
+            gt_tid = gt_box.tid
+            summary.ngt[gt_tag] += 1
+            summary.ngt_ids[gt_tag][gt_tid] = 1
+            gt_tid_set.add(gt_tid)
+            gt_indices.append(gt_idx)
+
+        gt_tid_to_idx = {gt_boxes[i].tid: i for i in range(len(gt_boxes))}
+
+        for si, thres in enumerate(self._pr_thresholds):
+            gt_assignment_idx = {}  # gt tid -> dt idx
+            dt_assignment_idx = {}  # dt tid -> gt idx
+            dt_indices = []
+            dt_tid_set = set()
+            for dt_idx, dt_box in enumerate(dt_boxes):
+                dt_tag = dt_box.tag.labels[0]
+                if dt_tag not in summary.ngt:
+                    continue
+                if dt_box.tag.scores[0] < thres:
+                    continue
+                dt_tid = dt_box.tid
+                assert dt_tid > 0, ("Tracking id should be greater than 0 "
+                                    "for a valid object!")
+                dt_tid_set.add(dt_tid)
+                summary.ndt[dt_tag][si] += 1
+                summary.ndt_ids[dt_tag][si][dt_tid] = 1
+
+                prev = self._last_dt_assignment[si].get(dt_tid)
+                if prev is None:
+                    dt_indices.append(dt_idx)
+                else:
+                    # preserve previous assignment while still in range
+                    gt_idx = gt_tid_to_idx.get(prev)
+                    if gt_idx is None:
+                        dt_indices.append(dt_idx)
+                    elif matcher._distance_cache[dt_idx, gt_idx] > \
+                            self._max_distance[dt_tag]:
+                        dt_indices.append(dt_idx)
+                    else:
+                        gt_assignment_idx[prev] = dt_idx
+                        dt_assignment_idx[dt_tid] = gt_idx
+
+            matcher.clear_match()
+            matcher.match(dt_indices, gt_indices, self._max_distance)
+
+            for gt_idx in gt_indices:
+                gt_box = gt_boxes[gt_idx]
+                gt_tag = gt_box.tag.labels[0]
+                gt_tid = gt_box.tid
+
+                dt_idx = matcher.query_dst_match(gt_idx)
+                if dt_idx >= 0:
+                    dt_box = dt_boxes[dt_idx]
+                    if gt_tid in gt_assignment_idx:
+                        # overwrite the preserved match: old dt becomes a FP
+                        old_dt = dt_boxes[gt_assignment_idx[gt_tid]]
+                        dt_assignment_idx.pop(old_dt.tid, None)
+                        summary.fp[dt_box.tag.labels[0]][si] += 1
+                    gt_assignment_idx[gt_tid] = dt_idx
+                    dt_assignment_idx[dt_box.tid] = gt_idx
+
+                if gt_tid not in gt_assignment_idx:
+                    summary.fn[gt_tag][si] += 1
+                    continue
+                dt_idx = gt_assignment_idx[gt_tid]
+                dt_box = dt_boxes[dt_idx]
+                summary.tp[gt_tag][si] += 1
+                summary.ngt_tracked[gt_tag][si][gt_tid] = 1
+
+                iou = 1 - matcher._distance_cache[dt_idx, gt_idx]
+                (iou_acc[si][gt_idx], dist_acc[si][gt_idx],
+                 box_acc[si][gt_idx], angular_acc[si][gt_idx],
+                 var_acc[si][gt_idx]) = self._accuracy_entries(
+                    gt_box, dt_box, iou)
+
+            for dt_idx in dt_indices:
+                dt_box = dt_boxes[dt_idx]
+                if dt_box.tid not in dt_assignment_idx:
+                    summary.fp[dt_box.tag.labels[0]][si] += 1
+
+            # id switches: a previously matched gt got a different dt (or
+            # none while still present); fragments: symmetric for dt
+            for gt_tid, dt_tid in self._last_gt_assignment[si].items():
+                gt_tag = self._last_gt_tags[si][gt_tid]
+                if gt_tid not in gt_assignment_idx:
+                    if gt_tid in gt_tid_set:
+                        summary.id_switches[gt_tag][si] += 1
+                elif dt_boxes[gt_assignment_idx[gt_tid]].tid != dt_tid:
+                    summary.id_switches[gt_tag][si] += 1
+
+            for dt_tid, gt_tid in self._last_dt_assignment[si].items():
+                dt_tag = self._last_dt_tags[si][dt_tid]
+                if dt_tid not in dt_assignment_idx:
+                    if dt_tid in dt_tid_set:
+                        summary.fragments[dt_tag][si] += 1
+                elif gt_boxes[dt_assignment_idx[dt_tid]].tid != gt_tid:
+                    summary.fragments[dt_tag][si] += 1
+
+            # roll the assignment state
+            self._last_gt_assignment[si] = {}
+            self._last_dt_assignment[si] = {}
+            self._last_gt_tags[si] = {}
+            self._last_dt_tags[si] = {}
+            for gt_tid, dt_idx in gt_assignment_idx.items():
+                dt_box = dt_boxes[dt_idx]
+                gt_idx = dt_assignment_idx[dt_box.tid]
+                gt_tag = gt_boxes[gt_idx].tag.labels[0]
+                self._last_gt_assignment[si][gt_tid] = dt_box.tid
+                self._last_dt_assignment[si][dt_box.tid] = gt_tid
+                self._last_gt_tags[si][gt_tid] = gt_tag
+                self._last_dt_tags[si][dt_box.tid] = dt_box.tag.labels[0]
+
+        gt_tags = [b.tag.labels[0] for b in gt_boxes]
+        summary.acc_iou = self._aggregate_stats(iou_acc, gt_tags)
+        summary.acc_angular = self._aggregate_stats(angular_acc, gt_tags)
+        summary.acc_dist = self._aggregate_stats(dist_acc, gt_tags)
+        summary.acc_box = self._aggregate_stats(box_acc, gt_tags)
+        summary.acc_var = self._aggregate_stats(var_acc, gt_tags)
+        return summary
+
+    def add_stats(self, stats):
+        super().add_stats(stats)
+        s = self._stats
+        for k in self._classes:
+            for tid, cnt in stats.ngt_ids[k].items():
+                s.ngt_ids[k][tid] = s.ngt_ids[k].get(tid, 0) + cnt
+            s.id_switches[k] += stats.id_switches[k]
+            s.fragments[k] += stats.fragments[k]
+            for i in range(self._pr_nsamples):
+                for tid, cnt in stats.ngt_tracked[k][i].items():
+                    s.ngt_tracked[k][i][tid] = s.ngt_tracked[k][i].get(tid, 0) + cnt
+                for tid, cnt in stats.ndt_ids[k][i].items():
+                    s.ndt_ids[k][i][tid] = s.ndt_ids[k][i].get(tid, 0) + cnt
+
+    # -- tracking metrics ----------------------------------------------------
+    def id_switches(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): int(v[si])
+                for k, v in self._stats.id_switches.items()}
+
+    def fragments(self, score=None):
+        si = self._get_score_idx(score)
+        return {self._class_type(k): int(v[si])
+                for k, v in self._stats.fragments.items()}
+
+    def gt_traj_count(self):
+        return {self._class_type(k): len(v)
+                for k, v in self._stats.ngt_ids.items()}
+
+    def _calc_frame_ratio(self, score, thres, high_pass, return_all):
+        def count(k, si):
+            c = 0
+            for tid, tracked in self._stats.ngt_tracked[k][si].items():
+                ratio = tracked / self._stats.ngt_ids[k][tid]
+                if high_pass and ratio > thres:
+                    c += 1
+                if not high_pass and ratio < thres:
+                    c += 1
+            return c / max(len(self._stats.ngt_ids[k]), 1)
+
+        if return_all:
+            return {self._class_type(k): [count(k, i)
+                                          for i in range(self._pr_nsamples)]
+                    for k in self._classes}
+        si = self._get_score_idx(score)
+        return {self._class_type(k): count(k, si) for k in self._classes}
+
+    def tracked_ratio(self, score=None, frame_ratio_threshold=0.8,
+                      return_all=False):
+        """Mostly-tracked trajectory ratio (MT)."""
+        return self._calc_frame_ratio(score, frame_ratio_threshold, True,
+                                      return_all)
+
+    def lost_ratio(self, score=None, frame_ratio_threshold=0.2,
+                   return_all=False):
+        """Mostly-lost trajectory ratio (ML)."""
+        return self._calc_frame_ratio(score, frame_ratio_threshold, False,
+                                      return_all)
+
+    def mota(self, score=None):
+        """CLEAR-MOT accuracy: 1 - (FP + FN + IDS) / ngt."""
+        si = self._get_score_idx(score)
+        return {self._class_type(k): 1 - float(
+            self._stats.fp[k][si] + self._stats.fn[k][si]
+            + self._stats.id_switches[k][si]) / self._stats.ngt[k]
+            for k in self._classes}
+
+    def summary(self, score_thres=0.8, tracked_ratio_thres=0.8,
+                lost_ratio_thres=0.2, note=None, verbose=False):
+        si = self._get_score_idx(score_thres)
+        lines = [""]
+        precision, recall = self.precision(score_thres), self.recall(score_thres)
+        fscore, ap = self.fscore(return_all=True), self.ap()
+        mlt = self.tracked_ratio(score_thres, tracked_ratio_thres)
+        mll = self.lost_ratio(score_thres, lost_ratio_thres)
+        mota = self.mota(score_thres)
+
+        header = ("========== Benchmark Summary (%s) ==========" % note
+                  if note else "========== Benchmark Summary ==========")
+        lines.append(header)
+        for k in self._classes:
+            tk = self._class_type(k)
+            if verbose:
+                lines.append("Results for %s:" % tk.name)
+                lines.append("\tTotal processed targets:\t%d gt boxes, %d dt boxes" % (
+                    self._stats.ngt[k], max(self._stats.ndt[k])))
+                lines.append("\tTotal processed trajectories:\t%d gt tracklets, %d dt tracklets" % (
+                    self.gt_traj_count()[tk],
+                    max(len(self._stats.ndt_ids[k][i]) for i in range(self._pr_nsamples))))
+                lines.append("\tPrecision (score > %.2f):\t%.3f" % (score_thres, precision[tk]))
+                lines.append("\tRecall (score > %.2f):\t\t%.3f" % (score_thres, recall[tk]))
+                lines.append("\tMax F1:\t\t\t\t%.3f" % max(fscore[tk]))
+                lines.append("\tAP:\t\t\t\t%.3f" % ap[tk])
+                lines.append("")
+                lines.append("\tID switches (score > %.2f):\t\t\t%d" % (score_thres, self._stats.id_switches[k][si]))
+                lines.append("\tFragments (score > %.2f):\t\t\t%d" % (score_thres, self._stats.fragments[k][si]))
+                lines.append("\tMOTA (score > %.2f):\t\t\t\t%.2f" % (score_thres, mota[tk]))
+                lines.append("\tMostly tracked (score > %.2f, ratio > %.2f):\t%.3f" % (
+                    score_thres, tracked_ratio_thres, mlt[tk]))
+                lines.append("\tMostly lost (score > %.2f, ratio < %.2f):\t%.3f" % (
+                    score_thres, lost_ratio_thres, mll[tk]))
+            else:
+                lines.append("Results for %s: AP=%.3f, MOTA=%.3f" % (tk.name, ap[tk], mota[tk]))
+        lines.append("mAP: %.3f" % np.mean(list(ap.values())))
+        lines.append("========== Summary End ==========")
+        return "\n".join(lines)
+
+
+class SegmentationStats:
+    """Semantic + panoptic segmentation counters
+    (reference benchmarks.pyx:891-930)."""
+
+    def __init__(self, classes=()):
+        self.tp = {k: 0 for k in classes}
+        self.fp = {k: 0 for k in classes}
+        self.fn = {k: 0 for k in classes}
+        self.itp = {k: 0 for k in classes}
+        self.ifp = {k: 0 for k in classes}
+        self.ifn = {k: 0 for k in classes}
+        self.cumiou = {k: 0.0 for k in classes}
+
+    def as_object(self):
+        return dict(tp=self.tp, fp=self.fp, fn=self.fn, itp=self.itp,
+                    ifp=self.ifp, ifn=self.ifn, cumiou=self.cumiou)
+
+
+class SegmentationEvaluator:
+    """Semantic / panoptic segmentation benchmark modeled after the
+    cityscapesScripts panoptic evaluation (reference benchmarks.pyx:932-1213).
+    Pointwise counting is vectorized with numpy instead of the reference's
+    per-point nogil loops.
+
+    :param classes: classes to consider (others count as background)
+    :param background: the background class
+    :param min_points: minimum segment size in the panoptic matching
+    """
+
+    def __init__(self, classes, background=0, min_points=0):
+        if not isinstance(classes, (list, tuple)):
+            classes = [classes]
+        assert len(classes) > 0
+        if isinstance(classes[0], Enum):
+            self._class_type = type(classes[0])
+            self._classes = [c.value for c in classes]
+        elif isinstance(classes[0], (int, np.integer)):
+            self._class_type = None
+            self._classes = list(classes)
+        else:
+            raise ValueError("Classes should be int or Enum")
+
+        if isinstance(background, Enum):
+            background = background.value
+        self._background = background if background >= 0 else 256 + background
+        self._min_points = min_points
+        self._stats = SegmentationStats(self._classes)
+        if len(self._classes) > 255:
+            raise ValueError("Only support up to 255 different categories!")
+
+    def reset(self):
+        self._stats = SegmentationStats(self._classes)
+
+    def _collect_labels(self, stats, gt_labels, pred_labels):
+        cls = np.asarray(self._classes)
+        for k in self._classes:
+            if k == self._background:
+                continue
+            gt_k = gt_labels == k
+            stats.tp[k] += int(np.sum(gt_k & (pred_labels == k)))
+            stats.fn[k] += int(np.sum(gt_k & (pred_labels != k)))
+            stats.fp[k] += int(np.sum((pred_labels == k) & ~gt_k))
+
+    def _collect_labels_pano(self, stats, gt_labels, pred_labels, gt_ids,
+                             pred_ids):
+        self._collect_labels(stats, gt_labels, pred_labels)
+
+        bg_key = np.uint32(self._background) << np.uint32(16)
+        in_cls_gt = np.isin(gt_labels, self._classes)
+        in_cls_pred = np.isin(pred_labels, self._classes)
+        gt_key = np.where(
+            in_cls_gt,
+            (gt_labels.astype(np.uint32) << np.uint32(16)) | gt_ids,
+            bg_key)
+        pred_key = np.where(
+            in_cls_pred,
+            (pred_labels.astype(np.uint32) << np.uint32(16)) | pred_ids,
+            bg_key)
+
+        # joint histogram of (gt segment, pred segment)
+        pairs = (gt_key.astype(np.uint64) << np.uint64(32)) | pred_key
+        upairs, pcounts = np.unique(pairs, return_counts=True)
+        ugt = (upairs >> np.uint64(32)).astype(np.uint32)
+        upred = (upairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+        gt_sizes = {}
+        pred_sizes = {}
+        for g, p, c in zip(ugt, upred, pcounts):
+            gt_sizes[g] = gt_sizes.get(g, 0) + int(c)
+            pred_sizes[p] = pred_sizes.get(p, 0) + int(c)
+
+        bg_overlap = {int(p): int(c)
+                      for g, p, c in zip(ugt, upred, pcounts) if g == bg_key}
+
+        pred_matched = set()
+        gt_matched = set()
+        for g, p, c in zip(ugt, upred, pcounts):
+            gt_label = int(g) >> 16
+            pred_label = int(p) >> 16
+            if gt_label == self._background or pred_label == self._background:
+                continue
+            if gt_label != pred_label:
+                continue
+            if gt_sizes[g] < self._min_points:
+                continue
+            total = gt_sizes[g] + pred_sizes[p] - int(c)
+            # the reference subtracts the prediction's background overlap
+            # only when it is absent (an apparent logic slip, benchmarks.pyx
+            # :1056-1057); here the VOID overlap is subtracted when present,
+            # matching the cityscapes panoptic protocol
+            total -= bg_overlap.get(int(p), 0)
+            iou = int(c) / total
+            if iou > 0.5:
+                stats.itp[gt_label] += 1
+                stats.cumiou[gt_label] += iou
+                gt_matched.add(g)
+                pred_matched.add(p)
+
+        for g, size in gt_sizes.items():
+            gt_label = int(g) >> 16
+            if gt_label == self._background:
+                continue
+            if size < self._min_points:
+                continue
+            if g not in gt_matched:
+                stats.ifn[gt_label] += 1
+
+        for p, size in pred_sizes.items():
+            pred_label = int(p) >> 16
+            if pred_label == self._background:
+                continue
+            if size < self._min_points:
+                continue
+            if p not in pred_matched:
+                stats.ifp[pred_label] += 1
+
+    def calc_stats(self, gt_labels, pred_labels, gt_ids=None, pred_ids=None):
+        """Evaluate one frame of point/pixel labels (ids must be 0 for stuff
+        classes)."""
+        stats = SegmentationStats(self._classes)
+        gt_labels = np.asarray(gt_labels, dtype=np.uint8)
+        pred_labels = np.asarray(pred_labels, dtype=np.uint8)
+        if gt_ids is None or pred_ids is None:
+            self._collect_labels(stats, gt_labels, pred_labels)
+        else:
+            gt_ids = np.asarray(gt_ids)
+            pred_ids = np.asarray(pred_ids)
+            if gt_ids.dtype != np.uint16 or pred_ids.dtype != np.uint16:
+                raise ValueError("Please convert ids to uint16!")
+            self._collect_labels_pano(stats, gt_labels, pred_labels,
+                                      gt_ids.astype(np.uint32),
+                                      pred_ids.astype(np.uint32))
+        return stats
+
+    def add_stats(self, stats):
+        for k in self._classes:
+            self._stats.tp[k] += stats.tp[k]
+            self._stats.fp[k] += stats.fp[k]
+            self._stats.fn[k] += stats.fn[k]
+            self._stats.itp[k] += stats.itp[k]
+            self._stats.ifp[k] += stats.ifp[k]
+            self._stats.ifn[k] += stats.ifn[k]
+            self._stats.cumiou[k] += stats.cumiou[k]
+
+    def get_stats(self):
+        return self._stats
+
+    def _typed(self, d):
+        if self._class_type is None:
+            return dict(d)
+        return {self._class_type(k): v for k, v in d.items()}
+
+    def tp(self, instance=False):
+        return self._typed(self._stats.itp if instance else self._stats.tp)
+
+    def fp(self, instance=False):
+        return self._typed(self._stats.ifp if instance else self._stats.fp)
+
+    def fn(self, instance=False):
+        return self._typed(self._stats.ifn if instance else self._stats.fn)
+
+    def iou(self, instance=False):
+        result = {}
+        for k in self._classes:
+            if instance:
+                iou = (self._stats.cumiou[k] / self._stats.itp[k]
+                       if self._stats.itp[k] > 0 else np.nan)
+            else:
+                d = self._stats.tp[k] + self._stats.fp[k] + self._stats.fn[k]
+                iou = self._stats.tp[k] / d if d > 0 else np.nan
+            result[k if self._class_type is None else self._class_type(k)] = iou
+        return result
+
+    def sq(self):
+        """Segmentation quality (panoptic)."""
+        return self.iou(instance=True)
+
+    def rq(self):
+        """Recognition quality (panoptic)."""
+        result = {}
+        for k in self._classes:
+            d = self._stats.itp[k] + 0.5 * self._stats.ifp[k] + 0.5 * self._stats.ifn[k]
+            rq = self._stats.itp[k] / d if d > 0 else np.nan
+            result[k if self._class_type is None else self._class_type(k)] = rq
+        return result
+
+    def pq(self):
+        """Panoptic quality = SQ * RQ."""
+        sq, rq = self.sq(), self.rq()
+        return {k: sq[k] * rq[k] for k in sq}
+
+    def summary(self):
+        def mean_wo_nan(values):
+            valid = [v for v in values if not np.isnan(v)]
+            return np.nan if not valid else sum(valid) / len(valid)
+
+        lines = ["========== Benchmark Summary =========="]
+        iou = self.iou()
+        sq, rq, pq = self.sq(), self.rq(), self.pq()
+        for k in self._classes:
+            if k == self._background:
+                continue
+            tk = k if self._class_type is None else self._class_type(k)
+            name = (str(k).rjust(4) if self._class_type is None
+                    else tk.name.rjust(20))
+            if np.isnan(pq[tk]):
+                lines.append("%s: iou=%.3f" % (name, iou[tk]))
+            else:
+                lines.append("%s: iou=%.3f, sq=%.3f, rq=%.3f, pq=%.3f" % (
+                    name, iou[tk], sq[tk], rq[tk], pq[tk]))
+        lines.append("mean IoU: %.4f" % mean_wo_nan(iou.values()))
+        if not np.isnan(mean_wo_nan(pq.values())):
+            lines.append("mean SQ: %.4f" % mean_wo_nan(sq.values()))
+            lines.append("mean RQ: %.4f" % mean_wo_nan(rq.values()))
+            lines.append("mean PQ: %.4f" % mean_wo_nan(pq.values()))
+        lines.append("========== Summary End ==========")
+        return "\n".join(lines)

@@ -32,7 +32,13 @@ def i1e(x):
 
 
 def wmean(mean1, w1, mean2, w2):
-    """Weighted mean combine (reference d3d/math/__init__.pxd:4-9)."""
+    """Weighted mean combine; zero-weight sides pass the other through (so a
+    NaN placeholder with weight 0 does not poison the merge — reference
+    d3d/math/__init__.pxd:4-9)."""
+    if w1 == 0:
+        return mean2
+    if w2 == 0:
+        return mean1
     return (mean1 * w1 + mean2 * w2) / (w1 + w2)
 
 

@@ -1,0 +1,227 @@
+"""Evaluator tests: detection self/near-match cases, pickling (essential for
+multiprocess merge), and the tracking scenario oracles with exact id-switch/
+fragment counts (mirroring /root/reference/test/test_benchmark.py)."""
+
+import io
+import pickle
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from d3d_tpu.abstraction import (ObjectTag, ObjectTarget3D, Target3DArray,
+                                 TrackingTarget3D)
+from d3d_tpu.benchmarks import (DetectionEvalStats, DetectionEvaluator,
+                                SegmentationEvaluator, TrackingEvaluator)
+from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+CAR = KittiObjectClass.Car
+VAN = KittiObjectClass.Van
+PED = KittiObjectClass.Pedestrian
+
+
+class TestDetectionEvaluator:
+    def _dt_boxes(self):
+        r = Rotation.from_euler("Z", 0)
+        d = [2, 2, 2]
+        return Target3DArray([
+            ObjectTarget3D([0, 0, 0], r, d, ObjectTag(CAR, scores=0.8)),
+            ObjectTarget3D([1, 1, 1], r, d, ObjectTag(VAN, scores=0.7)),
+            ObjectTarget3D([-1, -1, -1], r, d, ObjectTag(PED, scores=0.8)),
+        ], frame="test")
+
+    def test_self_match(self):
+        evaluator = DetectionEvaluator([CAR, VAN], [0.1, 0.2])
+        dt = self._dt_boxes()
+        result = evaluator.calc_stats(dt, dt)
+        for clsobj in (CAR, VAN):
+            k = clsobj.value
+            assert result.ngt[k] == 1
+            assert result.ndt[k][0] == 1 and result.ndt[k][-1] == 0
+            assert result.tp[k][0] == 1 and result.tp[k][-1] == 0
+            assert result.fp[k][0] == 0 and result.fp[k][-1] == 0
+            assert result.fn[k][0] == 0 and result.fn[k][-1] == 1
+            assert np.isclose(result.acc_iou[k][0], 1)
+            assert np.isnan(result.acc_iou[k][-1])
+            assert np.isclose(result.acc_angular[k][0], 0)
+            assert np.isclose(result.acc_dist[k][0], 0)
+            assert np.isclose(result.acc_box[k][0], 0)
+            assert np.isinf(result.acc_var[k][0])
+
+    def test_near_match(self):
+        evaluator = DetectionEvaluator([CAR, VAN], [0.1, 0.2])
+        dt = self._dt_boxes()
+        r = Rotation.from_euler("Z", 0.01)
+        d = [2.1, 2.1, 2.1]
+        gt = Target3DArray([
+            ObjectTarget3D([0, 0, 0], r, d, ObjectTag(VAN)),
+            ObjectTarget3D([-1, 1, 0], r, d, ObjectTag(CAR)),
+            ObjectTarget3D([1, -1, 0], r, d, ObjectTag(PED)),
+        ], frame="test")
+        result = evaluator.calc_stats(gt, dt)
+        for clsobj in (CAR, VAN):
+            k = clsobj.value
+            assert result.ngt[k] == 1
+            assert result.ndt[k][0] == 1 and result.ndt[k][-1] == 0
+            if clsobj == CAR:
+                assert result.tp[k][0] == 1 and result.tp[k][-1] == 0
+                assert result.fp[k][0] == 0 and result.fn[k][0] == 0
+                assert result.fn[k][-1] == 1
+                assert result.acc_iou[k][0] > 0.1
+                assert result.acc_angular[k][0] > 0
+                assert result.acc_dist[k][0] > 1
+                assert result.acc_box[k][0] > 0
+            else:
+                assert result.tp[k][0] == 0
+                assert result.fp[k][0] == 1
+                assert result.fn[k][0] == 1 and result.fn[k][-1] == 1
+                assert np.isnan(result.acc_iou[k][0])
+
+    def test_add_stats_and_metrics(self):
+        evaluator = DetectionEvaluator([CAR], [0.1])
+        dt = self._dt_boxes()
+        stats = evaluator.calc_stats(dt, dt)
+        evaluator.add_stats(stats)
+        evaluator.add_stats(stats)
+        assert evaluator.gt_count()[CAR.value] == 2
+        assert evaluator.tp(0.5)[CAR] == 2
+        assert evaluator.precision(0.5)[CAR] == 1.0
+        ap = evaluator.ap()[CAR]
+        assert 0 <= ap <= 1.0001
+        text = evaluator.summary(verbose=True)
+        assert "mAP" in text and "Car" in text
+
+    def test_pickling(self):
+        evaluator = DetectionEvaluator([CAR], [0.2])
+        buf = io.BytesIO()
+        pickle.dump(evaluator, buf)
+        buf.seek(0)
+        copy = pickle.load(buf)
+        assert np.allclose(evaluator.score_thresholds, copy.score_thresholds)
+
+        summary = DetectionEvalStats()
+        summary.ngt = {1: 1, 2: 1}
+        summary.ndt = {1: [2, 2, 1, 1], 2: [2, 1, 1, 1]}
+        copy = pickle.loads(pickle.dumps(summary))
+        assert copy.ngt == summary.ngt and copy.ndt == summary.ndt
+
+
+def _track(pos, tid, score=None):
+    r = Rotation.from_euler("Z", 0)
+    return TrackingTarget3D(pos, r, [1, 1, 1], [0, 0, 0], [0, 0, 0],
+                            ObjectTag(CAR, scores=score or 1.0), tid=tid)
+
+
+def _gt(pos, tid):
+    r = Rotation.from_euler("Z", 0.01)
+    return ObjectTarget3D(pos, r, [1.1, 1.1, 1.1], ObjectTag(CAR), tid=tid)
+
+
+GT_TRAJS = None
+
+
+def _gt_trajs():
+    gt1 = [_gt(p, 1001) for p in ([-2.1, 2.1, 0], [-1.1, 0.9, 0],
+                                  [-0.1, 0.1, 0], [0.9, -1.1, 0],
+                                  [1.9, -1.9, 0])]
+    gt2 = [_gt(p, 1002) for p in ([-2.1, -2.1, 0], [-1.1, -0.9, 0],
+                                  [-0.1, 0.1, 0], [0.9, 1.1, 0],
+                                  [1.9, 1.9, 0])]
+    return [Target3DArray([a, b], frame="test") for a, b in zip(gt1, gt2)]
+
+
+class TestTrackingEvaluator:
+    def test_x_crossing_switch(self):
+        evaluator = TrackingEvaluator([CAR, VAN], [0.5, 1])
+        traj1 = [_track(p, 1, 0.8) for p in ([-2, 2, 0], [-1, 1, 0], [0, 0, 0],
+                                             [1, 1, 0], [2, 2, 0])]
+        traj2 = [_track(p, 2, 0.9) for p in ([-2, -2, 0], [-1, -1, 0],
+                                             [0, 0, 0], [1, -1, 0],
+                                             [2, -2, 0])]
+        dt_trajs = [Target3DArray([a, b], frame="test")
+                    for a, b in zip(traj1, traj2)]
+        for dt_arr, gt_arr in zip(dt_trajs, _gt_trajs()):
+            evaluator.add_stats(evaluator.calc_stats(gt_arr, dt_arr))
+
+        assert evaluator.tp()[CAR] == 10
+        assert evaluator.fp()[CAR] == 0
+        assert evaluator.fn()[CAR] == 0
+        assert evaluator.id_switches()[CAR] == 2
+        assert evaluator.fragments()[CAR] == 2
+
+    def test_x_crossing_three_tracklets(self):
+        evaluator = TrackingEvaluator([CAR, VAN], [0.5, 1])
+        traj1 = [_track(p, 1, 0.8) for p in ([-2, 2, 0], [-1, 1, 0], [0, 0, 0],
+                                             [1, 1, 0], [2, 2, 0])]
+        traj2 = [_track(p, 2, 0.9) for p in ([-2, -2, 0], [-1, -1, 0],
+                                             [0, 0, 0])]
+        traj3 = [_track(p, 3, 0.9) for p in ([1, -1, 0], [2, -2, 0])]
+        dt_trajs = [Target3DArray([b, a], frame="test")
+                    for a, b in zip(traj1[:3], traj2)]
+        dt_trajs += [Target3DArray([c, a], frame="test")
+                     for a, c in zip(traj1[3:], traj3)]
+        for dt_arr, gt_arr in zip(dt_trajs, _gt_trajs()):
+            evaluator.add_stats(evaluator.calc_stats(gt_arr, dt_arr))
+
+        assert evaluator.tp()[CAR] == 10
+        assert evaluator.fp()[CAR] == 0
+        assert evaluator.fn()[CAR] == 0
+        assert evaluator.id_switches()[CAR] == 2
+        assert evaluator.fragments()[CAR] == 1
+        assert evaluator.tracked_ratio()[CAR] == 1.0
+        assert evaluator.lost_ratio()[CAR] == 0.0
+
+    def test_mota_and_summary(self):
+        evaluator = TrackingEvaluator([CAR], [0.5])
+        traj = [_track(p, 7, 0.9) for p in ([0, 0, 0], [1, 0, 0], [2, 0, 0])]
+        gts = [_gt(p, 42) for p in ([0, 0, 0], [1, 0, 0], [2, 0, 0])]
+        for d, g in zip(traj, gts):
+            evaluator.add_stats(evaluator.calc_stats(
+                Target3DArray([g], frame="t"), Target3DArray([d], frame="t")))
+        assert evaluator.mota()[CAR] == 1.0
+        assert evaluator.gt_traj_count()[CAR] == 1
+        text = evaluator.summary(verbose=True)
+        assert "MOTA" in text
+
+
+class TestSegmentationEvaluator:
+    def test_semantic(self):
+        ev = SegmentationEvaluator([1, 2], background=0)
+        gt = np.array([1, 1, 2, 2, 0, 0], dtype=np.uint8)
+        pred = np.array([1, 2, 2, 2, 0, 1], dtype=np.uint8)
+        ev.add_stats(ev.calc_stats(gt, pred))
+        assert ev.tp() == {1: 1, 2: 2}
+        assert ev.fn() == {1: 1, 2: 0}
+        assert ev.fp() == {1: 1, 2: 1}
+        iou = ev.iou()
+        assert np.isclose(iou[1], 1 / 3)
+        assert np.isclose(iou[2], 2 / 3)
+
+    def test_panoptic(self):
+        ev = SegmentationEvaluator([1, 2], background=0)
+        # gt: one segment of class 1 (id 5) over 4 points + 2 background
+        gt = np.array([1, 1, 1, 1, 0, 0], dtype=np.uint8)
+        gt_ids = np.array([5, 5, 5, 5, 0, 0], dtype=np.uint16)
+        # pred: matching segment overlaps 3/4, one extra spurious segment
+        pred = np.array([1, 1, 1, 2, 0, 2], dtype=np.uint8)
+        pred_ids = np.array([9, 9, 9, 3, 0, 3], dtype=np.uint16)
+        ev.add_stats(ev.calc_stats(gt, pred, gt_ids, pred_ids))
+        assert ev.tp(instance=True)[1] == 1  # iou 3/4 > 0.5
+        assert ev.fn(instance=True)[1] == 0
+        assert ev.fp(instance=True)[2] == 1
+        assert np.isclose(ev.sq()[1], 0.75)
+        assert np.isclose(ev.rq()[1], 1.0)
+        assert np.isclose(ev.pq()[1], 0.75)
+        text = ev.summary()
+        assert "mean IoU" in text
+
+    def test_enum_classes(self):
+        ev = SegmentationEvaluator([CAR, VAN], background=0)
+        gt = np.full(10, CAR.value, dtype=np.uint8)
+        ev.add_stats(ev.calc_stats(gt, gt))
+        assert ev.tp()[CAR] == 10
+
+    def test_pickle(self):
+        ev = SegmentationEvaluator([1, 2])
+        copy = pickle.loads(pickle.dumps(ev))
+        assert copy._classes == ev._classes
