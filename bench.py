@@ -22,8 +22,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from d3d_tpu.ops.voxel import voxelize_dense_padded
-    from d3d_tpu.ops import geometry as G
-    from jax import lax
+    from d3d_tpu.ops.nms import nms2d
 
     rng = np.random.default_rng(42)
     n = 120_000
@@ -45,28 +44,14 @@ def main():
     ], axis=1).astype(np.float32)
     scores = rng.random(nboxes).astype(np.float32)
 
-    shape = jnp.asarray([432, 496, 1])
+    shape = (432, 496, 1)
     bounds = jnp.asarray([0.0, 69.12, -39.68, 39.68, -3.0, 1.0], jnp.float32)
-
-    def nms_mask(b, s, iou_threshold):
-        iou = G.rbox_iou(b[:, None, :], b[None, :, :])
-        order = jnp.argsort(-s, stable=True)
-        iou_o = iou[order][:, order]
-        overlap = iou_o > iou_threshold
-
-        def body(i, suppressed):
-            alive = ~suppressed[i]
-            later = jnp.arange(b.shape[0]) > i
-            return suppressed | (alive & later & overlap[i])
-
-        suppressed_o = lax.fori_loop(0, b.shape[0], body,
-                                     jnp.zeros(b.shape[0], bool))
-        return jnp.zeros(b.shape[0], bool).at[order].set(suppressed_o)
 
     @jax.jit
     def pipeline(points, boxes, scores):
-        vox = voxelize_dense_padded(points, shape, bounds, 32, 16000, "mean")
-        keep = ~nms_mask(boxes, scores, 0.25)
+        vox = voxelize_dense_padded(points, shape, bounds, 32, 16000, "mean",
+                                    order_mode="sorted")
+        keep = ~nms2d(boxes, scores, iou_threshold=0.25, iou_method="rbox")
         return vox.aggregates, vox.coords, vox.nvoxels, keep
 
     args = (jnp.asarray(pts), jnp.asarray(boxes), jnp.asarray(scores))

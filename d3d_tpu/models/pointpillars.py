@@ -80,11 +80,11 @@ def pillarize(points, cfg: PointPillarsConfig):
         centroid (3) and from the pillar center (2) — the PointPillars
         decoration.
     """
-    shape = jnp.asarray([cfg.grid[0], cfg.grid[1], 1])
     bounds = jnp.asarray(cfg.bounds, points.dtype)
     vox = voxelize_dense_padded(
-        points, shape, bounds,
+        points, (cfg.grid[0], cfg.grid[1], 1), bounds,
         cfg.max_points_per_pillar, cfg.max_pillars, "none",
+        order_mode="sorted",  # cell-key order: single sort, model-agnostic
     )
     feats = vox.voxels              # (P, K, 4)
     pmask = vox.voxel_pmask         # (P, K)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as G
+from . import geometry_soa as GS
 from . import nms as _nms
 
 __all__ = [
@@ -29,7 +30,7 @@ __all__ = [
 
 _IOU_FNS = {
     "box": G.aabox_iou,
-    "rbox": G.rbox_iou,
+    "rbox": GS.rbox_iou,  # SoA kernel: same math/grads, TPU-lane friendly
     "grbox": G.rbox_giou,
     "drbox": G.rbox_diou,
 }

@@ -381,9 +381,11 @@ def box3dr_iou_pair(b1, b2):
 
     Boxes are ``(..., 7)`` ``[x, y, z, lx, ly, lz, rz]`` (the layout the
     matchers consume, reference d3d/dgal_wrap.h:44-71)."""
+    from . import geometry_soa as _soa
+
     bev1 = jnp.concatenate([b1[..., 0:2], b1[..., 3:5], b1[..., 6:7]], axis=-1)
     bev2 = jnp.concatenate([b2[..., 0:2], b2[..., 3:5], b2[..., 6:7]], axis=-1)
-    iou2d = rbox_iou(bev1, bev2)
+    iou2d = _soa.rbox_iou(bev1, bev2)  # SoA kernel (TPU-lane friendly)
     zi, zu = seg1d_intersection(b1[..., 2], b1[..., 5], b2[..., 2], b2[..., 5])
     return iou2d * (zi / zu)
 

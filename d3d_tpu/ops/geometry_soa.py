@@ -1,0 +1,207 @@
+"""Structure-of-arrays rotated-IoU kernel for TPU.
+
+The AoS formulation in :mod:`d3d_tpu.ops.geometry` keeps points as
+``(..., 24, 2)`` arrays; TPU tiles pad the trailing dimensions to the
+(8, 128) vector lanes, wasting ~64x bandwidth and making a 512x512 IoU
+matrix cost ~180 ms. Here every candidate coordinate is its own ``(...,)``
+array (the *pair batch* is the trailing, lane-tiled dimension) and the
+24-candidate angle ordering is a fixed Batcher odd-even merge-sort network
+of elementwise compare-selects — no gathers, no argsort, everything fuses
+into one VPU-friendly elementwise program. Same math and gradients as the
+AoS version (validated against it in tests), ~100x faster on TPU.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["rbox_iou", "rbox_iou_matrix", "intersect_area"]
+
+_NCAND = 24
+_NSORT = 32  # candidates padded to a power of two for the sort network
+
+
+def _batcher_pairs(n):
+    """Comparator index pairs of Batcher's odd-even mergesort (n = 2^k)."""
+    pairs = []
+
+    def merge(lo, hi, r):
+        step = r * 2
+        if step < hi - lo:
+            merge(lo, hi, step)
+            merge(lo + r, hi, step)
+            for i in range(lo + r, hi - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, hi):
+        if hi - lo >= 2:
+            mid = lo + (hi - lo) // 2
+            sort(lo, mid)
+            sort(mid, hi)
+            merge(lo, hi, 1)
+
+    sort(0, n)
+    return pairs
+
+
+_PAIRS32 = _batcher_pairs(_NSORT)
+
+
+def _corners(x, y, w, h, r):
+    """4 CCW corners as lists of coordinate arrays."""
+    dx, dy = w * 0.5, h * 0.5
+    # precise sincos not needed here: this path is f32 throughput-oriented;
+    # the f64 `precise` path goes through d3d_tpu.ops.geometry
+    c, s = jnp.cos(r), jnp.sin(r)
+    lx = (-dx, dx, dx, -dx)
+    ly = (-dy, -dy, dy, dy)
+    cx = [c * a - s * b + x for a, b in zip(lx, ly)]
+    cy = [s * a + c * b + y for a, b in zip(lx, ly)]
+    return cx, cy
+
+
+def _inside(qx, qy, px, py, eps):
+    """Point (px, py) inside CCW quad (lists of 4 coord arrays)."""
+    ok = None
+    for i in range(4):
+        j = (i + 1) % 4
+        ex, ey = qx[j] - qx[i], qy[j] - qy[i]
+        side = ex * (py - qy[i]) - ey * (px - qx[i])
+        c = side >= -eps
+        ok = c if ok is None else (ok & c)
+    return ok
+
+
+def intersect_area(b1, b2):
+    """Intersection area of rotated boxes; ``b1``/``b2`` are ``(..., 5)``
+    broadcastable xywhr arrays; returns ``(...)``."""
+    x1, y1, w1, h1, r1 = (b1[..., i] for i in range(5))
+    x2, y2, w2, h2, r2 = (b2[..., i] for i in range(5))
+    shape = jnp.broadcast_shapes(x1.shape, x2.shape)
+    dt = jnp.result_type(b1.dtype, b2.dtype)
+
+    ax, ay = _corners(x1, y1, w1, h1, r1)
+    bx, by = _corners(x2, y2, w2, h2, r2)
+
+    # relative containment tolerance (see geometry.quad_intersection)
+    scale = None
+    for arr in ax + ay + bx + by:
+        a = jnp.abs(arr)
+        scale = a if scale is None else jnp.maximum(scale, a)
+    ceps = (scale + 1.0) * (1e-9 if dt == jnp.float64 else 1e-5)
+
+    px, py, valid = [], [], []
+
+    # --- 16 edge-edge crossings -------------------------------------------
+    for i in range(4):
+        i2 = (i + 1) % 4
+        rx, ry = ax[i2] - ax[i], ay[i2] - ay[i]
+        for j in range(4):
+            j2 = (j + 1) % 4
+            sx, sy = bx[j2] - bx[j], by[j2] - by[j]
+            denom = rx * sy - ry * sx
+            ok = jnp.abs(denom) > 1e-14
+            dsafe = jnp.where(ok, denom, 1.0)
+            acx, acy = bx[j] - ax[i], by[j] - ay[i]
+            t = jnp.where(ok, (acx * sy - acy * sx) / dsafe, -1.0)
+            u = jnp.where(ok, (acx * ry - acy * rx) / dsafe, -1.0)
+            hit = ok & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            px.append(jnp.where(hit, ax[i] + t * rx, 0.0))
+            py.append(jnp.where(hit, ay[i] + t * ry, 0.0))
+            valid.append(hit)
+
+    # --- corners of each quad inside the other -----------------------------
+    for i in range(4):
+        ins = _inside(bx, by, ax[i], ay[i], ceps)
+        px.append(jnp.where(ins, ax[i], 0.0))
+        py.append(jnp.where(ins, ay[i], 0.0))
+        valid.append(ins)
+    for j in range(4):
+        ins = _inside(ax, ay, bx[j], by[j], ceps)
+        px.append(jnp.where(ins, bx[j], 0.0))
+        py.append(jnp.where(ins, by[j], 0.0))
+        valid.append(ins)
+
+    # --- order by angle around the centroid via a sorting network ----------
+    vf = [v.astype(dt) for v in valid]
+    cnt = sum(vf)
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    cx = sum(x * v for x, v in zip(px, vf)) / cnt_safe
+    cy = sum(y * v for y, v in zip(py, vf)) / cnt_safe
+
+    big = jnp.asarray(np.finfo(np.dtype(dt)).max, dt)
+    keys, sx_, sy_, sv_ = [], [], [], []
+    for k in range(_NCAND):
+        ang = jnp.arctan2(lax.stop_gradient(py[k] - cy),
+                          lax.stop_gradient(px[k] - cx))
+        keys.append(jnp.where(valid[k], ang, big))
+        sx_.append(px[k])
+        sy_.append(py[k])
+        sv_.append(valid[k])
+    zeros = jnp.zeros(shape, dt)
+    fal = jnp.zeros(shape, bool)
+    for _ in range(_NSORT - _NCAND):
+        keys.append(jnp.broadcast_to(big, shape))
+        sx_.append(zeros)
+        sy_.append(zeros)
+        sv_.append(fal)
+
+    for i, j in _PAIRS32:
+        swap = keys[i] > keys[j]
+        keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                            jnp.where(swap, keys[i], keys[j]))
+        sx_[i], sx_[j] = (jnp.where(swap, sx_[j], sx_[i]),
+                          jnp.where(swap, sx_[i], sx_[j]))
+        sy_[i], sy_[j] = (jnp.where(swap, sy_[j], sy_[i]),
+                          jnp.where(swap, sy_[i], sy_[j]))
+        sv_[i], sv_[j] = (jnp.where(swap, sv_[j], sv_[i]),
+                          jnp.where(swap, sv_[i], sv_[j]))
+
+    # invalid slots collapse onto the first (valid) vertex so the cyclic
+    # shoelace is exact (zero-length edges)
+    fx, fy = sx_[0], sy_[0]
+    for k in range(_NSORT):
+        sx_[k] = jnp.where(sv_[k], sx_[k], fx) - lax.stop_gradient(cx)
+        sy_[k] = jnp.where(sv_[k], sy_[k], fy) - lax.stop_gradient(cy)
+
+    area = zeros
+    for k in range(_NSORT):
+        k2 = (k + 1) % _NSORT
+        area = area + (sx_[k] * sy_[k2] - sy_[k] * sx_[k2])
+    return jnp.maximum(0.5 * area, 0.0)
+
+
+@jax.jit
+def rbox_iou(b1, b2):
+    """Rotated-box IoU, elementwise over broadcast batch dims — the TPU
+    throughput path used by NMS, matchers and the IoU losses."""
+    inter = intersect_area(b1, b2)
+    a1 = b1[..., 2] * b1[..., 3]
+    a2 = b2[..., 2] * b2[..., 3]
+    union = jnp.maximum(a1 + a2 - inter, 1e-12)
+    return inter / union
+
+
+@partial(jax.jit, static_argnames=("pair_budget",))
+def rbox_iou_matrix(b1, b2, pair_budget=1 << 22):
+    """(N, 5) x (M, 5) -> (N, M) IoU matrix with bounded peak memory.
+
+    The elementwise kernel keeps ~128 live pair-shaped temporaries, so an
+    unblocked 8k x 8k call needs ~32 GB of HLO temps; rows are processed in
+    chunks of ``pair_budget / M`` pairs via ``lax.map`` instead."""
+    n, m = b1.shape[0], b2.shape[0]
+    rows = max(1, pair_budget // max(m, 1))
+    if n <= rows:
+        return rbox_iou(b1[:, None, :], b2[None, :, :])
+    nblocks = -(-n // rows)
+    pad = nblocks * rows - n
+    b1p = jnp.concatenate([b1, jnp.ones((pad, 5), b1.dtype)], axis=0)
+    blocks = b1p.reshape(nblocks, rows, 5)
+    out = lax.map(lambda blk: rbox_iou(blk[:, None, :], b2[None, :, :]),
+                  blocks)
+    return out.reshape(-1, m)[:n]

@@ -27,13 +27,16 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import geometry as G
+from . import geometry_soa as GS
 
 __all__ = ["nms2d", "soft_nms2d"]
 
 
 def _iou_matrix(boxes, method):
-    fn = G.aabox_iou if method == "box" else G.rbox_iou
-    return fn(boxes[:, None, :], boxes[None, :, :])
+    if method == "box":
+        return G.aabox_iou(boxes[:, None, :], boxes[None, :, :])
+    # rotated: SoA kernel with bounded-memory row blocking (TPU hot path)
+    return GS.rbox_iou_matrix(boxes, boxes)
 
 
 @partial(jax.jit, static_argnames=("iou_method",))

@@ -29,39 +29,60 @@ __all__ = ["VoxelGenerator", "voxelize_dense_padded", "voxelize_sparse_padded"]
 _INT_SENTINEL = np.iinfo(np.int64).max
 
 
-def _segment_structure(key):
+def _segment_structure(key, max_key=None, order_mode="encounter"):
     """Shared machinery: stable-sort points by voxel key and derive segment
-    ids, first-encounter voxel ranks and in-voxel slots.
+    ids, voxel ranks and in-voxel slots.
 
     :param key: (N,) int64 cell key; invalid points must carry _INT_SENTINEL
+    :param max_key: static upper bound on valid keys; when given, key and
+        point index are packed into one int64 and sorted with a single-array
+        sort (faster on TPU than the key/value argsort)
+    :param order_mode: "encounter" assigns voxel ids by first-point order
+        (bit-exact reference hash-insertion semantics, needs a second sort);
+        "sorted" assigns them in cell-key order (the fast path for models)
     :return: dict with sorted-order arrays (suffix ``_s``) and per-segment
         arrays of length N (segments beyond the actual voxel count are
         invalid and carry rank >= N).
     """
     n = key.shape[0]
-    order = jnp.argsort(key, stable=True)  # point indices in key order
-    k_s = key[order]
+    if max_key is not None and (max_key + 2) < (1 << 62) // max(n, 1):
+        # pack (key, idx) into one int64: stable by construction
+        capped = jnp.minimum(key, max_key + 1)
+        packed = jnp.sort(capped * n + jnp.arange(n))
+        order = packed % n
+        k_s = jnp.where(packed // n > max_key, _INT_SENTINEL, packed // n)
+    else:
+        order = jnp.argsort(key, stable=True)  # point indices in key order
+        k_s = key[order]
     valid_s = k_s != _INT_SENTINEL
     newseg = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
     seg_id_s = jnp.cumsum(newseg) - 1  # 0-based segment index in key order
 
     pos = jnp.arange(n)
-    seg_start = jax.ops.segment_min(pos, seg_id_s, num_segments=n)
-    slot_s = pos - seg_start[seg_id_s]  # encounter order within the voxel
-
-    # first original point index per segment (stable sort => first in segment)
-    first_idx = jax.ops.segment_min(
-        jnp.where(valid_s, order, n), seg_id_s, num_segments=n
-    )
-    # insertion rank: segments ordered by first point index; invalid segments
-    # carry first_idx >= n and therefore rank after every valid one
-    seg_order = jnp.argsort(first_idx)
-    rank = jnp.zeros(n, jnp.int32).at[seg_order].set(jnp.arange(n, dtype=jnp.int32))
+    # start position of each point's segment: scan instead of a scatter
+    start_s = jax.lax.associative_scan(jnp.maximum,
+                                       jnp.where(newseg, pos, 0))
+    slot_s = pos - start_s  # encounter order within the voxel
 
     npoints_seg = jax.ops.segment_sum(
         valid_s.astype(jnp.int32), seg_id_s, num_segments=n
     )
     nvoxels = jnp.sum((npoints_seg > 0).astype(jnp.int32))
+
+    if order_mode == "sorted":
+        # voxel id == segment index (cell-key order)
+        rank = jnp.where(npoints_seg > 0, jnp.arange(n), n).astype(jnp.int32)
+    else:
+        # first original point index per segment (stable sort => first entry)
+        first_idx = jax.ops.segment_min(
+            jnp.where(valid_s, order, n), seg_id_s, num_segments=n
+        )
+        # insertion rank: segments ordered by first point index; invalid
+        # segments carry first_idx >= n and rank after every valid one
+        seg_order = jnp.argsort(first_idx)
+        rank = jnp.zeros(n, jnp.int32).at[seg_order].set(
+            jnp.arange(n, dtype=jnp.int32))
+
     return dict(
         order=order,
         valid_s=valid_s,
@@ -82,27 +103,34 @@ def _scatter_rows(target_rows, idx, rows, mask):
     return buf.at[idx].set(rows)[:r]
 
 
-@partial(jax.jit, static_argnames=("max_points", "max_voxels", "reduction"))
-def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels, reduction):
+@partial(jax.jit, static_argnames=("shape", "max_points", "max_voxels",
+                                   "reduction", "order_mode"))
+def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
+                          reduction, order_mode="encounter"):
     """Dense voxelization core (reference voxelize.cpp:46-199 semantics).
 
     :param points: (N, F) float array, xyz in the first 3 columns
-    :param shape: (3,) int grid shape
+    :param shape: static (3,) int grid shape tuple
     :param bounds: (6,) [xmin,xmax,ymin,ymax,zmin,zmax]
     :param reduction: one of "none", "mean", "max", "min"
+    :param order_mode: "encounter" = reference hash-insertion voxel order;
+        "sorted" = cell-key order (faster: one sort instead of two)
     :return: EDict of fixed-shape arrays padded to max_voxels + ``nvoxels``
     """
+    shape = tuple(int(v) for v in shape)
     n, f = points.shape
     b = bounds.reshape(3, 2)
-    vsize = (b[:, 1] - b[:, 0]) / shape
+    sh = jnp.asarray(shape)
+    vsize = (b[:, 1] - b[:, 0]) / sh
     scaled = (points[:, :3] - b[:, 0]) / vsize
     # reference uses a C `int()` cast (trunc toward zero), voxelize.cpp:102
     idx = jnp.trunc(scaled).astype(jnp.int64)
-    inr = jnp.all((idx >= 0) & (idx < shape), axis=1)
+    inr = jnp.all((idx >= 0) & (idx < sh), axis=1)
     key = (idx[:, 0] * shape[1] + idx[:, 1]) * shape[2] + idx[:, 2]
     key = jnp.where(inr, key, _INT_SENTINEL)
 
-    s = _segment_structure(key)
+    s = _segment_structure(key, max_key=shape[0] * shape[1] * shape[2],
+                           order_mode=order_mode)
     order, seg_id_s, slot_s = s["order"], s["seg_id_s"], s["slot_s"]
     vid_s = s["rank_of_seg"][seg_id_s]  # insertion-order voxel id per point
     pt_in_kept_voxel = s["valid_s"] & (vid_s < max_voxels)
@@ -349,7 +377,7 @@ class VoxelGenerator:
         points = np.asarray(points, np.float32)
         if self._dense:
             ret = voxelize_dense_padded(
-                jnp.asarray(points), jnp.asarray(self._shape),
+                jnp.asarray(points), tuple(self._shape.tolist()),
                 jnp.asarray(self._bounds),
                 self._max_points, self._max_voxels, self._reduction,
             )
