@@ -1,0 +1,187 @@
+"""Dataset layer tests on synthetic mini-KITTI fixtures: loader accessors
+(unzipped + in-zip), label camera->velo conversion round trip, split logic,
+fan-out decorators, PatchedZipFile selective parsing."""
+
+import numpy as np
+import pytest
+
+import kitti_fixture as fx
+from d3d_tpu.dataset.base import (DatasetBase, NumberPool, check_frames,
+                                  expand_idx, split_trainval,
+                                  split_trainval_seq)
+from d3d_tpu.dataset.kitti import KittiObjectClass, KittiObjectLoader
+from d3d_tpu.dataset.kitti.object import load_label, parse_label
+from d3d_tpu.dataset.zip import PatchedZipFile
+
+
+class TestSplits:
+    def test_split_trainval(self):
+        train = split_trainval("training", 10, 0.8, False)
+        val = split_trainval("validation", 10, 0.8, False)
+        assert list(train) == list(range(8))
+        assert list(val) == [8, 9]
+        assert list(split_trainval("training", 10, 0.5, "r"))[:2] == [9, 8]
+        seeded = split_trainval("training", 10, 0.8, 42)
+        assert sorted(set(seeded) | set(split_trainval("validation", 10, 0.8, 42))) \
+            == list(range(10))
+        assert split_trainval("training", 10, [1, 3, 5], False) == [1, 3, 5]
+
+    def test_split_trainval_seq(self):
+        counts = {"a": 3, "b": 2, "c": 5}
+        frames = split_trainval_seq("training", counts, 2 / 3, False,
+                                    by_seq=True)
+        assert sorted(frames) == list(range(5))  # seqs a+b
+        frames = split_trainval_seq("validation", counts, 2 / 3, False,
+                                    by_seq=True)
+        assert sorted(frames) == list(range(5, 10))
+
+    def test_check_frames(self):
+        unpack, names = check_frames("cam2", ["cam2", "cam3"])
+        assert unpack and names == ["cam2"]
+        unpack, names = check_frames(None, ["cam2", "cam3"])
+        assert not unpack and names == ["cam2", "cam3"]
+        with pytest.raises(ValueError):
+            check_frames("nope", ["cam2"])
+
+
+class TestKittiObject:
+    @pytest.fixture(scope="class")
+    def dataset(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("kitti")
+        frames = fx.build_unzipped(root, nframes=4)
+        return root, frames
+
+    def test_len_and_split(self, dataset):
+        root, _ = dataset
+        loader = KittiObjectLoader(root, phase="training", trainval_split=0.75)
+        assert len(loader) == 3
+        val = KittiObjectLoader(root, phase="validation", trainval_split=0.75)
+        assert len(val) == 1
+
+    def test_accessors(self, dataset):
+        root, frames = dataset
+        loader = KittiObjectLoader(root, phase="training", trainval_split=1.0)
+        cloud = loader.lidar_data(0)
+        assert cloud.shape == (512, 4)
+        rec = loader.lidar_data(0, formatted=True)
+        assert rec.dtype.names == ("x", "y", "z", "intensity")
+        img = loader.camera_data(0)
+        assert img.size == fx.IMAGE_SIZE
+        both = loader.camera_data(0, names=["cam2", "cam3"])
+        assert len(both) == 2
+        calib = loader.calibration_data(0)
+        assert set(calib.frames) >= {"cam0", "cam1", "cam2", "cam3", "imu"}
+        objs = loader.annotation_3dobject(0)
+        # DontCare removed
+        assert len(objs) == 2
+        assert objs.frame == "velo"
+        assert objs[0].tag_top == KittiObjectClass.Car
+
+    def test_label_geometry(self, dataset):
+        """Camera-frame label -> velo conversion: z_cam (forward) becomes
+        x_velo; y_cam (down) becomes -z; box center lifted by h/2."""
+        root, frames = dataset
+        loader = KittiObjectLoader(root, phase="training", trainval_split=1.0)
+        objs = loader.annotation_3dobject(0)
+        raw = frames[0][0]
+        x_cam, y_cam, z_cam = raw["xyz"]
+        h = raw["hwl"][0]
+        car = objs[0]
+        # velo->cam extrinsic has translation (0, -0.08, -0.27); the label
+        # file stores %.2f so compare at centimeter tolerance
+        assert car.position[0] == pytest.approx(z_cam + 0.27, abs=6e-3)
+        assert car.position[1] == pytest.approx(-x_cam, abs=6e-3)
+        assert car.position[2] == pytest.approx(-(y_cam - h / 2) + -0.08,
+                                                abs=6e-3)
+        assert car.dimension == pytest.approx(
+            [raw["hwl"][2], raw["hwl"][1], raw["hwl"][0]], abs=6e-3)
+        # camera ry -> velo yaw: -ry - pi/2 (the dimension-swap Rx(pi/2)
+        # factor contributes the extra quarter turn)
+        assert np.sin(car.yaw) == pytest.approx(
+            np.sin(-raw["ry"] - np.pi / 2), abs=6e-3)
+        assert np.cos(car.yaw) == pytest.approx(
+            np.cos(-raw["ry"] - np.pi / 2), abs=6e-3)
+
+    def test_projection_in_image(self, dataset):
+        root, _ = dataset
+        loader = KittiObjectLoader(root, phase="training", trainval_split=1.0)
+        calib = loader.calibration_data(0)
+        objs = loader.annotation_3dobject(0)
+        uv, mask = calib.project_points_to_camera(
+            objs[0].corners, frame_to="cam2", frame_from="velo")
+        assert len(mask) > 0  # the car is visible
+
+    def test_dump_roundtrip(self, dataset, tmp_path):
+        root, _ = dataset
+        loader = KittiObjectLoader(root, phase="training", trainval_split=1.0)
+        objs = loader.annotation_3dobject(1)
+        for o in objs:
+            o.tag.scores[0] = 0.9
+        out = tmp_path / "000001.txt"
+        loader.dump_detection_output(1, objs, out)
+        rows = load_label(tmp_path, "000001.txt")
+        back = parse_label(rows, loader.calibration_data(1, raw=True))
+        assert len(back) == len(objs)
+        for a, b in zip(objs, back):
+            assert np.allclose(a.position, b.position, atol=0.02)
+            assert np.allclose(a.dimension, b.dimension, atol=0.02)
+            assert abs(np.sin(a.yaw - b.yaw)) < 1e-2
+
+    def test_return_path(self, dataset):
+        root, _ = dataset
+        loader = KittiObjectLoader(root, phase="training", trainval_split=1.0)
+        with loader.return_path():
+            p = loader.lidar_data(0)
+        assert str(p).endswith("000000.bin")
+
+    def test_inzip(self, dataset, tmp_path_factory):
+        zroot = tmp_path_factory.mktemp("kitti_zip")
+        uroot = tmp_path_factory.mktemp("kitti_unzipped_src")
+        fx.build_zipped(uroot, zroot, nframes=2)
+        loader = KittiObjectLoader(zroot, inzip=True, phase="training",
+                                   trainval_split=1.0)
+        assert len(loader) == 2
+        assert loader.lidar_data(1).shape == (512, 4)
+        assert len(loader.annotation_3dobject(0)) == 2
+        assert loader.camera_data(0).size == fx.IMAGE_SIZE
+
+
+class TestPatchedZip:
+    def test_selective_parse(self, tmp_path):
+        import zipfile
+
+        zpath = tmp_path / "many.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for i in range(200):
+                zf.writestr("member_%03d.txt" % i, b"x" * i)
+        with PatchedZipFile(zpath, to_extract="member_050.txt") as zf:
+            assert zf.namelist() == ["member_050.txt"]
+            assert zf.read("member_050.txt") == b"x" * 50
+        with PatchedZipFile(zpath, to_extract=["member_000.txt",
+                                               "member_199.txt"]) as zf:
+            assert len(zf.namelist()) == 2
+            assert zf.read("member_199.txt") == b"x" * 199
+
+
+def test_expand_idx_window():
+    class Seq:
+        nframes = 2
+
+        def _locate_frame(self, idx):
+            return "seq0", idx
+
+        @expand_idx
+        def data(self, idx):
+            return idx
+
+    s = Seq()
+    assert s.data(3) == [("seq0", 3), ("seq0", 4), ("seq0", 5)]
+    assert s.data(3, bypass=True) == ("seq0", 3)
+    s.nframes = 0
+    assert s.data(3) == ("seq0", 3)
+
+
+def test_numberpool_single_thread():
+    pool = NumberPool(0)
+    out = pool.apply_async(lambda n, x: x * 2, (21,))
+    assert out == 42
