@@ -1,5 +1,10 @@
-from .utils import KittiObjectClass, SemanticKittiClass, SemanticKittiLearningClass
+from .utils import (KittiObjectClass, SemanticKittiClass,
+                    SemanticKittiLearningClass)
 from .object import KittiObjectLoader
+from .tracking import KittiTrackingLoader
+from .odometry import KittiOdometryLoader
+from .raw import KittiRawLoader
 
 __all__ = ["KittiObjectClass", "SemanticKittiClass",
-           "SemanticKittiLearningClass", "KittiObjectLoader"]
+           "SemanticKittiLearningClass", "KittiObjectLoader",
+           "KittiTrackingLoader", "KittiOdometryLoader", "KittiRawLoader"]

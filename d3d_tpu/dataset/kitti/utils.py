@@ -27,6 +27,7 @@ __all__ = [
     "load_timestamps",
     "load_oxt_file",
     "parse_pose_from_oxt",
+    "load_tracklets",
 ]
 
 
@@ -222,13 +223,14 @@ _EARTH_RADIUS = 6378137.0
 
 
 def parse_pose_from_oxt(oxt, scale=None, origin=None):
-    """Convert an oxts packet to an EgoPose on a local Mercator plane
-    (the standard KITTI raw devkit projection).
+    """Convert an oxts packet to an EgoPose on a local Mercator plane (the
+    KITTI raw devkit projection; the reference shells out to the `utm`
+    package instead, kitti/utils.py:331-336 — not available here and the
+    Mercator form is what the devkit itself uses).
 
     :param scale: mercator scale (cos of reference latitude); computed from
         this packet when None
-    :param origin: (x, y, z) origin to subtract
-    :return: (EgoPose, scale, origin)
+    :param origin: (x, y, z) origin to subtract when given
     """
     from scipy.spatial.transform import Rotation
 
@@ -238,9 +240,47 @@ def parse_pose_from_oxt(oxt, scale=None, origin=None):
         scale = np.cos(oxt.lat * np.pi / 180.0)
     tx = scale * oxt.lon * np.pi * _EARTH_RADIUS / 180.0
     ty = scale * _EARTH_RADIUS * np.log(np.tan((90.0 + oxt.lat) * np.pi / 360.0))
-    tz = oxt.alt
-    pos = np.array([tx, ty, tz])
-    if origin is None:
-        origin = pos.copy()
-    rot = Rotation.from_euler("zyx", [oxt.yaw, oxt.pitch, oxt.roll])
-    return EgoPose(pos - origin, rot), scale, origin
+    pos = np.array([tx, ty, oxt.alt])
+    if origin is not None:
+        pos = pos - origin
+    rot = Rotation.from_euler("xyz", [oxt.roll, oxt.pitch, oxt.yaw])
+    return EgoPose(pos, rot, position_var=np.eye(3) * oxt.pos_accuracy)
+
+
+def load_tracklets(basepath, file):
+    """Parse a KITTI raw tracklet_labels.xml into a list of simple objects
+    with ``objectType``, ``h/w/l`` and ``poses`` (tx/ty/tz/rx/ry/rz...)."""
+    import xml.etree.ElementTree as ET
+
+    class _Obj:
+        pass
+
+    root = ET.fromstring(read_file(basepath, file).decode())
+    tracklets = []
+    for item in next(iter(root)):
+        if item.tag != "item":
+            continue
+        obj = _Obj()
+        for prop in item:
+            if prop.tag == "poses":
+                poses = []
+                for p in prop:
+                    if p.tag != "item":
+                        continue
+                    pose = _Obj()
+                    for f in p:
+                        try:
+                            setattr(pose, f.tag, float(f.text))
+                        except (TypeError, ValueError):
+                            setattr(pose, f.tag, f.text)
+                    poses.append(pose)
+                obj.poses = poses
+            elif prop.tag == "objectType":
+                obj.objectType = prop.text
+            else:
+                try:
+                    setattr(obj, prop.tag, float(prop.text))
+                except (TypeError, ValueError):
+                    setattr(obj, prop.tag, prop.text)
+        tracklets.append(obj)
+    return tracklets

@@ -104,3 +104,52 @@ def build_zipped(root, zroot, nframes=3, seed=7):
             for f in sorted((Path(root) / "training" / sub).iterdir()):
                 zf.write(f, "training/%s/%s" % (sub, f.name))
     return frames
+
+
+TRACKING_CALIB = """P0: 7.215e+02 0.0 6.095e+02 0.0 0.0 7.215e+02 1.728e+02 0.0 0.0 0.0 1.0 0.0
+P1: 7.215e+02 0.0 6.095e+02 -40.0 0.0 7.215e+02 1.728e+02 0.0 0.0 0.0 1.0 0.0
+P2: 7.215e+02 0.0 6.095e+02 -80.0 0.0 7.215e+02 1.728e+02 0.0 0.0 0.0 1.0 0.0
+P3: 7.215e+02 0.0 6.095e+02 -120.0 0.0 7.215e+02 1.728e+02 0.0 0.0 0.0 1.0 0.0
+R_rect: 1.0 0.0 0.0 0.0 1.0 0.0 0.0 0.0 1.0
+Tr_velo_cam: 0.0 -1.0 0.0 0.0 0.0 0.0 -1.0 -0.08 1.0 0.0 0.0 -0.27
+Tr_imu_velo: 1.0 0.0 0.0 0.8 0.0 1.0 0.0 -0.3 0.0 0.0 1.0 0.9
+"""
+
+OXT_LINE = ("49.011212 8.4228601 112.8 0.03 0.01 0.5 "
+            "1.0 2.0 2.2 0.1 0.0 0.1 0.2 9.8 0.1 0.2 9.8 "
+            "0.01 0.02 0.03 0.01 0.02 0.03 0.5 0.1 4 11 6 6 6\n")
+
+
+def build_tracking(root, seqs=(0, 1), frames_per_seq=4):
+    """Build a synthetic KITTI tracking dataset (unzipped)."""
+    from PIL import Image
+
+    root = Path(root)
+    for sub in ("calib", "image_02", "image_03", "label_02", "oxts",
+                "velodyne"):
+        (root / "training" / sub).mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(11)
+    for seq in seqs:
+        (root / "training" / "calib" / ("%04d.txt" % seq)).write_text(
+            TRACKING_CALIB)
+        (root / "training" / "oxts" / ("%04d.txt" % seq)).write_text(
+            OXT_LINE * frames_per_seq)
+        label_lines = []
+        for f in range(frames_per_seq):
+            for tid, x0 in ((1, 10.0), (2, 20.0)):
+                label_lines.append(
+                    "%d %d Car 0 0 0.0 100 100 200 200 "
+                    "1.56 1.6 3.9 %.2f 1.7 %.2f 0.2" % (f, tid, 2.0, x0 + f))
+        (root / "training" / "label_02" / ("%04d.txt" % seq)).write_text(
+            "\n".join(label_lines) + "\n")
+        img = Image.new("RGB", IMAGE_SIZE, (40, 40, 40))
+        for sub in ("image_02", "image_03"):
+            d = root / "training" / sub / ("%04d" % seq)
+            d.mkdir(parents=True, exist_ok=True)
+            for f in range(frames_per_seq):
+                img.save(d / ("%06d.png" % f))
+        d = root / "training" / "velodyne" / ("%04d" % seq)
+        d.mkdir(parents=True, exist_ok=True)
+        for f in range(frames_per_seq):
+            rng.uniform(0, 1, (256, 4)).astype(np.float32).tofile(
+                d / ("%06d.bin" % f))

@@ -185,3 +185,46 @@ def test_numberpool_single_thread():
     pool = NumberPool(0)
     out = pool.apply_async(lambda n, x: x * 2, (21,))
     assert out == 42
+
+
+class TestKittiTracking:
+    @pytest.fixture(scope="class")
+    def dataset(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("kitti_tracking")
+        fx.build_tracking(root, seqs=(0, 1), frames_per_seq=4)
+        return root
+
+    def test_sequences(self, dataset):
+        from d3d_tpu.dataset.kitti import KittiTrackingLoader
+
+        loader = KittiTrackingLoader(dataset, phase="training",
+                                     trainval_split=1.0)
+        assert loader.sequence_ids == [0, 1]
+        assert loader.sequence_sizes == {0: 4, 1: 4}
+        assert len(loader) == 8
+        assert loader._locate_frame(5) == (1, 1)
+
+    def test_annotations_and_pose(self, dataset):
+        from d3d_tpu.dataset.kitti import KittiTrackingLoader
+
+        loader = KittiTrackingLoader(dataset, phase="training",
+                                     trainval_split=1.0)
+        objs = loader.annotation_3dobject((0, 2))
+        assert len(objs) == 2
+        assert sorted(o.tid for o in objs) == [1, 2]
+        # x_velo = z_cam + 0.27
+        assert objs[0].position[0] == pytest.approx(10 + 2 + 0.27, abs=1e-4)
+        pose = loader.pose((0, 0))
+        assert np.isfinite(pose.position).all()
+        assert loader.pose_name == "imu"
+        assert loader.timestamp((0, 3)) == int(3e5 + 1)
+
+    def test_nframes_window(self, dataset):
+        from d3d_tpu.dataset.kitti import KittiTrackingLoader
+
+        loader = KittiTrackingLoader(dataset, phase="training",
+                                     trainval_split=1.0, nframes=1)
+        assert len(loader) == 6  # (4-1) * 2 sequences
+        window = loader.lidar_data(0)
+        assert len(window) == 2  # nframes+1 clouds
+        assert all(w.shape == (256, 4) for w in window)
