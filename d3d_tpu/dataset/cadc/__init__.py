@@ -1,0 +1,4 @@
+from .utils import CADCObjectClass
+from .loader import CADCDLoader
+
+__all__ = ["CADCObjectClass", "CADCDLoader"]

@@ -1,0 +1,4 @@
+from .constants import WaymoObjectClass
+from .loader import WaymoLoader
+
+__all__ = ["WaymoObjectClass", "WaymoLoader"]

