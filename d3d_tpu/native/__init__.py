@@ -1,0 +1,96 @@
+"""Native host-side geometry library (C++ Sutherland-Hodgman oracle / CPU
+fallback). Compiled lazily with g++ on first use and bound through ctypes
+(this image ships no pybind11; see geometry.cpp for the rationale)."""
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["available", "rbox_iou_matrix", "aabox_iou_matrix", "nms2d",
+           "box2dr_contains"]
+
+_HERE = Path(__file__).parent
+_LIB = None
+_BUILD_ERROR = None
+
+
+def _build():
+    global _LIB, _BUILD_ERROR
+    if _LIB is not None or _BUILD_ERROR is not None:
+        return
+    so = _HERE / "libd3dhost.so"
+    src = _HERE / "geometry.cpp"
+    try:
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(so)],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(so))
+    except (OSError, subprocess.CalledProcessError) as e:
+        _BUILD_ERROR = e
+        return
+
+    dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    bp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64 = ctypes.c_int64
+    lib.d3d_rbox_iou_matrix.argtypes = [dp, i64, dp, i64, dp]
+    lib.d3d_aabox_iou_matrix.argtypes = [dp, i64, dp, i64, dp]
+    lib.d3d_nms2d.argtypes = [dp, dp, i64, ctypes.c_int, ctypes.c_double,
+                              ctypes.c_double, bp]
+    lib.d3d_box2dr_contains.argtypes = [dp, i64, dp, i64, bp]
+    _LIB = lib
+
+
+def available():
+    """True when the native library could be compiled and loaded."""
+    _build()
+    return _LIB is not None
+
+
+def _lib():
+    _build()
+    if _LIB is None:
+        raise RuntimeError(
+            "native geometry library unavailable: %r" % (_BUILD_ERROR,))
+    return _LIB
+
+
+def rbox_iou_matrix(boxes1, boxes2):
+    """(N, 5) x (M, 5) -> (N, M) rotated IoU (exact f64 polygon clipping)."""
+    b1 = np.ascontiguousarray(boxes1, np.float64)
+    b2 = np.ascontiguousarray(boxes2, np.float64)
+    out = np.empty((len(b1), len(b2)), np.float64)
+    _lib().d3d_rbox_iou_matrix(b1, len(b1), b2, len(b2), out)
+    return out
+
+
+def aabox_iou_matrix(boxes1, boxes2):
+    """(N, 5) x (M, 5) -> (N, M) IoU of the corner AABBs."""
+    b1 = np.ascontiguousarray(boxes1, np.float64)
+    b2 = np.ascontiguousarray(boxes2, np.float64)
+    out = np.empty((len(b1), len(b2)), np.float64)
+    _lib().d3d_aabox_iou_matrix(b1, len(b1), b2, len(b2), out)
+    return out
+
+
+def nms2d(boxes, scores, iou_method="rbox", iou_threshold=0.0,
+          score_threshold=0.0):
+    """Greedy hard NMS; returns the keep mask (same semantics as
+    d3d_tpu.ops.nms)."""
+    b = np.ascontiguousarray(boxes, np.float64)
+    s = np.ascontiguousarray(scores, np.float64)
+    sup = np.empty(len(b), np.uint8)
+    _lib().d3d_nms2d(b, s, len(b), 1 if iou_method == "rbox" else 0,
+                     iou_threshold, score_threshold, sup)
+    return ~sup.astype(bool)
+
+
+def box2dr_contains(boxes, points):
+    """(M, 5) x (N, 2) -> (M, N) boolean containment matrix."""
+    b = np.ascontiguousarray(boxes, np.float64)
+    p = np.ascontiguousarray(points, np.float64)
+    out = np.empty((len(b), len(p)), np.uint8)
+    _lib().d3d_box2dr_contains(b, len(b), p, len(p), out)
+    return out.astype(bool)
