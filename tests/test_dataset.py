@@ -331,3 +331,98 @@ def test_taxonomies():
     assert WaymoObjectClass.Vehicle.value == 1
     truck = CADCObjectClass.Snowplow_Truck | CADCObjectClass.Moving
     assert truck & 0xFF == CADCObjectClass.Truck | CADCObjectClass.Snowplow_Truck & 0xff or True
+
+
+class TestNuscenesConverter:
+    def _raw(self, root):
+        import json
+
+        v = root / "v1.0-trainval"
+        v.mkdir(parents=True)
+        (root / "samples/LIDAR_TOP").mkdir(parents=True)
+        (root / "samples/CAM_FRONT").mkdir(parents=True)
+
+        def w(name, rows):
+            (v / f"{name}.json").write_text(json.dumps(rows))
+
+        w("log", [dict(token="log1", logfile="lf", date_captured="2020",
+                       vehicle="v1", location="loc")])
+        w("scene", [dict(token="sc1", name="scene-0001", log_token="log1",
+                         nbr_samples=2, description="synthetic",
+                         first_sample_token="s0", last_sample_token="s1")])
+        w("sample", [
+            dict(token="s0", scene_token="sc1", timestamp=1000000,
+                 prev="", next="s1", anns=["a0"]),
+            dict(token="s1", scene_token="sc1", timestamp=1500000,
+                 prev="s0", next="", anns=["a1"]),
+        ])
+        w("sensor", [dict(token="se_l", channel="LIDAR_TOP", modality="lidar"),
+                     dict(token="se_c", channel="CAM_FRONT",
+                          modality="camera")])
+        w("calibrated_sensor", [
+            dict(token="cs_l", sensor_token="se_l", rotation=[1, 0, 0, 0],
+                 translation=[0, 0, 1.8], camera_intrinsic=[]),
+            dict(token="cs_c", sensor_token="se_c", rotation=[1, 0, 0, 0],
+                 translation=[1.5, 0, 1.6],
+                 camera_intrinsic=[[1266, 0, 800], [0, 1266, 450],
+                                   [0, 0, 1]]),
+        ])
+        w("ego_pose", [
+            dict(token="p0", rotation=[1, 0, 0, 0], translation=[0, 0, 0],
+                 timestamp=1000000),
+            dict(token="p1", rotation=[1, 0, 0, 0], translation=[5, 0, 0],
+                 timestamp=1500000),
+        ])
+        sd = []
+        for i, (s, p) in enumerate((("s0", "p0"), ("s1", "p1"))):
+            lf = f"samples/LIDAR_TOP/l{i}.pcd.bin"
+            cf = f"samples/CAM_FRONT/c{i}.jpg"
+            np.random.rand(64, 5).astype(np.float32).tofile(root / lf)
+            from PIL import Image
+            Image.new("RGB", (32, 18)).save(root / cf)
+            sd.append(dict(token=f"sdl{i}", sample_token=s, ego_pose_token=p,
+                           calibrated_sensor_token="cs_l", filename=lf,
+                           is_key_frame=True, timestamp=1000000 + i * 500000,
+                           fileformat="pcd", prev="", next=""))
+            sd.append(dict(token=f"sdc{i}", sample_token=s, ego_pose_token=p,
+                           calibrated_sensor_token="cs_c", filename=cf,
+                           is_key_frame=True,
+                           timestamp=1000000 + i * 500000 + 50,
+                           fileformat="jpg", prev="", next=""))
+        w("sample_data", sd)
+        w("category", [dict(token="cat1", name="vehicle.car")])
+        w("attribute", [dict(token="at1", name="vehicle.moving")])
+        w("instance", [dict(token="ab12cd34ef56", category_token="cat1",
+                            nbr_annotations=2)])
+        w("sample_annotation", [
+            dict(token="a0", sample_token="s0", instance_token="ab12cd34ef56",
+                 attribute_tokens=["at1"], translation=[10, 2, 0.5],
+                 size=[2, 4.5, 1.7], rotation=[1, 0, 0, 0],
+                 num_lidar_pts=10, num_radar_pts=1, prev="", next="a1"),
+            dict(token="a1", sample_token="s1", instance_token="ab12cd34ef56",
+                 attribute_tokens=["at1"], translation=[12, 2, 0.5],
+                 size=[2, 4.5, 1.7], rotation=[1, 0, 0, 0],
+                 num_lidar_pts=10, num_radar_pts=1, prev="a0", next=""),
+        ])
+
+    def test_convert_then_load(self, tmp_path):
+        from d3d_tpu.dataset.nuscenes import NuscenesLoader
+        from d3d_tpu.dataset.nuscenes.converter import convert_dataset_inpath
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        self._raw(raw)
+        out = tmp_path / "converted"
+        convert_dataset_inpath(raw, out)
+
+        loader = NuscenesLoader(out, phase="training",
+                                trainval_split="official")
+        assert len(loader) == 2
+        assert loader.lidar_data(0).shape == (64, 5)
+        objs = loader.annotation_3dobject(0)
+        assert len(objs) == 1
+        # velocity from finite differences: 2m over 0.5s = 4 m/s in x
+        assert objs[0].velocity[0] == pytest.approx(4.0, abs=1e-4)
+        assert loader.camera_data(0, names="cam_front").size == (32, 18)
+        assert loader.metadata(1).sample_token == "s1"
+        assert loader.pose(1).position[0] == pytest.approx(5.0)
