@@ -24,7 +24,8 @@ from ..zip import PatchedZipFile
 from .constants import (NuscenesDetectionClass, NuscenesObjectClass,
                         NuscenesSegmentationClass, train_split, val_split)
 
-__all__ = ["NuscenesLoader"]
+__all__ = ["NuscenesLoader", "create_submission",
+           "execute_official_evaluator"]
 
 
 class NuscenesLoader(TrackingDatasetBase):
@@ -357,3 +358,39 @@ class NuscenesLoader(TrackingDatasetBase):
         if fout is not None:
             Path(fout).write_text(json.dumps({sample_token: results}))
         return results
+
+
+def create_submission(result_files, output_file, meta=None):
+    """Merge per-frame dump_detection_output JSON files into one nuScenes
+    submission json (reference nuscenes/loader.py:563-612)."""
+    results = {}
+    for f in result_files:
+        results.update(json.loads(Path(f).read_text()))
+    submission = dict(
+        meta=meta or dict(use_camera=False, use_lidar=True, use_radar=False,
+                          use_map=False, use_external=False),
+        results=results,
+    )
+    out = Path(output_file)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(submission))
+    return out
+
+
+def execute_official_evaluator(nusc_path, submission_file, output_dir,
+                               version="v1.0-trainval", eval_set="val"):
+    """Run the official nuScenes detection evaluator (requires the
+    nuscenes-devkit package)."""
+    try:
+        from nuscenes import NuScenes
+        from nuscenes.eval.detection.config import config_factory
+        from nuscenes.eval.detection.evaluate import DetectionEval
+    except ImportError as e:
+        raise ImportError("nuscenes-devkit is required for the official "
+                          "evaluator") from e
+
+    nusc = NuScenes(version=version, dataroot=str(nusc_path))
+    cfg = config_factory("detection_cvpr_2019")
+    ev = DetectionEval(nusc, config=cfg, result_path=str(submission_file),
+                       eval_set=eval_set, output_dir=str(output_dir))
+    return ev.main()
