@@ -73,11 +73,12 @@ def _segment_structure(key, max_key=None, order_mode="encounter"):
     seg_ids = jnp.arange(n, dtype=jnp.int32)
     seg_start = jnp.full(n, n, jnp.int32).at[seg_id_s].min(
         pos, indices_are_sorted=True)
-    npoints_seg = jax.ops.segment_sum(
-        jnp.ones(n, jnp.int32), seg_id_s, num_segments=n,
-        indices_are_sorted=True)
-    seg_valid = (npoints_seg > 0) & valid_s[jnp.minimum(seg_start, n - 1)]
-    npoints_seg = jnp.where(seg_valid, npoints_seg, 0)
+    # segments are contiguous in sorted order, so each count is the gap to
+    # the next segment's start (empty segments carry start == n)
+    next_start = jnp.concatenate([seg_start[1:], jnp.full(1, n, jnp.int32)])
+    seg_exists = seg_start < n
+    seg_valid = seg_exists & valid_s[jnp.minimum(seg_start, n - 1)]
+    npoints_seg = jnp.where(seg_valid, next_start - seg_start, 0)
     nvoxels = jnp.sum(seg_valid.astype(jnp.int32))
 
     if order_mode == "sorted":
