@@ -13,7 +13,6 @@ AoS version (validated against it in tests), ~100x faster on TPU.
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -21,7 +20,7 @@ from jax import lax
 __all__ = ["rbox_iou", "rbox_iou_matrix", "intersect_area"]
 
 _NCAND = 24
-_NSORT = 32  # candidates padded to a power of two for the sort network
+_NSORT = 32  # power-of-two base size for the Batcher network
 
 
 def _batcher_pairs(n):
@@ -49,7 +48,28 @@ def _batcher_pairs(n):
     return pairs
 
 
-_PAIRS32 = _batcher_pairs(_NSORT)
+# Prune the 32-wide network down to the 24 real slots: every comparator is
+# ascending (min to the lower index), so the 8 +inf-keyed padding slots can
+# never hand their key down — comparators touching an index >= 24 are no-ops
+# and the padding slots need not exist at all (191 -> 132 comparators;
+# exhaustively validated against sorted() in tests).
+_PAIRS24 = [(i, j) for (i, j) in _batcher_pairs(_NSORT) if j < _NCAND]
+
+# invalid/padding sort key: the diamond angle below lies in (-2, 2]
+_BIGKEY = 5.0
+_KEYCUT = 4.0
+
+
+def _diamond_angle(dx, dy):
+    """Monotone surrogate of atan2(dy, dx) on (-pi, pi] -> (-2, 2].
+
+    The candidate ordering only needs a consistent angular ORDER around the
+    centroid, not the angle itself; this costs ~6 VPU ops instead of a
+    transcendental. dx = dy = 0 maps to 0 (degenerate single-vertex case,
+    area is 0 regardless of order)."""
+    s = jnp.abs(dx) + jnp.abs(dy)
+    t = dy / jnp.where(s > 0, s, 1.0)
+    return jnp.where(dx >= 0, t, jnp.where(dy >= 0, 2.0 - t, -2.0 - t))
 
 
 def _corners(x, y, w, h, r):
@@ -134,44 +154,38 @@ def intersect_area(b1, b2):
     cx = sum(x * v for x, v in zip(px, vf)) / cnt_safe
     cy = sum(y * v for y, v in zip(py, vf)) / cnt_safe
 
-    big = jnp.asarray(np.finfo(np.dtype(dt)).max, dt)
-    keys, sx_, sy_, sv_ = [], [], [], []
+    # validity rides in the key (invalid -> _BIGKEY, recovered after the
+    # sort as key < _KEYCUT), so the network carries 3 values per slot,
+    # not 4; keys swap via min/max.
+    big = jnp.asarray(_BIGKEY, dt)
+    keys, sx_, sy_ = [], [], []
     for k in range(_NCAND):
-        ang = jnp.arctan2(lax.stop_gradient(py[k] - cy),
-                          lax.stop_gradient(px[k] - cx))
+        ang = _diamond_angle(lax.stop_gradient(px[k] - cx),
+                             lax.stop_gradient(py[k] - cy))
         keys.append(jnp.where(valid[k], ang, big))
         sx_.append(px[k])
         sy_.append(py[k])
-        sv_.append(valid[k])
-    zeros = jnp.zeros(shape, dt)
-    fal = jnp.zeros(shape, bool)
-    for _ in range(_NSORT - _NCAND):
-        keys.append(jnp.broadcast_to(big, shape))
-        sx_.append(zeros)
-        sy_.append(zeros)
-        sv_.append(fal)
 
-    for i, j in _PAIRS32:
+    for i, j in _PAIRS24:
         swap = keys[i] > keys[j]
-        keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
-                            jnp.where(swap, keys[i], keys[j]))
+        keys[i], keys[j] = (jnp.minimum(keys[i], keys[j]),
+                            jnp.maximum(keys[i], keys[j]))
         sx_[i], sx_[j] = (jnp.where(swap, sx_[j], sx_[i]),
                           jnp.where(swap, sx_[i], sx_[j]))
         sy_[i], sy_[j] = (jnp.where(swap, sy_[j], sy_[i]),
                           jnp.where(swap, sy_[i], sy_[j]))
-        sv_[i], sv_[j] = (jnp.where(swap, sv_[j], sv_[i]),
-                          jnp.where(swap, sv_[i], sv_[j]))
 
     # invalid slots collapse onto the first (valid) vertex so the cyclic
     # shoelace is exact (zero-length edges)
     fx, fy = sx_[0], sy_[0]
-    for k in range(_NSORT):
-        sx_[k] = jnp.where(sv_[k], sx_[k], fx) - lax.stop_gradient(cx)
-        sy_[k] = jnp.where(sv_[k], sy_[k], fy) - lax.stop_gradient(cy)
+    for k in range(_NCAND):
+        ok = keys[k] < _KEYCUT
+        sx_[k] = jnp.where(ok, sx_[k], fx) - lax.stop_gradient(cx)
+        sy_[k] = jnp.where(ok, sy_[k], fy) - lax.stop_gradient(cy)
 
-    area = zeros
-    for k in range(_NSORT):
-        k2 = (k + 1) % _NSORT
+    area = jnp.zeros(shape, dt)
+    for k in range(_NCAND):
+        k2 = (k + 1) % _NCAND
         area = area + (sx_[k] * sy_[k2] - sy_[k] * sx_[k2])
     return jnp.maximum(0.5 * area, 0.0)
 
@@ -187,8 +201,19 @@ def rbox_iou(b1, b2):
     return inter / union
 
 
-@partial(jax.jit, static_argnames=("pair_budget",))
 def rbox_iou_matrix(b1, b2, pair_budget=1 << 22):
+    """(N, M) rotated-IoU matrix; dispatches to the Pallas tile kernel on
+    TPU (f32, forward-only — NMS and matching never differentiate through
+    the matrix) and to the blocked XLA kernel elsewhere / for f64."""
+    if (jax.default_backend() == "tpu"
+            and jnp.result_type(b1.dtype, b2.dtype) == jnp.float32):
+        from . import geometry_pallas
+        return geometry_pallas.rbox_iou_matrix(b1, b2)
+    return _rbox_iou_matrix_xla(b1, b2, pair_budget=pair_budget)
+
+
+@partial(jax.jit, static_argnames=("pair_budget",))
+def _rbox_iou_matrix_xla(b1, b2, pair_budget=1 << 22):
     """(N, 5) x (M, 5) -> (N, M) IoU matrix with bounded peak memory.
 
     The elementwise kernel keeps ~128 live pair-shaped temporaries, so an

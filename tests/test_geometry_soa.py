@@ -46,8 +46,43 @@ def test_grad_matches_aos(rng):
     assert np.allclose(np.asarray(g_aos), np.asarray(g_soa), atol=1e-9)
 
 
+def test_pruned_sort_network(rng):
+    # the 132-comparator pruned Batcher network must sort any 24 keys
+    for _ in range(500):
+        a = list(rng.random(24))
+        b = list(a)
+        for i, j in S._PAIRS24:
+            if b[i] > b[j]:
+                b[i], b[j] = b[j], b[i]
+        assert b == sorted(a)
+
+
+def test_diamond_angle_monotone():
+    # strictly increasing in atan2 over a dense sweep of directions
+    ang = np.linspace(-np.pi + 1e-6, np.pi, 4096)
+    key = np.asarray(S._diamond_angle(jnp.asarray(np.cos(ang)),
+                                      jnp.asarray(np.sin(ang))))
+    assert np.all(np.diff(key) > 0)
+    assert key.min() > -2 and key.max() <= 2
+
+
 def test_f32_path(rng):
     b = jnp.asarray(_boxes(rng, 32), jnp.float32)
     m = np.asarray(S.rbox_iou(b[:, None], b[None, :]))
     assert np.allclose(np.diag(m), 1.0, atol=1e-4)
     assert m.min() >= 0 and m.max() <= 1 + 1e-5
+
+
+def test_pallas_matrix_parity(rng):
+    # the Pallas tile kernel (interpret mode on CPU) matches the XLA SoA
+    # path on non-tile-aligned shapes, including the diag == 1 boxes
+    from d3d_tpu.ops import geometry_pallas as P
+
+    b1 = jnp.asarray(_boxes(rng, 37), jnp.float32)
+    b2 = jnp.concatenate([b1[:5], jnp.asarray(_boxes(rng, 150), jnp.float32)])
+    ref = np.asarray(S.rbox_iou(b1[:, None].astype(jnp.float32),
+                                b2[None, :].astype(jnp.float32)))
+    got = np.asarray(P.rbox_iou_matrix(b1, b2, interpret=True))
+    assert got.shape == (37, 155)
+    assert np.allclose(got, ref, atol=2e-5)
+    assert np.allclose(got[:5, :5].diagonal(), 1.0, atol=1e-4)
