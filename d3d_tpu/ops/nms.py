@@ -48,10 +48,10 @@ def nms2d(boxes, scores, iou_threshold=0.0, score_threshold=0.0, iou_method="rbo
     :param scores: (N,)
     """
     n = boxes.shape[0]
-    iou = _iou_matrix(boxes, iou_method)
     order = jnp.argsort(-scores, stable=True)  # descending
-    # iou between the i-th and j-th highest scored boxes
-    iou_o = iou[order][:, order]
+    # compute the matrix directly in score order (one tiny (N, 5) gather
+    # instead of permuting the (N, N) matrix twice)
+    iou_o = _iou_matrix(boxes[order], iou_method)
     overlap = iou_o > iou_threshold
 
     # pre-suppression by score (in score order); rank 0 exempt (see docstring)
@@ -59,13 +59,20 @@ def nms2d(boxes, scores, iou_threshold=0.0, score_threshold=0.0, iou_method="rbo
     pre = scores_o <= score_threshold
     pre = pre.at[0].set(False)
 
-    def body(i, suppressed):
-        alive = ~suppressed[i]
-        # suppress all later boxes overlapping box i (if box i is alive)
-        later = jnp.arange(n) > i
-        return suppressed | (alive & later & overlap[i])
+    if jax.default_backend() == "tpu" and n <= 1024:  # (N, N) i32 in VMEM
+        # the whole greedy cascade in one Pallas kernel: the matrix stays
+        # VMEM-resident and the per-box serial steps cost VPU ops instead of
+        # an XLA loop dispatch each (~0.37 ms -> ~0.04 ms at N=512)
+        from .nms_pallas import nms_scan
+        suppressed_o = nms_scan(overlap, pre)
+    else:
+        def body(i, suppressed):
+            alive = ~suppressed[i]
+            # suppress all later boxes overlapping box i (if box i is alive)
+            later = jnp.arange(n, dtype=jnp.int32) > i
+            return suppressed | (alive & later & overlap[i])
 
-    suppressed_o = lax.fori_loop(0, n, body, pre)
+        suppressed_o = lax.fori_loop(0, n, body, pre)
     # scatter back to original index order
     out = jnp.zeros(n, bool).at[order].set(suppressed_o)
     return out

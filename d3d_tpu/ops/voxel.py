@@ -55,16 +55,29 @@ def _segment_structure(key, max_key=None, order_mode="encounter"):
         invalid and carry rank >= N).
     """
     n = key.shape[0]
-    if max_key is not None and (max_key + 2) < (1 << 62) // max(n, 1):
+    if max_key is not None and (max_key + 2) < (1 << 31):
+        # int32 (key, index) two-operand sort: TPU sorts multiple operands
+        # natively, so this needs no int64 packing and — crucially — no
+        # int64 div/mod decode afterwards (64-bit division is software-
+        # emulated on TPU and dominated the old packed-sort profile)
+        capped = jnp.minimum(key, max_key + 1).astype(jnp.int32)
+        k_s, order = jax.lax.sort(
+            (capped, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1, is_stable=True)
+        # k_s stays int32 (invalid cells hold max_key + 1, which sorts last
+        # and forms its own trailing segment, like the int64 sentinel)
+        valid_s = k_s <= max_key
+    elif max_key is not None and (max_key + 2) < (1 << 62) // max(n, 1):
         # pack (key, idx) into one int64: stable by construction
         capped = jnp.minimum(key, max_key + 1)
         packed = jnp.sort(capped * n + jnp.arange(n))
         order = (packed % n).astype(jnp.int32)
         k_s = jnp.where(packed // n > max_key, _INT_SENTINEL, packed // n)
+        valid_s = k_s != _INT_SENTINEL
     else:
         order = jnp.argsort(key, stable=True).astype(jnp.int32)
         k_s = key[order]
-    valid_s = k_s != _INT_SENTINEL
+        valid_s = k_s != _INT_SENTINEL
     newseg = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
     # NOTE: int64 scatters / segment reductions are software-emulated on TPU
     # (measured ~20 ms for one 120k-row op on v5e); everything below sticks
@@ -78,19 +91,28 @@ def _segment_structure(key, max_key=None, order_mode="encounter"):
                                        jnp.where(newseg, pos, 0))
     slot_s = pos - start_s  # encounter order within the voxel
 
-    # per-segment start positions by stream compaction: boundary positions
-    # sort to the front in segment order (segment k's start lands at slot k
-    # because segment ids are the boundary count prefix). One fast int32
-    # sort instead of a scatter-min (TPU scatters serialize) or a
-    # searchsorted (lowers to a serial binary-search loop, ~14 ms at 120k).
+    # per-segment start positions AND keys by stream compaction: boundary
+    # (key, position) pairs sort to the front in segment order (segment k's
+    # boundary lands at slot k because keys ascend with the segment id).
+    # One fast two-operand sort instead of a scatter-min (TPU scatters
+    # serialize), a searchsorted (serial binary-search loop, ~14 ms at
+    # 120k), or a post-hoc k_s[seg_start] gather (~0.26 ms fixed cost).
+    # Non-boundary rows carry (dtype-max, n) and sort last; the dtype-max
+    # tie against an invalid-segment boundary is broken by the position.
     seg_ids = jnp.arange(n, dtype=jnp.int32)
-    comp = jnp.sort(jnp.where(newseg, pos, n + pos))
-    seg_start = jnp.where(comp < n, comp, n)
+    kbig = jnp.asarray(jnp.iinfo(k_s.dtype).max, k_s.dtype)
+    seg_key_s, seg_start = jax.lax.sort(
+        (jnp.where(newseg, k_s, kbig), jnp.where(newseg, pos, n)),
+        num_keys=2)
     # segments are contiguous in sorted order, so each count is the gap to
     # the next segment's start (empty segments carry start == n)
     next_start = jnp.concatenate([seg_start[1:], jnp.full(1, n, jnp.int32)])
     seg_exists = seg_start < n
-    seg_valid = seg_exists & valid_s[jnp.minimum(seg_start, n - 1)]
+    # invalid points carry the largest key, so they sort last: a segment is
+    # valid iff it starts before the first invalid point (avoids a 120k
+    # random gather of valid_s at the segment starts)
+    nvalid = jnp.sum(valid_s.astype(jnp.int32))
+    seg_valid = seg_exists & (seg_start < nvalid)
     npoints_seg = jnp.where(seg_valid, next_start - seg_start, 0)
     nvoxels = jnp.sum(seg_valid.astype(jnp.int32))
 
@@ -121,6 +143,7 @@ def _segment_structure(key, max_key=None, order_mode="encounter"):
         seg_of_rank=seg_order,
         npoints_seg=npoints_seg,
         seg_start=seg_start,
+        seg_key_s=seg_key_s,
         seg_valid=seg_valid,
         k_s=k_s,
         nvoxels=nvoxels,
@@ -153,14 +176,19 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
     shape = tuple(int(v) for v in shape)
     n, f = points.shape
     b = bounds.reshape(3, 2)
-    sh = jnp.asarray(shape)
+    sh = jnp.asarray(shape, jnp.int32)
     vsize = (b[:, 1] - b[:, 0]) / sh
     scaled = (points[:, :3] - b[:, 0]) / vsize
-    # reference uses a C `int()` cast (trunc toward zero), voxelize.cpp:102
-    idx = jnp.trunc(scaled).astype(jnp.int64)
+    # reference uses a C `int()` cast (trunc toward zero), voxelize.cpp:102;
+    # int32 cell arithmetic throughout — 64-bit integer ops are emulated on
+    # TPU (the clip only guards the float->int conversion from overflow UB,
+    # clipped points fail the bounds check either way)
+    max_key = shape[0] * shape[1] * shape[2]
+    assert max_key + 2 < (1 << 31), "voxel grid too large for int32 keys"
+    idx = jnp.trunc(jnp.clip(scaled, -2e9, 2e9)).astype(jnp.int32)
     inr = jnp.all((idx >= 0) & (idx < sh), axis=1)
     key = (idx[:, 0] * shape[1] + idx[:, 1]) * shape[2] + idx[:, 2]
-    key = jnp.where(inr, key, _INT_SENTINEL)
+    key = jnp.where(inr, key, max_key + 1)
 
     if reduction not in ("none", "mean", "max", "min"):
         raise ValueError("Unsupported reduction type in voxelization!")
@@ -175,14 +203,25 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
     # previous formulation scattered all N points into the outputs; TPU
     # scatters serialize while gathers vectorize (measured 6.7 ms -> the
     # gather form removes every N-row scatter from the dense path).
-    vr = jnp.arange(max_voxels, dtype=jnp.int32)
-    vrc = jnp.minimum(vr, n - 1)
-    sel = s["seg_of_rank"][vrc] if order_mode != "sorted" else vrc
-    keep_v = (vr < n) & s["seg_valid"][sel]
-    start_v = jnp.where(keep_v, s["seg_start"][sel], n - 1)
+    sorted_fast = order_mode == "sorted" and max_voxels < n
+    if sorted_fast:
+        # voxel v IS segment v: every per-voxel array is a plain slice
+        # (XLA does not simplify gather-by-min(iota, n-1) into a slice)
+        keep_v = s["seg_valid"][:max_voxels]
+        start_v = jnp.where(keep_v, s["seg_start"][:max_voxels], n - 1)
+        npoints = jnp.where(keep_v, s["npoints_seg"][:max_voxels], 0)
+        seg_key = jnp.where(keep_v, s["seg_key_s"][:max_voxels],
+                            0).astype(jnp.int32)
+    else:
+        vr = jnp.arange(max_voxels, dtype=jnp.int32)
+        vrc = jnp.minimum(vr, n - 1)
+        sel = s["seg_of_rank"][vrc] if order_mode != "sorted" else vrc
+        keep_v = (vr < n) & s["seg_valid"][sel]
+        start_v = jnp.where(keep_v, s["seg_start"][sel], n - 1)
+        npoints = jnp.where(keep_v, s["npoints_seg"][sel], 0)
+        seg_key = jnp.where(keep_v, s["seg_key_s"][sel], 0).astype(jnp.int32)
     # npoints counts *all* points in the cell, even beyond max_points
     # (voxelize.cpp:128-135)
-    npoints = jnp.where(keep_v, s["npoints_seg"][sel], 0)
 
     # ---- voxels tensor + pmask: only the first max_points slots are filled
     prange = jnp.arange(max_points, dtype=jnp.int32)
@@ -194,7 +233,6 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
 
     # decode the cell coordinate from the per-segment key (int32 arithmetic;
     # int64 segment ops are emulated and slow on TPU)
-    seg_key = jnp.where(keep_v, s["k_s"][start_v], 0).astype(jnp.int32)
     c0 = seg_key // (shape[1] * shape[2])
     rem = seg_key % (shape[1] * shape[2])
     coords = jnp.stack([c0, rem // shape[2], rem % shape[2]],
@@ -216,9 +254,21 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
         fmask = s["valid_s"][:, None]
         if reduction == "mean":
             csum = jnp.cumsum(jnp.where(fmask, feats_s, 0), axis=0)
-            lo = jnp.where((start_v > 0)[:, None],
-                           csum[jnp.maximum(start_v - 1, 0), :], 0)
-            total = csum[jnp.minimum(start_v + npoints - 1, n - 1), :] - lo
+            if sorted_fast:
+                # segment v's run ends where segment v+1's begins, so ONE
+                # gather of E[v] = csum just before run v covers both
+                # boundaries: total_v = E[v+1] - E[v] (invalid trailing
+                # points are masked to zero, so a run that is followed by
+                # the invalid segment or by empty slots still reads its own
+                # end sum)
+                startp = s["seg_start"][:max_voxels + 1]
+                E = jnp.where((startp > 0)[:, None],
+                              csum[jnp.maximum(startp - 1, 0), :], 0)
+                total = E[1:] - E[:-1]
+            else:
+                lo = jnp.where((start_v > 0)[:, None],
+                               csum[jnp.maximum(start_v - 1, 0), :], 0)
+                total = csum[jnp.minimum(start_v + npoints - 1, n - 1), :] - lo
             agg = total / jnp.maximum(npoints, 1)[:, None]
         else:
             op = jnp.maximum if reduction == "max" else jnp.minimum

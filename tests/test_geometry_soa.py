@@ -73,6 +73,26 @@ def test_f32_path(rng):
     assert m.min() >= 0 and m.max() <= 1 + 1e-5
 
 
+def test_pallas_nms_scan_parity(rng):
+    from d3d_tpu.ops.nms_pallas import nms_scan
+
+    n = 160
+    ov = jnp.asarray(rng.random((n, n)) < 0.07)
+    ov = ov | ov.T
+    pre = jnp.asarray(rng.random(n) < 0.1)
+
+    def ref_scan(overlap, pre):
+        s = np.asarray(pre).copy()
+        o = np.asarray(overlap)
+        for i in range(n):
+            if not s[i]:
+                s[i + 1:] |= o[i, i + 1:]
+        return s
+
+    got = np.asarray(nms_scan(ov, pre, interpret=True))
+    assert np.array_equal(got, ref_scan(ov, pre))
+
+
 def test_pallas_matrix_parity(rng):
     # the Pallas tile kernel (interpret mode on CPU) matches the XLA SoA
     # path on non-tile-aligned shapes, including the diag == 1 boxes
