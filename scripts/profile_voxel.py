@@ -99,9 +99,35 @@ def make_stage_full(reduction, with_voxels=True):
     return stage
 
 
+def stage_coords(chk, p):
+    out = V.voxelize_dense_padded(p + chk * 1e-20, shape, bounds,
+                                  max_points, max_voxels, "none",
+                                  order_mode="sorted")
+    return (out.coords[0].sum() + out.nvoxels).astype(jnp.float32)
+
+
+def stage_bench(chk, p):
+    # exactly what bench.py consumes: aggregates + coords + nvoxels
+    out = V.voxelize_dense_padded(p + chk * 1e-20, shape, bounds,
+                                  max_points, max_voxels, "mean",
+                                  order_mode="sorted")
+    return (jnp.sum(out.aggregates[:8, 0]) + jnp.sum(out.coords[0])
+            + out.nvoxels).astype(jnp.float32)
+
+
+def stage_npoints(chk, p):
+    out = V.voxelize_dense_padded(p + chk * 1e-20, shape, bounds,
+                                  max_points, max_voxels, "none",
+                                  order_mode="sorted")
+    return (out.voxel_npoints[0] + out.nvoxels).astype(jnp.float32)
+
+
 print(f"key+sort        : {timed(stage_sort):7.3f} ms")
 print(f"+segment struct : {timed(stage_struct):7.3f} ms")
 print(f"+feats gather   : {timed(stage_gfeats):7.3f} ms")
+print(f"coords+nvoxels  : {timed(stage_coords):7.3f} ms")
+print(f"npoints+nvoxels : {timed(stage_npoints):7.3f} ms")
+print(f"bench view      : {timed(stage_bench):7.3f} ms")
 print(f"full, none      : {timed(make_stage_full('none')):7.3f} ms")
 print(f"full, mean      : {timed(make_stage_full('mean')):7.3f} ms")
 print(f"full, max       : {timed(make_stage_full('max')):7.3f} ms")
