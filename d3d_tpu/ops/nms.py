@@ -100,6 +100,15 @@ def soft_nms2d(
     order = jnp.argsort(-scores, stable=True)
     pre = (scores <= score_threshold).at[order[0]].set(False)
 
+    if (jax.default_backend() == "tpu" and n <= 1024
+            and iou.dtype == jnp.float32 and scores.dtype == jnp.float32):
+        # whole pick/decay cascade in one Pallas kernel (VMEM-resident
+        # matrix + state; one data-dependent row slice per grid step)
+        from .nms_pallas import soft_nms_scan
+        return soft_nms_scan(iou, jnp.where(pre, neg_inf, scores), pre,
+                             iou_threshold, score_threshold,
+                             supression_param, supression_method)
+
     def body(_, state):
         cur_scores, frozen, suppressed = state
         avail = ~(frozen | suppressed)

@@ -20,7 +20,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["nms_scan"]
+__all__ = ["nms_scan", "soft_nms_scan"]
 
 
 def _nms_scan_kernel(ov_blk_ref, pre_ref, o_ref, sup_ref):
@@ -78,3 +78,91 @@ def nms_scan(overlap, pre, interpret=False):
         interpret=interpret,
     )(ov, prev)
     return out[0, :n] > 0
+
+
+def _soft_nms_kernel(method):
+    """Kernel factory; `method` (linear/gaussian) is compile-time, the
+    numeric parameters ride in SMEM."""
+
+    def kernel(iou_ref, sc0_ref, pre_ref, par_ref, o_ref,
+               sc_ref, fr_ref, su_ref):
+        b = pl.program_id(0)
+        n = iou_ref.shape[1]
+
+        @pl.when(b == 0)
+        def _init():
+            sc_ref[:, :] = sc0_ref[:, :]
+            fr_ref[:, :] = jnp.zeros_like(fr_ref)
+            su_ref[:, :] = pre_ref[:, :]
+
+        iou_t = par_ref[0, 0]
+        score_t = par_ref[0, 1]
+        param = par_ref[0, 2]
+
+        iota = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        zero, one = jnp.int32(0), jnp.int32(1)
+        sc, fr, su = sc_ref[:, :], fr_ref[:, :], su_ref[:, :]
+
+        avail = (fr == zero) & (su == zero)
+        any_avail = jnp.max(jnp.where(avail, one, zero)) > zero
+        masked = jnp.where(avail, sc, jnp.float32(-jnp.inf))
+        top = jnp.max(masked)
+        # first argmax, like jnp.argmax in the XLA fallback
+        pick = jnp.min(jnp.where(masked == top, iota, jnp.int32(n)))
+        pick = jnp.minimum(pick, jnp.int32(n - 1))
+
+        row = iou_ref[pl.ds(pick, 1), :]
+        mask_row = (row > iou_t) & (fr == zero) & (iota != pick)
+        if method == "linear":
+            # x**p via exp/log with the XLA convention power(0, 0) == 1
+            pw = jnp.where(param == 0.0, jnp.float32(1.0),
+                           jnp.exp(param * jnp.log(
+                               jnp.maximum(row, jnp.float32(1e-38)))))
+            decay = 1.0 - pw
+        else:  # gaussian
+            decay = jnp.exp(-(row * row) / param)
+
+        nsc = jnp.where(mask_row & any_avail, sc * decay, sc)
+        dead = mask_row & (nsc < score_t)
+        su = su | jnp.where(any_avail & dead, one, zero)
+        fr = fr | jnp.where((iota == pick) & any_avail, one, zero)
+        sc_ref[:, :] = nsc
+        fr_ref[:, :] = fr
+        su_ref[:, :] = su
+
+        @pl.when(b == pl.num_programs(0) - 1)
+        def _finish():
+            o_ref[:, :] = su
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("method", "interpret"))
+def soft_nms_scan(iou, scores0, pre, iou_threshold, score_threshold,
+                  param, method, interpret=False):
+    """Soft-NMS pick/decay cascade in one Pallas kernel; semantics of the
+    XLA fallback loop in d3d_tpu.ops.nms.soft_nms2d (Bodla et al. 2017,
+    reference d3d/box/nms.cpp:32-96)."""
+    n = iou.shape[0]
+    pars = jnp.stack([iou_threshold, score_threshold, param]
+                     ).astype(jnp.float32)[None, :]
+    out = pl.pallas_call(
+        _soft_nms_kernel(method),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, n), lambda i: (jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, n), lambda i: (jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 3), lambda i: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n), lambda i: (jnp.int32(0),
+                                                  jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32),
+                        pltpu.VMEM((1, n), jnp.int32),
+                        pltpu.VMEM((1, n), jnp.int32)],
+        interpret=interpret,
+    )(iou.astype(jnp.float32), scores0.astype(jnp.float32)[None, :],
+      pre.astype(jnp.int32)[None, :], pars)
+    return out[0] > 0

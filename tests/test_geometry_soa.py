@@ -93,6 +93,27 @@ def test_pallas_nms_scan_parity(rng):
     assert np.array_equal(got, ref_scan(ov, pre))
 
 
+def test_pallas_soft_nms_parity(rng):
+    # the Pallas cascade (interpret mode) matches the XLA fallback loop
+    from d3d_tpu.ops import nms as N
+    from d3d_tpu.ops.nms_pallas import soft_nms_scan
+
+    n = 96
+    boxes = jnp.asarray(_boxes(rng, n), jnp.float32)
+    scores = jnp.asarray(rng.random(n), jnp.float32)
+    for method, param in (("linear", 0.5), ("gaussian", 0.4)):
+        ref = np.asarray(N.soft_nms2d(
+            boxes, scores, iou_threshold=0.2, score_threshold=0.1,
+            supression_param=param, supression_method=method))
+        iou = N._iou_matrix(boxes, "rbox").astype(jnp.float32)
+        order = jnp.argsort(-scores, stable=True)
+        pre = (scores <= 0.1).at[order[0]].set(False)
+        init = jnp.where(pre, -jnp.inf, scores)
+        got = np.asarray(soft_nms_scan(iou, init, pre, 0.2, 0.1, param,
+                                       method, interpret=True))
+        assert np.array_equal(got, ref), method
+
+
 def test_pallas_matrix_parity(rng):
     # the Pallas tile kernel (interpret mode on CPU) matches the XLA SoA
     # path on non-tile-aligned shapes, including the diag == 1 boxes

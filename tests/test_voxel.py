@@ -63,6 +63,36 @@ class TestDense:
         assert len(trimmed.coords) == 50
         assert np.array_equal(trimmed.coords, full.coords[:50])
 
+    def test_sorted_mode_vs_numpy(self, rng):
+        """order_mode="sorted" (the model fast path, with more points than
+        max_voxels so the slice branch is exercised): voxel ids ascend with
+        the cell key; voxels/npoints/coords/mean match a numpy groupby."""
+        import jax.numpy as jnp
+        from d3d_tpu.ops.voxel import voxelize_dense_padded
+
+        n, mv, mp = 4000, 50, 4
+        pts = (rng.random((n, 4)) * 1.2 - 0.1).astype(np.float32)  # ~some OOB
+        shape = (8, 8, 2)
+        bounds = jnp.asarray([0, 1, 0, 1, 0, 1], jnp.float32)
+        out = voxelize_dense_padded(jnp.asarray(pts), shape, bounds,
+                                    mp, mv, "mean", order_mode="sorted")
+
+        cell = np.trunc(pts[:, :3] * np.array([8, 8, 2])).astype(np.int64)
+        valid = np.all((cell >= 0) & (cell < np.array([8, 8, 2])), axis=1)
+        key = (cell[:, 0] * 8 + cell[:, 1]) * 2 + cell[:, 2]
+        kept = np.unique(key[valid])[:mv]  # cell-key order
+        assert int(out.nvoxels) == min(len(np.unique(key[valid])), mv)
+        for v, k in enumerate(kept):
+            sel = np.where(valid & (key == k))[0]
+            np.testing.assert_array_equal(
+                np.asarray(out.coords[v]),
+                [k // 16, (k % 16) // 2, k % 2])
+            assert int(out.voxel_npoints[v]) == len(sel)
+            got_rows = np.asarray(out.voxels[v][: min(len(sel), mp)])
+            np.testing.assert_allclose(got_rows, pts[sel[:mp]], atol=0)
+            assert np.allclose(np.asarray(out.aggregates[v]),
+                               pts[sel].mean(axis=0), atol=1e-5)
+
     def test_spconv_parity(self):
         gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], max_points=5,
                              max_points_filter="trim", dense=True)
