@@ -1,8 +1,12 @@
 from .pointpillars import (PointPillars, PointPillarsConfig, assign_targets,
                            decode_boxes, detection_loss, make_anchors,
                            make_train_step, pillarize)
+from .centerpoint import (CenterPoint, CenterPointConfig,
+                          assign_center_targets, center_loss, decode_centers)
 
 __all__ = [
     "PointPillars", "PointPillarsConfig", "pillarize", "make_anchors",
     "assign_targets", "detection_loss", "decode_boxes", "make_train_step",
+    "CenterPoint", "CenterPointConfig", "assign_center_targets",
+    "center_loss", "decode_centers",
 ]
