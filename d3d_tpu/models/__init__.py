@@ -3,10 +3,12 @@ from .pointpillars import (PointPillars, PointPillarsConfig, assign_targets,
                            make_train_step, pillarize)
 from .centerpoint import (CenterPoint, CenterPointConfig,
                           assign_center_targets, center_loss, decode_centers)
+from .inference import make_centerpoint_detector, make_pointpillars_detector
 
 __all__ = [
     "PointPillars", "PointPillarsConfig", "pillarize", "make_anchors",
     "assign_targets", "detection_loss", "decode_boxes", "make_train_step",
     "CenterPoint", "CenterPointConfig", "assign_center_targets",
     "center_loss", "decode_centers",
+    "make_pointpillars_detector", "make_centerpoint_detector",
 ]

@@ -1,0 +1,100 @@
+"""End-to-end inference: points in, :class:`Target3DArray` out.
+
+Glues the model families to the framework's own post-processing (decode ->
+rotated NMS -> data model), mirroring how the reference devkit's pieces are
+meant to be combined downstream (its README pipeline: detector output ->
+`d3d.box` NMS -> `d3d.abstraction` arrays -> evaluators). Each factory
+closes over the model and jits ONE fixed-shape device function (top-k keeps
+every shape static); only the final Target3DArray assembly runs on host.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from ..abstraction import ObjectTag, ObjectTarget3D, Target3DArray
+from ..ops.nms import nms2d
+from .pointpillars import decode_boxes, pillarize
+from .centerpoint import decode_centers
+
+__all__ = ["make_pointpillars_detector", "make_centerpoint_detector"]
+
+
+def _to_targets(boxes, scores, labels, keep, classes, frame, timestamp,
+                score_threshold):
+    """Host-side assembly of kept detections into a Target3DArray."""
+    out = Target3DArray(frame=frame, timestamp=timestamp)
+    boxes, scores, labels, keep = (np.asarray(a) for a in
+                                   (boxes, scores, labels, keep))
+    for b, s, l, k in zip(boxes, scores, labels, keep):
+        if not k or s < score_threshold or not np.all(np.isfinite(b)):
+            continue
+        cls = classes[int(l)]
+        tag = ObjectTag(cls, type(cls), float(s))
+        out.append(ObjectTarget3D(
+            position=b[0:3].astype(float),
+            orientation=Rotation.from_euler("Z", float(b[6])),
+            dimension=b[3:6].astype(float),
+            tag=tag,
+        ))
+    return out
+
+
+def _bev(boxes):
+    return jnp.concatenate([boxes[:, 0:2], boxes[:, 3:5], boxes[:, 6:7]],
+                           axis=-1).astype(jnp.float32)
+
+
+def make_pointpillars_detector(model, variables, cfg, anchors, classes,
+                               score_threshold=0.3, iou_threshold=0.5,
+                               top_k=100):
+    """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
+    for a trained PointPillars model (jitted once)."""
+
+    @jax.jit
+    def device(points):
+        feats, coords, valid = pillarize(points, cfg)
+        cls_logits, box_preds, _ = model.apply(
+            variables, feats[None], coords[None], valid[None], train=False)
+        scores_all = jax.nn.sigmoid(cls_logits[0])        # (N, C)
+        best = jnp.max(scores_all, axis=-1)
+        top_scores, idx = jax.lax.top_k(best, top_k)
+        boxes = decode_boxes(anchors[idx], box_preds[0][idx])
+        labels = jnp.argmax(scores_all, axis=-1)[idx]
+        keep = ~nms2d(_bev(boxes), top_scores.astype(jnp.float32),
+                      iou_threshold=iou_threshold, iou_method="rbox")
+        return boxes, top_scores, labels, keep
+
+    def detect(points, frame=None, timestamp=0):
+        boxes, scores, labels, keep = device(
+            jnp.asarray(points, jnp.float32))
+        return _to_targets(boxes, scores, labels, keep, classes, frame,
+                           timestamp, score_threshold)
+
+    return detect
+
+
+def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
+                              score_threshold=0.3, iou_threshold=0.5):
+    """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
+    for a trained CenterPoint model (top-k set by ``cfg.top_k``)."""
+
+    @jax.jit
+    def device(points):
+        feats, coords, valid = pillarize(points, pillar_cfg)
+        outputs = model.apply(variables, feats[None], coords[None],
+                              valid[None], train=False)
+        outputs = jax.tree.map(lambda x: x[0], outputs)
+        boxes, scores, labels = decode_centers(cfg, outputs)
+        keep = ~nms2d(_bev(boxes), scores.astype(jnp.float32),
+                      iou_threshold=iou_threshold, iou_method="rbox")
+        return boxes, scores, labels, keep
+
+    def detect(points, frame=None, timestamp=0):
+        boxes, scores, labels, keep = device(
+            jnp.asarray(points, jnp.float32))
+        return _to_targets(boxes, scores, labels, keep, classes, frame,
+                           timestamp, score_threshold)
+
+    return detect

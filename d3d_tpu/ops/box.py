@@ -67,7 +67,12 @@ def box2d_iou(boxes1, boxes2, method="box", precise=True):
     dt = jnp.float64 if precise else None
     b1 = jnp.asarray(boxes1, dtype=dt)
     b2 = jnp.asarray(boxes2, dtype=dt)
-    out = _IOU_FNS[method](b1[:, None, :], b2[None, :, :])
+    if (method == "rbox"
+            and jnp.result_type(b1.dtype, b2.dtype) == jnp.float32):
+        # matrix entry point: picks the Pallas tile kernel on TPU for f32
+        out = GS.rbox_iou_matrix(b1, b2)
+    else:
+        out = _IOU_FNS[method](b1[:, None, :], b2[None, :, :])
     out = out.astype(otype)
     return np.asarray(out) if convert else out
 

@@ -134,3 +134,40 @@ class TestTraining:
             losses.append(float(aux["total"]))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+class TestInference:
+    def test_detectors_end_to_end(self, rng):
+        """Both detector factories produce valid Target3DArrays from raw
+        points through pillarize -> forward -> decode -> rotated NMS."""
+        from d3d_tpu.models import PointPillars, make_anchors
+        from d3d_tpu.models.inference import (make_centerpoint_detector,
+                                              make_pointpillars_detector)
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+        from tests.test_model import TINY as PP_TINY
+
+        pts = _cloud(rng)
+        classes = (KittiObjectClass.Car,)
+
+        pp = PointPillars(PP_TINY)
+        f, c, v = pillarize(jnp.asarray(pts), PP_TINY)
+        var_pp = pp.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+        det_pp = make_pointpillars_detector(
+            pp, var_pp, PP_TINY, make_anchors(PP_TINY), classes,
+            score_threshold=0.0, top_k=16)
+        out = det_pp(pts, frame="velo", timestamp=7)
+        assert out.frame == "velo" and out.timestamp == 7
+        assert len(out) <= 16
+        for obj in out:
+            assert obj.tag_top == KittiObjectClass.Car
+            assert np.all(np.isfinite(obj.position))
+
+        cp = CenterPoint(TINY)
+        f, c, v = pillarize(jnp.asarray(pts), TINY_PILLARS)
+        var_cp = cp.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+        det_cp = make_centerpoint_detector(cp, var_cp, TINY, TINY_PILLARS,
+                                           classes, score_threshold=0.0)
+        out = det_cp(pts)
+        assert len(out) <= TINY.top_k
+        for obj in out:
+            assert np.all(np.isfinite(obj.dimension))
