@@ -171,3 +171,32 @@ class TestInference:
         assert len(out) <= TINY.top_k
         for obj in out:
             assert np.all(np.isfinite(obj.dimension))
+
+    def test_sharded_train_step(self, rng):
+        """CenterPoint training on the 8-device CPU mesh (dp x tp)."""
+        from d3d_tpu.parallel import make_mesh, shard_train_step
+
+        b = 4
+        pts = jnp.asarray(np.stack([_cloud(rng) for _ in range(b)]))
+        feats, coords, valid = jax.vmap(
+            lambda p: pillarize(p, TINY_PILLARS))(pts)
+        batch = dict(
+            features=feats, coords=coords, valid=valid,
+            gt_boxes=jnp.asarray(np.stack([_gt(rng) for _ in range(b)])),
+            gt_labels=jnp.zeros((b, 3), jnp.int32),
+            gt_mask=jnp.ones((b, 3), bool),
+        )
+        model = CenterPoint(TINY)
+        variables = model.init(jax.random.PRNGKey(0), feats, coords, valid)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(variables["params"])
+        step = make_train_step(model, opt, TINY)
+        mesh = make_mesh(8)
+        sharded = shard_train_step(step, mesh, donate=False)
+        params, bs, opt_state, aux = sharded(
+            variables["params"], variables["batch_stats"], opt_state, batch)
+        assert np.isfinite(float(aux["total"]))
+        delta = jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            params, variables["params"]))
+        assert max(delta) > 0
