@@ -168,3 +168,20 @@ class TestTraining:
             lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
             params, variables["params"]))
         assert max(delta) > 0
+
+
+class TestBfloat16:
+    def test_forward_bf16(self, rng):
+        """The network runs in bfloat16 (the MXU-native dtype) end-to-end,
+        returning finite f32 head outputs."""
+        from dataclasses import replace
+        cfg = replace(TINY, dtype="bfloat16")
+        pts = jnp.asarray(np.stack([_cloud(rng)]))
+        feats, coords, valid = jax.vmap(lambda p: pillarize(p, cfg))(pts)
+        model = PointPillars(cfg)
+        variables = model.init(jax.random.PRNGKey(0), feats, coords, valid)
+        cls_logits, box_preds, dir_logits = model.apply(
+            variables, feats, coords, valid)
+        assert cls_logits.dtype == jnp.float32
+        for out in (cls_logits, box_preds, dir_logits):
+            assert np.all(np.isfinite(np.asarray(out)))
