@@ -90,7 +90,7 @@ def pillarize(points, cfg: PointPillarsConfig):
     pmask = vox.voxel_pmask         # (P, K)
     coords = vox.coords[:, :2].astype(jnp.int32)  # (P, 2)
     npoints = jnp.maximum(vox.voxel_npoints, 1).astype(points.dtype)
-    valid = jnp.arange(cfg.max_pillars) < vox.nvoxels
+    valid = jnp.arange(cfg.max_pillars, dtype=jnp.int32) < vox.nvoxels
 
     # decorations
     xyz = feats[..., :3]

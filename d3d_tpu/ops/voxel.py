@@ -241,8 +241,10 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
     # int64 segment ops are emulated and slow on TPU)
     c0 = seg_key // (shape[1] * shape[2])
     rem = seg_key % (shape[1] * shape[2])
-    coords = jnp.stack([c0, rem // shape[2], rem % shape[2]],
-                       axis=1).astype(jnp.int64)
+    # int32 on device (64-bit ops are emulated on TPU; pillarize consumes
+    # int32 directly); VoxelGenerator widens to int64 on host for the
+    # reference's return contract
+    coords = jnp.stack([c0, rem // shape[2], rem % shape[2]], axis=1)
 
     out = EDict(
         voxels=voxels,
@@ -484,7 +486,7 @@ class VoxelGenerator:
             nv = int(ret.nvoxels)
             out = EDict(
                 voxels=np.asarray(ret.voxels)[:nv],
-                coords=np.asarray(ret.coords)[:nv],
+                coords=np.asarray(ret.coords)[:nv].astype(np.int64),
                 voxel_pmask=np.asarray(ret.voxel_pmask)[:nv],
                 voxel_npoints=np.asarray(ret.voxel_npoints)[:nv],
             )
