@@ -330,7 +330,9 @@ def test_taxonomies():
     assert NuscenesObjectClass.vehicle_car.nuscenes_id == 17
     assert WaymoObjectClass.Vehicle.value == 1
     truck = CADCObjectClass.Snowplow_Truck | CADCObjectClass.Moving
-    assert truck & 0xFF == CADCObjectClass.Truck | CADCObjectClass.Snowplow_Truck & 0xff or True
+    # base class lives in the low byte; Snowplow_Truck subsumes Truck's bit
+    assert truck & 0xFF == CADCObjectClass.Snowplow_Truck
+    assert truck & CADCObjectClass.Truck == CADCObjectClass.Truck
 
 
 class TestNuscenesConverter:

@@ -1,0 +1,257 @@
+"""Fixture tests for the loaders the round-1 suite never instantiated:
+KITTI raw, KITTI odometry(+SemanticKITTI), KITTI-360, Waymo (converted
+layout, dir + zip), CADC. Mirrors the accessor contract the reference
+checks interactively (reference test/test_dataset.py:54-105)."""
+
+import numpy as np
+import pytest
+
+import dataset_fixtures as dfx
+
+
+# ------------------------------------------------------------------ KITTI raw
+class TestKittiRaw:
+    @pytest.fixture(scope="class")
+    def loader(self, tmp_path_factory):
+        from d3d_tpu.dataset.kitti import KittiRawLoader
+
+        root = tmp_path_factory.mktemp("kitti_raw")
+        dfx.build_kitti_raw(root, nframes=3)
+        return KittiRawLoader(root, inzip=False, phase="training",
+                              trainval_split=1)
+
+    def test_sizes(self, loader):
+        assert len(loader) == 3
+        assert loader.sequence_ids == ["2011_09_26_drive_0001_sync"]
+        assert loader.sequence_sizes == {"2011_09_26_drive_0001_sync": 3}
+
+    def test_data(self, loader):
+        cloud = loader.lidar_data(0)
+        assert cloud.shape == (256, 4) and cloud.dtype == np.float32
+        img = loader.camera_data(1, names="cam2")
+        assert img.size == (1242, 375) and img.mode == "RGB"
+        gray = loader.camera_data(1, names="cam0")
+        assert gray.mode == "L"
+
+    def test_calib(self, loader):
+        calib = loader.calibration_data(0)
+        assert calib.base_frame == "velo"
+        assert {"cam0", "cam1", "cam2", "cam3", "imu"} <= set(calib.frames)
+        # velodyne points project in front of cam0
+        uv, idx = calib.project_points_to_camera(
+            np.array([[10.0, 0.0, 0.0]]), "cam0", "velo")
+        assert list(idx) == [0] and len(uv) == 1
+        assert 0 <= uv[0, 0] <= 1242 and 0 <= uv[0, 1] <= 375
+
+    def test_annotation(self, loader):
+        objs = loader.annotation_3dobject(1)
+        assert len(objs) == 1 and objs.frame == "velo"
+        car = objs[0]
+        assert car.tag_top.name == "Car"
+        assert np.allclose(car.position, [11.0, 2.0, -0.02], atol=1e-5)
+        assert np.allclose(car.dimension, [3.9, 1.6, 1.56], atol=1e-5)
+        assert car.yaw == pytest.approx(0.3, abs=1e-6)
+
+    def test_pose_timestamp(self, loader):
+        pose = loader.pose(2)
+        assert pose.position.shape == (3,)
+        assert pose.orientation.as_euler("xyz")[2] == pytest.approx(0.5)
+        ts = loader.timestamp(2)
+        assert ts > 1e15  # epoch microseconds
+        assert loader.timestamp(2, names="cam0") != ts
+
+    def test_identity(self, loader):
+        assert loader.identity(1) == ("2011_09_26_drive_0001_sync", 1)
+
+
+# ------------------------------------------------------------- KITTI odometry
+class TestKittiOdometry:
+    @pytest.fixture(scope="class")
+    def loader(self, tmp_path_factory):
+        from d3d_tpu.dataset.kitti import KittiOdometryLoader
+
+        root = tmp_path_factory.mktemp("kitti_odom")
+        dfx.build_kitti_odometry(root, nframes=4, seq=0)
+        return KittiOdometryLoader(root, inzip=False, phase="training",
+                                   trainval_split=1.0)
+
+    def test_sizes(self, loader):
+        assert len(loader) == 4
+        assert loader.sequence_ids == [0]
+        assert loader.sequence_sizes == {0: 4}
+
+    def test_data_calib(self, loader):
+        cloud = loader.lidar_data(0)
+        assert cloud.shape == (256, 4)
+        img = loader.camera_data(0, names="cam2")
+        assert img.size == (1226, 370)
+        calib = loader.calibration_data(0)
+        assert calib.base_frame == "velo"
+        assert {"cam0", "cam1", "cam2", "cam3"} <= set(calib.frames)
+
+    def test_semantic_labels(self, loader):
+        seg = loader.annotation_3dpoints(0)
+        assert seg.semantic.shape == (256,)
+        # raw 10 (car) -> learning id 1; raw 40 (road) -> 9
+        assert (seg.semantic[:64] == 1).all()
+        assert (seg.semantic[64:] == 9).all()
+        assert (seg.instance[:64] == 7).all()
+        assert not seg.moving.any()
+        raw = loader.annotation_3dpoints(0, convert_tag=False)
+        assert (raw.semantic[:64] == 10).all()
+
+    def test_pose_timestamp(self, loader):
+        pose = loader.pose(2)
+        assert pose.position[0] == pytest.approx(3.0)
+        assert loader.timestamp(1) == 100001
+        assert loader.identity_in_raw(1) == ("2011_10_03_drive_0027_sync", 1)
+
+
+# ----------------------------------------------------------------- KITTI-360
+class TestKitti360:
+    @pytest.fixture(scope="class")
+    def loader(self, tmp_path_factory):
+        from d3d_tpu.dataset.kitti360 import KITTI360Loader
+
+        root = tmp_path_factory.mktemp("kitti360")
+        dfx.build_kitti360(root, nframes=4)
+        return KITTI360Loader(root, inzip=False, phase="training",
+                              trainval_split=1)
+
+    def test_sizes(self, loader):
+        assert len(loader) == 4
+        assert loader.sequence_ids == [dfx._K360_SEQ]
+
+    def test_data(self, loader):
+        cloud = loader.lidar_data(0)
+        assert cloud.shape == (300, 4)
+        img = loader.camera_data(0, names="cam1")
+        assert img.size == (1408, 376)
+        img3 = loader.camera_data(0, names="cam3")  # fisheye
+        assert img3.size == (1400, 1400)
+        sick = loader.intermediate_data(0, names="sick")
+        assert sick.shape == (64, 2)
+
+    def test_calib(self, loader):
+        calib = loader.calibration_data(0)
+        assert {"cam1", "cam2", "cam3", "cam4", "velo",
+                "sick"} <= set(calib.frames)
+        # the MEI mirror coefficient survives into the metadata
+        assert calib.intrinsics_meta["cam3"].mirror_coeff \
+            == pytest.approx(2.21)
+
+    def test_annotation_boxes(self, loader):
+        objs0 = loader.annotation_3dobject(0)
+        assert len(objs0) == 1  # dynamic pedestrian only exists at frame 1
+        car = objs0[0]
+        assert car.tag_top.name == "car"
+        assert np.allclose(car.position, [5.0, 2.0, 0.0], atol=1e-5)
+        assert np.allclose(sorted(car.dimension), [1.5, 1.6, 3.9], atol=1e-4)
+        objs1 = loader.annotation_3dobject(1)
+        assert len(objs1) == 2
+        # at frame 2 the ego has moved 2 m along x -> box shifts to 3
+        objs2 = loader.annotation_3dobject(2)
+        assert np.allclose(objs2[0].position, [3.0, 2.0, 0.0], atol=1e-5)
+
+    def test_annotation_points(self, loader):
+        seg = loader.annotation_3dpoints(0)
+        assert len(seg.points) == 384
+        assert set(np.unique(seg.semantic)) == {7, 26}
+        dyn = loader.annotation_3dpoints(1, dynamic=True)
+        assert len(dyn.points) == 32
+
+    def test_pose_timestamp(self, loader):
+        pose = loader.pose(3)
+        assert pose.position[0] == pytest.approx(3.0)
+        assert loader.timestamp(1) > 1e15
+
+
+# --------------------------------------------------------------------- Waymo
+class TestWaymo:
+    @pytest.fixture(scope="class", params=[False, True],
+                    ids=["dir", "zip"])
+    def loader(self, tmp_path_factory, request):
+        from d3d_tpu.dataset.waymo import WaymoLoader
+
+        root = tmp_path_factory.mktemp("waymo")
+        dfx.build_waymo(root, nframes=3, zipped=request.param)
+        return WaymoLoader(root, phase="training", inzip=request.param)
+
+    def test_sizes(self, loader):
+        assert len(loader) == 3
+        assert loader.sequence_sizes == {
+            "1234567890_000_000_1234567890_000": 3}
+
+    def test_data(self, loader):
+        cloud = loader.lidar_data(0)
+        assert cloud.shape == (300, 5)
+        rec = loader.lidar_data(0, formatted=True)
+        assert set(rec.dtype.names) == {"x", "y", "z", "intensity",
+                                        "elongation"}
+        # stored in sensor frame, reported in vehicle frame (z += 2.18)
+        raw = np.frombuffer(
+            loader.lidar_data(0, names="lidar_top")[:, :3].tobytes(),
+            dtype="f4")
+        img = loader.camera_data(0)
+        assert img.size == (192, 128)
+
+    def test_annotation(self, loader):
+        objs = loader.annotation_3dobject(1)
+        assert len(objs) == 2 and objs.frame == "vehicle"
+        assert np.allclose(objs[0].position, [11.0, 2.0, 1.0])
+        assert objs[0].tag_top.name == "Vehicle"
+        assert objs[1].tag_top.name == "Pedestrian"
+        assert objs[0].tid == objs[1].tid - 1  # decoded from base64 ids
+        ann2d = loader.annotation_2dobject(0)
+        assert ann2d[0]["size"] == [60, 40]
+
+    def test_calib_pose(self, loader):
+        calib = loader.calibration_data(0)
+        assert {"camera_front", "lidar_top"} <= set(calib.frames)
+        pose = loader.pose(2)
+        assert pose.position[0] == pytest.approx(4.0)
+        assert loader.timestamp(1) == 1550000000100000
+
+
+# ---------------------------------------------------------------------- CADC
+class TestCADC:
+    @pytest.fixture(scope="class")
+    def loader(self, tmp_path_factory):
+        from d3d_tpu.dataset.cadc import CADCDLoader
+
+        root = tmp_path_factory.mktemp("cadc")
+        dfx.build_cadc(root, nframes=3)
+        return CADCDLoader(root, inzip=False, phase="training",
+                           trainval_split=1)
+
+    def test_sizes(self, loader):
+        assert len(loader) == 3
+        assert loader.sequence_ids == ["2018_03_06-0001"]
+
+    def test_data(self, loader):
+        cloud = loader.lidar_data(0)
+        assert cloud.shape == (256, 4)
+        img = loader.camera_data(0, names="camera_F")
+        assert img.size == (1280, 1024)
+
+    def test_calib(self, loader):
+        calib = loader.calibration_data(0)
+        assert set(loader.VALID_CAM_NAMES) <= set(calib.frames)
+        assert "lidar" in calib.frames and "novatel" in calib.frames
+
+    def test_annotation(self, loader):
+        from d3d_tpu.dataset.cadc import CADCObjectClass
+
+        objs = loader.annotation_3dobject(1)
+        assert len(objs) == 2 and objs.frame == "lidar"
+        assert objs[0].tag_top == CADCObjectClass.Car | CADCObjectClass.Moving
+        assert np.allclose(objs[0].position, [13.0, 3.0, 0.8])
+        # dimensions reordered to l, w, h
+        assert np.allclose(objs[0].dimension, [4.6, 2.0, 1.6])
+        assert objs[1].tag_top == (CADCObjectClass.Semi_Truck
+                                   | CADCObjectClass.Parked)
+
+    def test_pose_timestamp(self, loader):
+        pose = loader.pose(0)
+        assert np.isfinite(pose.position).all()
+        assert loader.timestamp(1) > 1e15
