@@ -56,7 +56,7 @@ def host_reference_ms(pts, boxes, scores):
 def main():
     import jax
     import jax.numpy as jnp
-    from d3d_tpu.ops.voxel import voxelize_dense_padded
+    from d3d_tpu.ops.voxel import voxelize_mean_fm
     from d3d_tpu.ops.nms import nms2d
 
     rng = np.random.default_rng(42)
@@ -84,9 +84,11 @@ def main():
 
     from jax import lax
 
-    def pipeline(points, boxes, scores):
-        vox = voxelize_dense_padded(points, shape, bounds, 32, 16000, "mean",
-                                    order_mode="sorted")
+    def pipeline(points_fm, boxes, scores):
+        # feature-major fixed-point voxelizer (see ops/voxel.py:
+        # voxelize_mean_fm — 2.8x the row-major path on v5e, 1000x less
+        # mean error than the f32 cumsum-difference form)
+        vox = voxelize_mean_fm(points_fm, shape, bounds, 16000)
         keep = ~nms2d(boxes, scores, iou_threshold=0.25, iou_method="rbox")
         return vox.aggregates, vox.coords, vox.nvoxels, keep
 
@@ -97,18 +99,19 @@ def main():
     REPS = 64
 
     @jax.jit
-    def pipeline_reps(points, boxes, scores):
+    def pipeline_reps(points_fm, boxes, scores):
         def body(_, carry):
             chk, = carry
             agg, coords, nv, keep = pipeline(
-                points + chk * 1e-20, boxes, scores)
-            chk = (jnp.sum(agg[:8, 0]) + jnp.sum(coords[0]) + nv
+                points_fm + chk * 1e-20, boxes, scores)
+            chk = (jnp.sum(agg[0, :8]) + jnp.sum(coords[:, 0]) + nv
                    + jnp.sum(keep[:8])).astype(jnp.float32)
             return (chk,)
 
         return lax.fori_loop(0, REPS, body, (jnp.float32(0),))
 
-    args = (jnp.asarray(pts), jnp.asarray(boxes), jnp.asarray(scores))
+    args = (jnp.asarray(np.ascontiguousarray(pts.T)), jnp.asarray(boxes),
+            jnp.asarray(scores))
     jax.block_until_ready(pipeline_reps(*args))  # compile + warmup
 
     times = []

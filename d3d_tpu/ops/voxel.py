@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..utils import EDict
 
-__all__ = ["VoxelGenerator", "voxelize_dense_padded", "voxelize_sparse_padded"]
+__all__ = ["VoxelGenerator", "voxelize_dense_padded", "voxelize_sparse_padded",
+           "voxelize_mean_fm"]
 
 _INT_SENTINEL = np.iinfo(np.int64).max
 
@@ -290,6 +291,134 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
         out.aggregates = jnp.where(keep_v[:, None],
                                    agg.astype(points.dtype), 0)
     return out
+
+
+@partial(jax.jit, static_argnames=("shape", "max_voxels"))
+def voxelize_mean_fm(points_fm, shape, bounds, max_voxels):
+    """Feature-major mean voxelization — the speed-of-light path for model
+    pipelines (same cell semantics as :func:`voxelize_dense_padded` with
+    ``reduction="mean", order_mode="sorted"``; reference voxelize.cpp:46-199).
+
+    Why a second entry point: on TPU an (N, 4) point array lane-pads 4->128,
+    taxing every pass 32x, and the f32 cumsum-difference used for means
+    cancels catastrophically (~1 cm error at KITTI scale). This path instead
+
+      * keeps everything feature-major (F, N): 1-D T(1024) layouts,
+      * quantizes in-cell offsets (and extra columns over their range) to
+        ``min(14, log2(2^31/N))`` fixed-point bits and carries them through
+        the key sort as packed int32 pairs (3-operand sort),
+      * computes per-column int32 cumsums whose WRAPPING arithmetic makes
+        boundary differences exact (no cancellation; max mean error is
+        range / 2^(bits+1), ~1e-5 m for KITTI xyz),
+      * rides the exclusive cumsums through the boundary-compaction sort so
+        no 120k-row gather remains (each 1-D gather measured ~107 us).
+
+    Measured on v5e at 120k points / 16k voxels: 0.52 ms vs 1.49 ms for the
+    row-major path, with 1000x less error (see scripts/profile_cm_voxel.py).
+
+    :param points_fm: (F, N) float32, xyz in the first THREE rows
+    :param shape: static (3,) grid shape tuple
+    :param bounds: (6,) [xmin, xmax, ymin, ymax, zmin, zmax]
+    :param max_voxels: static voxel capacity V
+    :return: EDict(aggregates (F, V), coords (3, V) int32, voxel_npoints
+        (V,) int32, nvoxels) — voxels are in cell-key order
+    """
+    shape = tuple(int(v) for v in shape)
+    f, n = points_fm.shape
+    if n < max_voxels + 1:
+        # pad with out-of-range sentinel points so the [:V+1] slices exist
+        pad = max_voxels + 1 - n
+        points_fm = jnp.pad(points_fm, ((0, 0), (0, pad)),
+                            constant_values=-1e30)
+        n = max_voxels + 1
+    b = bounds.reshape(3, 2)
+    sh = jnp.asarray(shape, jnp.int32)
+    vsize = (b[:, 1] - b[:, 0]) / sh
+    max_key = shape[0] * shape[1] * shape[2]
+    assert max_key + 2 < (1 << 31), "voxel grid too large for int32 keys"
+    qbits = min(14, int(np.log2((2 ** 31 - 1) / n)))
+    qscale = float(1 << qbits)
+
+    scaled = (points_fm[:3] - b[:, 0:1]) / vsize[:, None]
+    idx = jnp.trunc(jnp.clip(scaled, -2e9, 2e9)).astype(jnp.int32)
+    inr = jnp.all((idx >= 0) & (idx < sh[:, None]), axis=0)
+    key = (idx[0] * shape[1] + idx[1]) * shape[2] + idx[2]
+    key = jnp.where(inr, key, max_key + 1).astype(jnp.int32)
+
+    # in-cell offsets (xyz) / range-normalized extras, as fixed point.
+    # frac can be NEGATIVE: the reference's C int() cast truncates toward
+    # zero, so scaled in (-1, 0) lands in cell 0 with a negative offset
+    # (voxelize.cpp:102 semantics) — quantize signed, clamp the +1.0 edge
+    frac = scaled - idx.astype(scaled.dtype)
+    qxyz = jnp.round(frac * qscale).astype(jnp.int32)
+    extra = points_fm[3:]
+    cmin = jnp.min(extra, axis=1, keepdims=True)
+    crange = jnp.maximum(jnp.max(extra, axis=1, keepdims=True) - cmin, 1e-30)
+    qextra = jnp.round((extra - cmin) / crange * qscale).astype(jnp.int32)
+    qmax = jnp.int32(1 << qbits)
+    qcols = jnp.clip(jnp.concatenate([qxyz, qextra], axis=0),
+                     -qmax, qmax - 1)
+
+    # offset-packed pairs: q + 2^qbits fits 15 bits, two per int32 operand
+    halfbit = jnp.int32(1 << 15)
+    qoff = qcols + qmax
+    packed = [qoff[i] * halfbit + qoff[i + 1] if i + 1 < f
+              else qoff[i] for i in range(0, f, 2)]
+    sres1 = jax.lax.sort((key,) + tuple(packed), num_keys=1, is_stable=False)
+    k_s = sres1[0]
+    qcols_s = []
+    for i, p in enumerate(sres1[1:]):
+        if 2 * i + 1 < f:
+            qcols_s += [p // halfbit - qmax, p % halfbit - qmax]
+        else:
+            qcols_s.append(p - qmax)
+    valid_s = k_s <= max_key
+
+    newseg = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    kbig = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+
+    # boundary-compaction sort: boundary rows carry (position, key, exclusive
+    # int32 cumsum per column); non-boundary rows carry (n, kbig, grand
+    # total) and sort last — slot v+1 then holds everything needed to close
+    # segment v even when no sentinel segment exists
+    ops = [jnp.where(newseg, pos, n), jnp.where(newseg, k_s, kbig)]
+    for col in qcols_s:
+        colv = jnp.where(valid_s, col, 0)
+        csum = jnp.cumsum(colv)  # int32 wraps mod 2^32: differences exact
+        ops.append(jnp.where(newseg, csum - colv, csum[-1]))
+    sres = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
+    seg_start, seg_key_s, e_cols = sres[0], sres[1], sres[2:]
+
+    next_start = jnp.concatenate([seg_start[1:], jnp.full(1, n, jnp.int32)])
+    nvalid = jnp.sum(valid_s.astype(jnp.int32))
+    seg_valid = (seg_start < n) & (seg_start < nvalid)
+    npoints_seg = jnp.where(seg_valid, next_start - seg_start, 0)
+    nvoxels = jnp.sum(seg_valid.astype(jnp.int32))
+
+    keep_v = seg_valid[:max_voxels]
+    npoints = jnp.where(keep_v, npoints_seg[:max_voxels], 0)
+    seg_key = jnp.where(keep_v, seg_key_s[:max_voxels], 0)
+
+    c0 = seg_key // (shape[1] * shape[2])
+    rem = seg_key % (shape[1] * shape[2])
+    coords = jnp.stack([c0, rem // shape[2], rem % shape[2]], axis=0)
+
+    inv_np = 1.0 / jnp.maximum(npoints, 1).astype(jnp.float32)
+    totq = [(e[1:max_voxels + 1] - e[:max_voxels]).astype(jnp.float32)
+            / qscale for e in e_cols]
+    mean_frac = jnp.stack(totq[:3], axis=0) * inv_np[None, :]
+    agg_xyz = (coords.astype(jnp.float32) + mean_frac) * vsize[:, None] \
+        + b[:, 0:1]
+    if f > 3:
+        agg_extra = jnp.stack(totq[3:], axis=0) * inv_np[None, :] \
+            * crange + cmin
+        agg = jnp.concatenate([agg_xyz, agg_extra], axis=0)
+    else:
+        agg = agg_xyz
+    agg = jnp.where(keep_v[None, :], agg, 0)
+    return EDict(aggregates=agg, coords=coords, voxel_npoints=npoints,
+                 nvoxels=jnp.minimum(nvoxels, max_voxels))
 
 
 @jax.jit
