@@ -110,24 +110,41 @@ def main():
 
         return lax.fori_loop(0, REPS, body, (jnp.float32(0),))
 
-    args = (jnp.asarray(np.ascontiguousarray(pts.T)), jnp.asarray(boxes),
-            jnp.asarray(scores))
-    jax.block_until_ready(pipeline_reps(*args))  # compile + warmup
+    pts_fm = jnp.asarray(np.ascontiguousarray(pts.T))
+    bx, sc = jnp.asarray(boxes), jnp.asarray(scores)
+    # the axon tunnel MEMOIZES identical (executable, args) executions and
+    # can return a cached result at RTT speed — give every probe its own
+    # device-perturbed copy of the points (perturbation computed on device,
+    # no host transfer in the timed region)
+    perturb = jax.jit(lambda p, e: p + e)
+    copies = [jax.block_until_ready(perturb(pts_fm, jnp.float32(i) * 1e-6))
+              for i in range(6)]
+
+    # jax.block_until_ready can return WITHOUT waiting on the axon tunnel
+    # (observed nondeterministically); fetching a scalar from the result is
+    # the only reliable completion barrier. The fetch RTT is part of the
+    # trivial-dispatch probe subtracted below.
+    def run_and_wait(*a):
+        return float(np.asarray(pipeline_reps(*a)[0]))
+
+    run_and_wait(copies[5], bx, sc)  # compile + warmup
 
     times = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipeline_reps(*args))
+        run_and_wait(copies[i], bx, sc)
         times.append(time.perf_counter() - t0)
     # subtract the bare dispatch round-trip; the tunnel RTT occasionally
     # spikes by tens of ms, so take the MIN of several probes and never
     # let the subtraction collapse the measurement below half the raw time
     trivial = jax.jit(lambda x: x + 1)
-    jax.block_until_ready(trivial(args[1]))
+    tprobes = [jax.block_until_ready(perturb(bx, jnp.float32(i) * 1e-6))
+               for i in range(6)]
+    float(np.asarray(trivial(tprobes[5])[0, 0]))
     rtts = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(trivial(args[1]))
+        float(np.asarray(trivial(tprobes[i])[0, 0]))
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
     med = float(np.median(times))
