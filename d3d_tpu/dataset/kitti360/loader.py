@@ -226,19 +226,64 @@ class KITTI360Loader(TrackingDatasetBase):
         return load_velo_scan(self.base_path / "data_3d_raw", fname,
                               formatted=formatted)
 
-    @expand_idx_name(["sick"])
-    def intermediate_data(self, idx, names="sick", ninter_frames=None):
-        """SICK scans are unsynchronized; return the raw scans of the frame's
-        data folder (the reference also exposes them this way)."""
-        seq_id, frame_idx = idx
-        fname = Path(seq_id, "sick_points", "data", "%010d.bin" % frame_idx)
-        if self._return_file_path:
-            return self.base_path / "data_3d_raw" / fname
+    def _load_sick_scan(self, seq_id, sick_idx):
+        fname = Path(seq_id, "sick_points", "data", "%010d.bin" % sick_idx)
         if self.inzip:
             with PatchedZipFile(self.base_path / f"{seq_id}_sick.zip",
                                 to_extract=fname) as src:
                 return load_sick_scan(src, fname)
         return load_sick_scan(self.base_path / "data_3d_raw", fname)
+
+    @expand_idx_name(["sick"])
+    def intermediate_data(self, idx, names="sick", ninter_frames=None,
+                          report_semantic=True):
+        """SICK scans between the previous and current velodyne timestamps
+        (reference kitti360/loader.py:627-704): a list of EDicts with
+        ``index``, ``timestamp``, interpolated ``pose``, ``data`` (N, 2) and
+        — when ``report_semantic`` — per-point ``rgb/semantic/instance/
+        visible`` transferred from the aggregated windows."""
+        seq_id, frame_idx = idx
+        self._preload_timestamps(seq_id, "velo")
+        self._preload_timestamps(seq_id, "sick")
+        if report_semantic:
+            self._preload_3dsemantics(seq_id)
+
+        key_ts_list = self._timestamp_cache[(seq_id, "velo")]
+        key_ts_prev = key_ts_list[frame_idx - 1] if frame_idx != 0 else 0
+        key_ts = key_ts_list[frame_idx]
+        sick_ts = self._timestamp_cache[(seq_id, "sick")]
+        ia = int(np.searchsorted(sick_ts, key_ts_prev, side="right"))
+        ib = int(np.searchsorted(sick_ts, key_ts, side="right"))
+        idx_list = list(range(ia, ib))
+        if ninter_frames is not None:
+            idx_list = idx_list[-ninter_frames:]
+
+        if self.interpolate_pose:
+            self._preload_poses(seq_id)
+            fpos = interp1d(key_ts_list, self._poses_t[seq_id], axis=0,
+                            fill_value="extrapolate")
+            frot = interp1d(key_ts_list,
+                            self._poses_r[seq_id].as_rotvec(), axis=0,
+                            fill_value="extrapolate")
+
+        result = []
+        for sick_idx in idx_list:
+            item = EDict(index=sick_idx, timestamp=int(sick_ts[sick_idx]))
+            if self.interpolate_pose:
+                ts = sick_ts[sick_idx]
+                item.pose = EgoPose(fpos(ts),
+                                    Rotation.from_rotvec(frot(ts)))
+            if self._return_file_path:
+                item.file = (self.base_path / "data_3d_raw" / seq_id
+                             / "sick_points" / "data"
+                             / ("%010d.bin" % sick_idx))
+            else:
+                item.data = self._load_sick_scan(seq_id, sick_idx)
+                if report_semantic:
+                    item.update(self._read_semantic_bins(
+                        seq_id, "sick", sick_idx, len(item.data)))
+            result.append(item)
+        return result
 
     # -- annotations --------------------------------------------------------------
     def _preload_3dobjects(self, seq_id):
@@ -290,10 +335,11 @@ class KITTI360Loader(TrackingDatasetBase):
         return boxes
 
     @expand_idx
-    def annotation_3dpoints(self, idx, names="velo", dynamic=False,
-                            radius=80.0):
+    def semantic_window_points(self, idx, dynamic=False, radius=80.0):
         """Aggregated semantic window points near the frame (world frame),
-        as a structured array with xyz/rgb/semantic/instance fields.
+        as a structured array with xyz/rgb/semantic/instance fields — a
+        lightweight alternative to the per-frame transfer of
+        :meth:`annotation_3dpoints` (beyond the reference surface).
 
         :param dynamic: read the dynamic windows instead of static
         :param radius: crop radius around the frame pose
@@ -322,6 +368,173 @@ class KITTI360Loader(TrackingDatasetBase):
             if field in data.dtype.names:
                 out[field.lower().replace("id", "")] = data[field][sel]
         return out
+
+    # -- per-frame semantic label transfer -------------------------------------
+    _semantic_dtypes = dict(rgb="u1", semantic="u1", instance="u2",
+                            visible="u1")
+
+    def _semantic_result_path(self, seq_id):
+        return self.base_path / "data_3d_semantics" / seq_id
+
+    def _read_semantic_bins(self, seq_id, sensor, frame_idx, npoints):
+        fnames = {k: Path("data_3d_semantics", seq_id, sensor, k,
+                          "%010d.bin" % frame_idx)
+                  for k in self._semantic_dtypes}
+        data = EDict()
+        if self.inzip:
+            with PatchedZipFile(self.base_path / f"{seq_id}_semantics.zip",
+                                to_extract=list(fnames.values())) as ar:
+                for k, v in fnames.items():
+                    data[k] = np.frombuffer(ar.read(str(v)),
+                                            dtype=self._semantic_dtypes[k])
+        else:
+            for k, v in fnames.items():
+                data[k] = np.fromfile(self.base_path / v,
+                                      dtype=self._semantic_dtypes[k])
+        data.rgb = data.rgb.reshape(-1, 3)
+        data.visible = np.unpackbits(data.visible,
+                                     count=npoints).astype(bool)
+        return data
+
+    def _world_velo_cloud(self, seq_id, frame_idx):
+        cloud = self.lidar_data((seq_id, frame_idx), bypass=True)[:, :3]
+        cloud = self._calibration.transform_points(
+            cloud, frame_to="pose", frame_from="velo")
+        return cloud.dot(self._poses_r[seq_id][frame_idx].as_matrix().T) \
+            + self._poses_t[seq_id][frame_idx]
+
+    def _iter_frame_clouds(self, seq_id, frame_idx):
+        """(sensor, index, world-frame xyz) for the frame's velo scan and
+        its intermediate sick scans."""
+        yield "velodyne", frame_idx, self._world_velo_cloud(seq_id,
+                                                            frame_idx)
+        for item in self.intermediate_data(
+                (seq_id, frame_idx), names="sick", report_semantic=False,
+                bypass=True):
+            cloud = np.insert(item.data, 2, 0, axis=1)
+            cloud = self._calibration.transform_points(
+                cloud, frame_to="pose", frame_from="sick")
+            cloud = cloud.dot(item.pose.orientation.as_matrix().T) \
+                + item.pose.position
+            yield "sick", item.index, cloud
+
+    def _preload_3dsemantics(self, seq_id, expand_frames=150, nworkers=0):
+        """Transfer the aggregated window labels onto every frame's own
+        velo/sick points (reference kitti360/loader.py:326-528 contract:
+        nearest window point per scan point, static + per-timestamp dynamic
+        windows, nearest-across-windows merge, per-field binary cache).
+
+        TPU-first twist: the reference fans a scipy KDTree query per window
+        out over a process pool; here the O(N*M) match runs as a chunked
+        MXU matmul on device (`d3d_tpu.ops.point.nearest_neighbor`), so no
+        worker pool is needed — ``nworkers`` is accepted for signature
+        parity and ignored.
+        """
+        if self.inzip:
+            if (self.base_path / f"{seq_id}_semantics.zip").exists():
+                return
+            raise NotImplementedError(
+                "build the semantic cache on the unzipped layout first "
+                "(then zip data_3d_semantics/<seq> as <seq>_semantics.zip)")
+        result_path = self._semantic_result_path(seq_id)
+        if (result_path / "velodyne" / "semantic").exists():
+            return
+
+        from ...ops.point import nearest_neighbor
+        from .utils import id2label
+
+        self._preload_poses(seq_id)
+        nframes = self.sequence_sizes[seq_id]
+        idmap = np.zeros(max(id2label.keys()) + 1, dtype="u1")
+        for i, label in id2label.items():
+            if i >= 0:
+                idmap[i] = label.name.value
+
+        # best-so-far accumulators keyed by (sensor, frame index)
+        accum = {}
+
+        def update(sensor, fidx, cloud, win_xyz, win_fields):
+            if len(cloud) == 0 or len(win_xyz) == 0:
+                return
+            dist, nn = nearest_neighbor(cloud, win_xyz)
+            key = (sensor, fidx)
+            if key not in accum:
+                accum[key] = EDict(
+                    dist=np.full(len(cloud), np.inf),
+                    rgb=np.zeros((len(cloud), 3), "u1"),
+                    semantic=np.zeros(len(cloud), "u1"),
+                    instance=np.zeros(len(cloud), "u2"),
+                    visible=np.zeros(len(cloud), bool))
+            a = accum[key]
+            upd = dist < a.dist
+            a.dist = np.where(upd, dist, a.dist)
+            a.rgb = np.where(upd[:, None], win_fields["rgb"][nn], a.rgb)
+            a.semantic = np.where(upd, idmap[win_fields["semantic"][nn]],
+                                  a.semantic)
+            a.instance = np.where(
+                upd, win_fields["instance"][nn].astype("u2"), a.instance)
+            a.visible = np.where(upd, win_fields["visible"][nn] > 0,
+                                 a.visible)
+
+        for kind in ("static", "dynamic"):
+            folder = result_path / kind
+            if not folder.exists():
+                continue
+            for ply in sorted(folder.glob("*.ply")):
+                data = load_ply(folder, ply.name)
+                if len(data) == 0:
+                    continue
+                fstart, fend = (int(v) for v in ply.stem.split("_"))
+                fstart = max(fstart - expand_frames, 0)
+                fend = min(fend + expand_frames, nframes)
+                xyz = np.stack([data["x"], data["y"], data["z"]], 1)
+                fields = dict(
+                    rgb=np.stack([data["red"], data["green"], data["blue"]],
+                                 1) if "red" in data.dtype.names
+                    else np.zeros((len(data), 3), "u1"),
+                    semantic=data["semantic"].astype(np.int64),
+                    instance=data["instance"],
+                    visible=data["visible"]
+                    if "visible" in data.dtype.names
+                    else np.ones(len(data), "u1"))
+                dyn_ts = data["timestamp"] if kind == "dynamic" \
+                    and "timestamp" in data.dtype.names else None
+                for fidx in range(fstart, fend):
+                    if dyn_ts is not None:
+                        sel = dyn_ts == fidx
+                        if not sel.any():
+                            continue
+                        wxyz = xyz[sel]
+                        wfields = {k: v[sel] for k, v in fields.items()}
+                    else:
+                        wxyz, wfields = xyz, fields
+                    for sensor, sidx, cloud in self._iter_frame_clouds(
+                            seq_id, fidx):
+                        update(sensor, sidx, cloud, wxyz, wfields)
+
+        for sensor in ("velodyne", "sick"):
+            for k in self._semantic_dtypes:
+                (result_path / sensor / k).mkdir(parents=True, exist_ok=True)
+        for (sensor, fidx), a in accum.items():
+            out = result_path / sensor
+            a.rgb.tofile(out / "rgb" / ("%010d.bin" % fidx))
+            a.semantic.tofile(out / "semantic" / ("%010d.bin" % fidx))
+            a.instance.tofile(out / "instance" / ("%010d.bin" % fidx))
+            np.packbits(a.visible).tofile(
+                out / "visible" / ("%010d.bin" % fidx))
+
+    @expand_idx
+    def annotation_3dpoints(self, idx):
+        """Per-point semantic labels for the frame's OWN velodyne scan
+        (reference kitti360/loader.py:627-652 contract): EDict with
+        ``rgb (N, 3) u1``, ``semantic (N,) u1`` (Kitti360Class values),
+        ``instance (N,) u2`` and ``visible (N,) bool``, transferred from the
+        aggregated windows on first use and cached as binary files."""
+        seq_id, frame_idx = idx
+        self._preload_3dsemantics(seq_id)
+        npoints = len(self.lidar_data(idx, bypass=True))
+        return self._read_semantic_bins(seq_id, "velodyne", frame_idx,
+                                        npoints)
 
     # -- poses / timestamps ----------------------------------------------------------
     def _preload_timestamps(self, seq, name):

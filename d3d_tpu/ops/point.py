@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["aligned_scatter"]
+__all__ = ["aligned_scatter", "nearest_neighbor"]
 
 
 def _neighbor_lattice(coords, spatial_shape):
@@ -110,3 +110,66 @@ def aligned_scatter(coordinates, feature_map, method="drop"):
     else:
         raise ValueError("Unsupported align method!")
     return np.asarray(out) if convert else out
+
+
+@partial(jax.jit, static_argnames=("q_chunk", "r_chunk"))
+def _nn_padded(query, ref, rvalid, q_chunk, r_chunk):
+    """Chunked brute-force nearest neighbor: argmin_j |q_i - r_j|.
+
+    |q-r|^2 = |q|^2 - 2 q.r + |r|^2 with the cross term as a matmul — on
+    TPU the O(N*M) distance work rides the MXU instead of scalar loops (the
+    reference builds a scipy KDTree per window, kitti360/loader.py:330-360).
+    Double-chunked so the (N, M) matrix never materializes.
+    """
+    rn = jnp.where(rvalid, jnp.sum(ref * ref, axis=1), jnp.inf)
+    nq = query.shape[0]
+    m = ref.shape[0]
+
+    def one_query_chunk(qc):
+        qn = jnp.sum(qc * qc, axis=1)
+
+        def body(j, carry):
+            best_d, best_i = carry
+            rc = jax.lax.dynamic_slice(ref, (j * r_chunk, 0), (r_chunk, 3))
+            rnc = jax.lax.dynamic_slice(rn, (j * r_chunk,), (r_chunk,))
+            # full-f32 matmul: bf16 MXU passes lose ~0.1 m at unit scale
+            cross = jnp.matmul(qc, rc.T, precision=jax.lax.Precision.HIGHEST)
+            d = qn[:, None] - 2.0 * cross + rnc[None, :]
+            i = jnp.argmin(d, axis=1).astype(jnp.int32)
+            dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+            upd = dmin < best_d
+            return (jnp.where(upd, dmin, best_d),
+                    jnp.where(upd, i + j * r_chunk, best_i))
+
+        init = (jnp.full(qc.shape[0], jnp.inf, query.dtype),
+                jnp.zeros(qc.shape[0], jnp.int32))
+        return jax.lax.fori_loop(0, m // r_chunk, body, init)
+
+    d2, idx = jax.lax.map(one_query_chunk,
+                          query.reshape(-1, q_chunk, 3))
+    return (jnp.sqrt(jnp.maximum(d2.reshape(nq), 0.0)),
+            idx.reshape(nq))
+
+
+def nearest_neighbor(query, ref, q_chunk=1024, r_chunk=4096):
+    """Nearest reference point per query point (brute force on device).
+
+    :param query: (N, 3) float array
+    :param ref: (M, 3) float array, M >= 1
+    :return: (distance (N,), index (N,) int32) numpy arrays
+    """
+    query = np.asarray(query, np.float32)
+    ref = np.asarray(ref, np.float32)
+    n, m = len(query), len(ref)
+    if n == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    q_chunk = min(q_chunk, max(8, n))
+    r_chunk = min(r_chunk, max(8, m))
+    npad = -n % q_chunk
+    mpad = -m % r_chunk
+    qp = np.pad(query, ((0, npad), (0, 0)))
+    rp = np.pad(ref, ((0, mpad), (0, 0)))
+    rvalid = np.arange(len(rp)) < m
+    d, i = _nn_padded(jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(rvalid),
+                      q_chunk, r_chunk)
+    return np.asarray(d)[:n], np.asarray(i)[:n]

@@ -222,25 +222,29 @@ def _k360_box_xml(objects):
             + "".join(items) + "</opencv_storage>")
 
 
-def _write_ply(path, xyz, semantic, instance, rgb=None):
+def _write_ply(path, xyz, semantic, instance, rgb=None, timestamp=None):
     n = len(xyz)
+    ts_prop = "property int timestamp\n" if timestamp is not None else ""
     header = ("ply\nformat binary_little_endian 1.0\n"
               "element vertex %d\n"
               "property float x\nproperty float y\nproperty float z\n"
               "property uchar red\nproperty uchar green\nproperty uchar blue\n"
               "property int semantic\nproperty int instance\n"
-              "property uchar visible\nend_header\n" % n)
-    dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
-                   ("red", "u1"), ("green", "u1"), ("blue", "u1"),
-                   ("semantic", "<i4"), ("instance", "<i4"),
-                   ("visible", "u1")])
-    rec = np.zeros(n, dt)
+              "property uchar visible\n%send_header\n" % (n, ts_prop))
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+              ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+              ("semantic", "<i4"), ("instance", "<i4"), ("visible", "u1")]
+    if timestamp is not None:
+        fields.append(("timestamp", "<i4"))
+    rec = np.zeros(n, np.dtype(fields))
     rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     if rgb is not None:
         rec["red"], rec["green"], rec["blue"] = rgb.T
     rec["semantic"] = semantic
     rec["instance"] = instance
     rec["visible"] = 1
+    if timestamp is not None:
+        rec["timestamp"] = timestamp
     Path(path).write_bytes(header.encode() + rec.tobytes())
 
 
@@ -289,9 +293,12 @@ def build_kitti360(root, nframes=4):
     (seq3d / "sick_points" / "data").mkdir(parents=True, exist_ok=True)
     (seq3d / "sick_points" / "timestamps.txt").write_text(_k360_ts(nframes))
     for f in range(nframes):
-        rng.uniform([0, -20, -2, 0], [50, 20, 2, 1], (300, 4)).astype(
-            np.float32).tofile(
-            seq3d / "velodyne_points" / "data" / ("%010d.bin" % f))
+        cloud = rng.uniform([0, -20, -2, 0], [50, 20, 2, 1],
+                            (300, 4)).astype(np.float32)
+        # plant returns on the static car at world [5, 2, 0] (ego x = 5 - f)
+        cloud[:5, :3] = np.array([5.0 - f, 2.0, 0.0], np.float32) \
+            + rng.uniform(-0.2, 0.2, (5, 3)).astype(np.float32)
+        cloud.tofile(seq3d / "velodyne_points" / "data" / ("%010d.bin" % f))
         rng.uniform(-5, 5, (64, 2)).astype(np.float32).tofile(
             seq3d / "sick_points" / "data" / ("%010d.bin" % f))
     seq2d = root / "data_2d_raw" / _K360_SEQ
@@ -344,7 +351,8 @@ def build_kitti360(root, nframes=4):
     ped = rng.uniform(-1, 1, (32, 3)) * [0.3, 0.3, 0.9] + [8.0, -1.0, 0.0]
     _write_ply(ddir / ("%010d_%010d.ply" % (0, nframes - 1)),
                ped, np.full(32, 24), np.full(32, 24002),
-               rng.integers(0, 255, (32, 3)).astype(np.uint8))
+               rng.integers(0, 255, (32, 3)).astype(np.uint8),
+               timestamp=np.full(32, 1))  # pedestrian present at frame 1
     return _K360_SEQ
 
 

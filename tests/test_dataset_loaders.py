@@ -129,8 +129,10 @@ class TestKitti360:
         assert img.size == (1408, 376)
         img3 = loader.camera_data(0, names="cam3")  # fisheye
         assert img3.size == (1400, 1400)
-        sick = loader.intermediate_data(0, names="sick")
-        assert sick.shape == (64, 2)
+        items = loader.intermediate_data(0, names="sick",
+                                         report_semantic=False)
+        assert len(items) == 1 and items[0].data.shape == (64, 2)
+        assert items[0].index == 0 and items[0].pose is not None
 
     def test_calib(self, loader):
         calib = loader.calibration_data(0)
@@ -153,12 +155,46 @@ class TestKitti360:
         objs2 = loader.annotation_3dobject(2)
         assert np.allclose(objs2[0].position, [3.0, 2.0, 0.0], atol=1e-5)
 
-    def test_annotation_points(self, loader):
-        seg = loader.annotation_3dpoints(0)
+    def test_window_points(self, loader):
+        seg = loader.semantic_window_points(0)
         assert len(seg.points) == 384
         assert set(np.unique(seg.semantic)) == {7, 26}
-        dyn = loader.annotation_3dpoints(1, dynamic=True)
+        dyn = loader.semantic_window_points(1, dynamic=True)
         assert len(dyn.points) == 32
+
+    def test_annotation_points_per_frame(self, loader):
+        """Reference contract (kitti360/loader.py:627-652): per-point labels
+        for the frame's OWN velodyne scan, nearest-window-point transfer."""
+        from d3d_tpu.dataset.kitti360.utils import Kitti360Class
+
+        seg = loader.annotation_3dpoints(0)
+        n = len(loader.lidar_data(0))
+        assert seg.semantic.shape == (n,)
+        assert seg.rgb.shape == (n, 3)
+        assert seg.instance.dtype == np.uint16
+        assert seg.visible.dtype == bool and seg.visible.all()
+        # static window holds cars (id 26) and road (id 7) only
+        assert set(np.unique(seg.semantic)) <= {
+            int(Kitti360Class.car), int(Kitti360Class.road)}
+        # points physically inside the car cluster must be labeled car;
+        # the cluster sits at [5, 2, 0] in the world = frame-0 ego frame
+        cloud = loader.lidar_data(0)[:, :3]
+        calib = loader.calibration_data(0)
+        world = calib.transform_points(cloud, frame_to="pose",
+                                       frame_from="velo")
+        near_car = np.linalg.norm(world - [5.0, 2.0, 0.0], axis=1) < 0.4
+        if near_car.any():
+            assert (seg.semantic[near_car]
+                    == int(Kitti360Class.car)).all()
+
+    def test_intermediate_semantic(self, loader):
+        items = loader.intermediate_data(1, names="sick")
+        assert len(items) == 1
+        it = items[0]
+        assert it.index == 1
+        assert it.semantic.shape == (len(it.data),)
+        assert it.rgb.shape == (len(it.data), 3)
+        assert it.visible.dtype == bool
 
     def test_pose_timestamp(self, loader):
         pose = loader.pose(3)

@@ -105,3 +105,24 @@ def test_2d_integer_coordinate_reference_semantics(rng):
     out = aligned_scatter(coord, feat, "linear")
     expected = feat[0, :, 1, 2] + feat[0, :, 2, 2]
     assert np.allclose(out[0], expected)
+
+
+def test_nearest_neighbor_vs_kdtree(rng):
+    """Device brute-force NN (MXU matmul form) matches scipy's KDTree
+    exactly — the op behind the KITTI-360 semantic transfer
+    (reference kitti360/loader.py:330-360 uses sklearn KDTree)."""
+    from scipy.spatial import cKDTree
+
+    from d3d_tpu.ops.point import nearest_neighbor
+
+    q = rng.normal(size=(503, 3)).astype(np.float32) * 10
+    r = rng.normal(size=(1217, 3)).astype(np.float32) * 10
+    d, i = nearest_neighbor(q, r)
+    dd, ii = cKDTree(r).query(q)
+    np.testing.assert_array_equal(i, ii)
+    np.testing.assert_allclose(d, dd, atol=1e-3)
+    # edge cases: empty query, tiny ref, non-multiple chunk sizes
+    d0, i0 = nearest_neighbor(np.zeros((0, 3)), r)
+    assert d0.shape == (0,)
+    d1, i1 = nearest_neighbor(q[:7], r[:3])
+    assert (i1 < 3).all()
