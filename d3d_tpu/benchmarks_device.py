@@ -1,0 +1,343 @@
+"""On-device batched detection evaluation.
+
+The reference evaluates detections with a compiled Cython loop over the 40
+PR-sample thresholds, re-running a greedy score match per threshold per
+frame (reference d3d/benchmarks.pyx:176-286) and flags its own per-pair
+scipy logpdf accuracy stats as a bottleneck (benchmarks.pyx:259 "FIXME:
+these operations slow down the evaluator").
+
+TPU-first redesign (SURVEY.md §7 stage 5): the whole per-frame evaluation
+becomes ONE jitted XLA program —
+
+  * the DT x GT rotated-IoU matrix comes from the batched geometry kernels
+    (bit-identical to :class:`~d3d_tpu.tracking.matcher.ScoreMatcher`,
+    which calls the same ``box3dr_iou_pair``);
+  * the 40 score thresholds are evaluated as a ``vmap`` over a masked
+    greedy match implemented as a ``lax.fori_loop`` over detections in
+    descending-score order — exactly the reference's assignment semantics
+    including its quirk of ranking GT candidates by the distance row of
+    the *loop-position-th* subset element rather than the processed
+    detection's own row (matcher.pyx:155-158, replicated from
+    ``ScoreMatcher.match``);
+  * the per-pair accuracy stats (center distance, box-dimension distance,
+    quaternion angle, multivariate-normal + von-Mises log-likelihood) are
+    dense (D, G) matrices computed once per frame on the MXU/VPU instead
+    of scipy calls per matched pair per threshold;
+  * frames batch over a leading axis with another ``vmap`` and merge into
+    a single mergeable :class:`~d3d_tpu.benchmarks.DetectionEvalStats` with
+    a weighted-mean reduction on device.
+
+Counter outputs (ngt/ndt/tp/fp/fn) are integer-exact vs the host
+``DetectionEvaluator.calc_stats``; accuracy stats agree to f32 precision
+(the host path accumulates in f64 numpy / scipy).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .abstraction import Target3DArray
+
+__all__ = ["pack_frames", "eval_frames_device", "device_calc_stats"]
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+_BIG_RANK = np.int32(2 ** 30)
+
+
+# ---------------------------------------------------------------------------
+# host-side packing: Target3DArray pairs -> padded dense arrays
+# ---------------------------------------------------------------------------
+
+def _bucket(n, minimum=8):
+    """Round up to a power of two to bound jit recompiles across frames."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pack_one(arr: Target3DArray, class_to_idx, n, want_var):
+    """One Target3DArray -> fixed-size arrays. Padding rows are unit boxes
+    far outside the scene (IoU exactly 0 with everything) with label -1."""
+    labels = np.full(n, -1, np.int32)
+    scores = np.zeros(n, np.float32)
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:3] = 1e4
+    boxes[:, 3:6] = 1.0
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 3] = 1.0
+    if want_var:
+        pos_var = np.zeros((n, 3, 3), np.float32)
+        dim_var = np.zeros((n, 3, 3), np.float32)
+        ori_var = np.zeros(n, np.float32)
+
+    if len(arr) > 0:
+        # identical extraction to ScoreMatcher.prepare_boxes (to_numpy 9-col
+        # layout, cols 2:9) so the distance matrix is bit-identical
+        npy = arr.to_numpy().astype(np.float32)
+        boxes[:len(arr)] = npy[:, 2:9]
+        scores[:len(arr)] = npy[:, 1]
+    for i, box in enumerate(arr):
+        lab = box.tag.labels[0]
+        labels[i] = class_to_idx.get(getattr(lab, "value", lab), -1)
+        quats[i] = box.orientation.as_quat()
+        if want_var:
+            pos_var[i] = box.position_var
+            dim_var[i] = box.dimension_var
+            ori_var[i] = box.orientation_var
+
+    out = dict(labels=labels, scores=scores, boxes=boxes, quats=quats)
+    if want_var:
+        out.update(pos_var=pos_var, dim_var=dim_var, ori_var=ori_var)
+    return out
+
+
+def pack_frames(gt_arrays, dt_arrays, class_values, pad_dt=None, pad_gt=None):
+    """Pack lists of (gt, dt) Target3DArray pairs into stacked padded numpy
+    arrays with a leading frame axis, ready for :func:`eval_frames_device`.
+
+    :param class_values: ordered list of class *values* under evaluation
+        (``DetectionEvaluator._classes``); labels outside it pack as -1 and
+        are ignored, matching the host evaluator's tag filtering.
+    """
+    assert len(gt_arrays) == len(dt_arrays)
+    class_to_idx = {v: i for i, v in enumerate(class_values)}
+    nd = pad_dt or _bucket(max((len(a) for a in dt_arrays), default=1))
+    ng = pad_gt or _bucket(max((len(a) for a in gt_arrays), default=1))
+
+    dt = [_pack_one(a, class_to_idx, nd, want_var=True) for a in dt_arrays]
+    gt = [_pack_one(a, class_to_idx, ng, want_var=False) for a in gt_arrays]
+    stack = lambda packs, k: np.stack([p[k] for p in packs])
+    return {
+        "dt_label": stack(dt, "labels"), "dt_score": stack(dt, "scores"),
+        "dt_box": stack(dt, "boxes"), "dt_quat": stack(dt, "quats"),
+        "dt_pos_var": stack(dt, "pos_var"),
+        "dt_dim_var": stack(dt, "dim_var"),
+        "dt_ori_var": stack(dt, "ori_var"),
+        "gt_label": stack(gt, "labels"), "gt_box": stack(gt, "boxes"),
+        "gt_quat": stack(gt, "quats"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# device kernel
+# ---------------------------------------------------------------------------
+
+def _mvn_logpdf(delta, cov):
+    """Multivariate-normal log-density of residual ``delta`` under ``cov``
+    (scipy.stats.multivariate_normal.logpdf equivalent, batched 3x3)."""
+    sign, logdet = jnp.linalg.slogdet(cov)
+    sol = jnp.linalg.solve(cov, delta[..., None])[..., 0]
+    maha = jnp.sum(delta * sol, axis=-1)
+    return -0.5 * (3.0 * _LOG_2PI + logdet + maha)
+
+
+def _vonmises_logpdf(x, kappa):
+    """von-Mises log-density: kappa*cos(x) - log(2 pi I0(kappa)); log I0 via
+    the exponentially-scaled native op (log I0 = log i0e + kappa)."""
+    return kappa * jnp.cos(x) - _LOG_2PI - (jnp.log(jax.scipy.special.i0e(kappa)) + kappa)
+
+
+def _greedy_match(dist_ok, rank, dt_label, dt_score, dt_valid,
+                  gt_label, gt_valid, thres):
+    """Greedy score match for one threshold; returns per-GT matched dt index
+    (-1 unmatched). Exactly ScoreMatcher.match + _match_by_order semantics:
+    sources in descending score (ties: descending subset position), each
+    trying GT candidates by ascending distance rank of the loop-position-th
+    subset element (the reference quirk), first free compatible GT wins."""
+    D = dt_label.shape[0]
+    G = gt_label.shape[0]
+    m = dt_valid & (dt_score >= thres)  # survivors at this threshold
+
+    # subset-position -> dt index (survivors in index order first)
+    arange_d = jnp.arange(D, dtype=jnp.int32)
+    idx_by_pos = jnp.argsort(jnp.where(m, arange_d, jnp.int32(D)), stable=True)
+    # processing order: survivors by (-score, -index); composed stable sorts
+    order = arange_d[::-1]
+    order = order[jnp.argsort(-dt_score[order], stable=True)]
+    order = order[jnp.argsort(~m[order], stable=True)]
+    n_live = jnp.sum(m.astype(jnp.int32))
+
+    def body(i, gt_match):
+        src = order[i]
+        rr = rank[idx_by_pos[i]]  # reference quirk: row of subset[i]
+        adm = (gt_valid & (gt_label == dt_label[src]) & (gt_match < 0)
+               & dist_ok[src] & (i < n_live))
+        key = jnp.where(adm, rr, _BIG_RANK)
+        g = jnp.argmin(key)
+        found = key[g] < _BIG_RANK
+        hit = (jnp.arange(G, dtype=jnp.int32) == g) & found
+        return jnp.where(hit, src, gt_match)
+
+    init = jnp.full((G,), -1, jnp.int32)
+    return m, lax.fori_loop(0, D, body, init)
+
+
+@partial(jax.jit, static_argnames=("nclasses",))
+def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
+                       nclasses):
+    """Evaluate a batch of frames entirely on device.
+
+    :param packed: dict from :func:`pack_frames` (leading frame axis F)
+    :param thresholds: (S,) f32 PR-sample score thresholds
+    :param max_dist: (C,) f32 per-class max distance (1 - min IoU overlap)
+    :param max_dist_strict: (C,) bool — True where the f32 rounding of the
+        f64 threshold rounded up, so an exact f32 tie must be rejected to
+        match the host's f64 comparison
+    :param nclasses: static class count C
+    :returns: dict of per-frame dense stats — ``ngt`` (F, C); ``ndt``,
+        ``tp``, ``fp``, ``fn`` (F, C, S) i32; ``acc_{iou,angular,dist,box,
+        var}`` (F, C, S) f32 sums over matched GT (divide by ``tp`` for the
+        host evaluator's per-frame means).
+    """
+    from .ops.geometry import box3dr_iou_pair
+
+    def one_frame(p):
+        dtl, dts, dtb = p["dt_label"], p["dt_score"], p["dt_box"]
+        gtl, gtb = p["gt_label"], p["gt_box"]
+        D, G = dtl.shape[0], gtl.shape[0]
+        dv, gv = dtl >= 0, gtl >= 0
+
+        # distance matrix: identical computation to ScoreMatcher
+        b1 = dtb.at[:, 3:6].set(jnp.clip(dtb[:, 3:6], -1e3, 1e3))
+        b2 = gtb.at[:, 3:6].set(jnp.clip(gtb[:, 3:6], -1e3, 1e3))
+        iou = box3dr_iou_pair(b1[:, None, :], b2[None, :, :])
+        dist = (1.0 - iou).astype(jnp.float32)
+
+        # per-class acceptance, with the f32-tie fixup vs the host's f64
+        safe_gtl = jnp.where(gv, gtl, 0)
+        md = max_dist[safe_gtl]  # (G,)
+        le = dist <= md[None, :]
+        tie = (dist == md[None, :]) & max_dist_strict[safe_gtl][None, :]
+        dist_ok = le & ~tie
+
+        # stable ascending distance rank per dt row over valid gt
+        rank_key = jnp.where(gv[None, :], dist, jnp.float32(np.inf))
+        order_g = jnp.argsort(rank_key, axis=1, stable=True)
+        rank = jnp.argsort(order_g, axis=1, stable=True).astype(jnp.int32)
+
+        # (D, G) accuracy-value matrices, computed once on the VPU
+        d_pos = gtb[None, :, 0:3] - dtb[:, None, 0:3]
+        v_dist = jnp.linalg.norm(d_pos, axis=-1)
+        d_dim = gtb[None, :, 3:6] - dtb[:, None, 3:6]
+        v_box = jnp.linalg.norm(d_dim, axis=-1)
+        qdot = jnp.clip(jnp.abs(jnp.sum(p["dt_quat"][:, None, :]
+                                        * p["gt_quat"][None, :, :], -1)), 0, 1)
+        v_ang = 2.0 * jnp.arccos(qdot)
+        ov = p["dt_ori_var"]
+        lp = _mvn_logpdf(d_pos, p["dt_pos_var"][:, None])
+        lp = lp + _mvn_logpdf(d_dim, p["dt_dim_var"][:, None])
+        kappa = 1.0 / jnp.where(ov > 0, ov, 1.0)
+        lp = lp + _vonmises_logpdf(v_ang, kappa[:, None])
+        v_var = jnp.where((ov > 0)[:, None], lp, -jnp.inf)
+
+        # all thresholds at once: vmap over the masked greedy match
+        m_all, match_all = jax.vmap(
+            lambda t: _greedy_match(dist_ok, rank, dtl, dts, dv, gtl, gv, t)
+        )(thresholds)  # (S, D), (S, G)
+
+        cls = jnp.arange(nclasses, dtype=jnp.int32)
+        oh_dt = (dtl[None, :] == cls[:, None])  # (C, D)
+        oh_gt = (gtl[None, :] == cls[:, None])  # (C, G)
+
+        matched = match_all >= 0  # (S, G)
+        dt_matched = jnp.zeros((thresholds.shape[0], D), jnp.int32).at[
+            jnp.arange(thresholds.shape[0])[:, None],
+            jnp.where(matched, match_all, 0)
+        ].add(matched.astype(jnp.int32)) > 0  # (S, D)
+
+        i32 = lambda x: x.astype(jnp.int32)
+        ngt = i32(oh_gt) @ i32(gv)                                 # (C,)
+        ndt = jnp.einsum("cd,sd->cs", i32(oh_dt), i32(m_all))      # (C, S)
+        tp = jnp.einsum("cg,sg->cs", i32(oh_gt), i32(matched))
+        fp = jnp.einsum("cd,sd->cs", i32(oh_dt), i32(m_all & ~dt_matched))
+        fn = ngt[:, None] - tp
+
+        safe = jnp.where(matched, match_all, 0)  # (S, G)
+        g_idx = jnp.arange(G)[None, :]
+
+        def acc(v):
+            vals = jnp.where(matched, v[safe, g_idx], 0.0)  # (S, G)
+            return jnp.einsum("cg,sg->cs", oh_gt.astype(v.dtype), vals)
+
+        return dict(ngt=ngt, ndt=ndt, tp=tp, fp=fp, fn=fn,
+                    acc_iou=acc(1.0 - dist), acc_dist=acc(v_dist),
+                    acc_box=acc(v_box), acc_angular=acc(v_ang / np.pi),
+                    acc_var=acc(v_var))
+
+    return jax.vmap(one_frame)(packed)
+
+
+# ---------------------------------------------------------------------------
+# DetectionEvaluator integration
+# ---------------------------------------------------------------------------
+
+def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
+                      merge=True):
+    """Evaluate many frames with :func:`eval_frames_device` and return
+    either one merged ``DetectionEvalStats`` (``merge=True``) or a list of
+    per-frame stats identical to ``evaluator.calc_stats`` outputs.
+
+    Drop-in replacement for the per-frame host loop::
+
+        stats = device_calc_stats(evaluator, gt_list, dt_list)
+        evaluator.add_stats(stats)
+    """
+    from .benchmarks import DetectionEvalStats
+
+    gt_arrays = list(gt_arrays)
+    dt_arrays = list(dt_arrays)
+    for i, (g, d) in enumerate(zip(gt_arrays, dt_arrays)):
+        if g.frame != d.frame:
+            if calib is None:
+                raise ValueError("Calibration is not provided when dt_boxes "
+                                 "and gt_boxes are in different frames!")
+            gt_arrays[i] = calib.transform_objects(g, frame_to=d.frame)
+
+    classes = evaluator._classes
+    nsamples = evaluator._pr_nsamples
+    packed = pack_frames(gt_arrays, dt_arrays, classes)
+    md64 = np.array([evaluator._max_distance[c] for c in classes], np.float64)
+    md = md64.astype(np.float32)
+    out = eval_frames_device(
+        {k: jnp.asarray(v) for k, v in packed.items()},
+        jnp.asarray(evaluator._pr_thresholds, jnp.float32),
+        jnp.asarray(md), jnp.asarray(md.astype(np.float64) > md64),
+        nclasses=len(classes))
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    acc_fields = ("acc_iou", "acc_angular", "acc_dist", "acc_box", "acc_var")
+
+    def frame_stats(f):
+        s = DetectionEvalStats(classes, nsamples)
+        tp = out["tp"][f]
+        for i, k in enumerate(classes):
+            s.ngt[k] = int(out["ngt"][f, i])
+            for fld in ("ndt", "tp", "fp", "fn"):
+                getattr(s, fld)[k][:] = out[fld][f, i]
+            with np.errstate(invalid="ignore"):
+                for fld in acc_fields:
+                    getattr(s, fld)[k][:] = np.where(
+                        tp[i] > 0, out[fld][f, i] / np.maximum(tp[i], 1),
+                        np.nan)
+        return s
+
+    if not merge:
+        return [frame_stats(f) for f in range(len(gt_arrays))]
+
+    # merge across frames: counters sum, accuracies tp-weighted mean
+    s = DetectionEvalStats(classes, nsamples)
+    tp_tot = out["tp"].sum(0)  # (C, S)
+    for i, k in enumerate(classes):
+        s.ngt[k] = int(out["ngt"][:, i].sum())
+        for fld in ("ndt", "tp", "fp", "fn"):
+            getattr(s, fld)[k][:] = out[fld][:, i].sum(0)
+        with np.errstate(invalid="ignore"):
+            for fld in acc_fields:
+                getattr(s, fld)[k][:] = np.where(
+                    tp_tot[i] > 0,
+                    out[fld][:, i].sum(0) / np.maximum(tp_tot[i], 1), np.nan)
+    return s

@@ -132,9 +132,13 @@ class ScoreMatcher(BaseMatcher):
         if not src_subset or not dst_subset:
             return
         scores = [self._src_boxes[i].tag.scores[0] for i in src_subset]
-        src_order = np.argsort(scores)[::-1]
+        # stable sorts so tie order is deterministic (descending score, ties
+        # by descending subset position; distance ties by ascending dst
+        # position) — the device evaluator (benchmarks_device) replicates
+        # exactly this tie rule for bit-identical assignments
+        src_order = np.argsort(scores, kind="stable")[::-1]
         dsub = self._distance_cache[np.ix_(src_subset, dst_subset)]
-        dst_order = np.argsort(dsub, axis=1)
+        dst_order = np.argsort(dsub, axis=1, kind="stable")
 
         src_indices, dst_indices = [], []
         for i in range(len(src_subset)):

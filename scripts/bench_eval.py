@@ -1,0 +1,140 @@
+"""Evaluator throughput benchmark: host per-frame loop vs the on-device
+batched evaluator (d3d_tpu.benchmarks_device).
+
+Synthetic KITTI-val-sized stream: F frames, ~24 GT boxes and ~40 DT boxes
+per frame, 3 classes, 40 PR thresholds — the workload BASELINE.md lists as
+"DetectionEvaluator mAP eval wall-clock (KITTI val)" (the reference runs
+this as compiled Cython + multiprocess fan-out,
+/root/reference/d3d/benchmarks.pyx:176-286).
+
+Usage: python scripts/bench_eval.py [--frames 256] [--host-frames 32] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scipy.spatial.transform import Rotation
+
+import jax
+
+
+def make_frames(rng, nframes, ngt=24, keep=0.75, extra=16):
+    from d3d_tpu.abstraction import ObjectTag, ObjectTarget3D, Target3DArray
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+    classes = [KittiObjectClass.Car, KittiObjectClass.Pedestrian,
+               KittiObjectClass.Cyclist]
+    gts, dts = [], []
+    for _ in range(nframes):
+        gt_boxes = []
+        for _ in range(ngt):
+            pos = rng.uniform(-40, 40, 3)
+            dim = rng.uniform(1, 4, 3)
+            rot = Rotation.from_euler("Z", rng.uniform(-np.pi, np.pi))
+            gt_boxes.append(ObjectTarget3D(
+                pos, rot, dim, ObjectTag(rng.choice(classes))))
+        gt = Target3DArray(gt_boxes, frame="velo")
+        dt_boxes = []
+        for b in gt_boxes:
+            if rng.random() > keep:
+                continue
+            rot = Rotation.from_euler("Z", b.yaw + rng.normal(0, 0.05))
+            dt_boxes.append(ObjectTarget3D(
+                b.position + rng.normal(0, 0.3, 3), rot,
+                b.dimension * rng.uniform(0.9, 1.1, 3),
+                ObjectTag(b.tag.labels[0], scores=float(rng.uniform(0.2, 1))),
+                position_var=np.eye(3) * 0.3, dimension_var=np.eye(3) * 0.3,
+                orientation_var=float(rng.uniform(0.05, 1.0))))
+        for _ in range(extra):
+            pos = rng.uniform(-40, 40, 3)
+            dim = rng.uniform(1, 4, 3)
+            rot = Rotation.from_euler("Z", rng.uniform(-np.pi, np.pi))
+            dt_boxes.append(ObjectTarget3D(
+                pos, rot, dim,
+                ObjectTag(rng.choice(classes),
+                          scores=float(rng.uniform(0.1, 1)))))
+        dts.append(Target3DArray(dt_boxes, frame="velo"))
+        gts.append(gt)
+    return classes, gts, dts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--host-frames", type=int, default=32,
+                    help="frames to time the host loop on (extrapolated)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from d3d_tpu.benchmarks import DetectionEvaluator
+    from d3d_tpu.benchmarks_device import (device_calc_stats,
+                                           eval_frames_device, pack_frames)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    classes, gts, dts = make_frames(rng, args.frames)
+    print(f"frames={args.frames} gt/frame~24 dt/frame~34 classes=3 "
+          f"thresholds=40 device={jax.devices()[0].platform}")
+
+    # --- host per-frame loop (the reference-style path) --------------------
+    ev = DetectionEvaluator(classes, [0.7, 0.5, 0.5])
+    nh = min(args.host_frames, args.frames)
+    t0 = time.perf_counter()
+    for g, d in zip(gts[:nh], dts[:nh]):
+        ev.add_stats(ev.calc_stats(g, d))
+    host_s = time.perf_counter() - t0
+    host_per_frame = host_s / nh
+    print(f"host loop: {host_per_frame * 1e3:.2f} ms/frame "
+          f"({nh} frames, {host_s:.2f}s)")
+
+    # --- device batched path ------------------------------------------------
+    ev2 = DetectionEvaluator(classes, [0.7, 0.5, 0.5])
+    # warmup: compile on a 2-frame slice of identical padded shape
+    device_calc_stats(ev2, gts, dts)  # includes compile
+    t0 = time.perf_counter()
+    stats = device_calc_stats(ev2, gts, dts)
+    dev_s = time.perf_counter() - t0
+    ev2.add_stats(stats)
+    dev_per_frame = dev_s / args.frames
+    print(f"device batched (incl. packing): {dev_per_frame * 1e3:.3f} ms/frame "
+          f"({args.frames} frames, {dev_s:.3f}s) -> "
+          f"{host_per_frame / dev_per_frame:.1f}x host")
+
+    # kernel-only: pre-packed arrays already on device
+    md64 = np.array([ev2._max_distance[c] for c in ev2._classes], np.float64)
+    md = md64.astype(np.float32)
+    packed = {k: jnp.asarray(v)
+              for k, v in pack_frames(gts, dts, ev2._classes).items()}
+    thr = jnp.asarray(ev2._pr_thresholds, jnp.float32)
+    strict = jnp.asarray(md.astype(np.float64) > md64)
+    mdj = jnp.asarray(md)
+    out = eval_frames_device(packed, thr, mdj, strict, nclasses=3)
+    float(np.asarray(out["tp"]).sum())  # barrier
+    t0 = time.perf_counter()
+    out = eval_frames_device(packed, thr, mdj, strict, nclasses=3)
+    float(np.asarray(out["tp"]).sum())
+    kern_s = time.perf_counter() - t0
+    print(f"device kernel only: {kern_s / args.frames * 1e3:.3f} ms/frame "
+          f"({kern_s:.3f}s total) -> "
+          f"{host_per_frame * args.frames / kern_s:.0f}x host")
+
+    # sanity: same mAP from both paths
+    if nh == args.frames:
+        for k, v in ev.ap().items():
+            assert np.isclose(ev2.ap()[k], v, atol=1e-5)
+        print("mAP parity: OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Parity tests: the on-device batched evaluator vs the host
+DetectionEvaluator loop — integer counters must be exact, accuracy stats
+f32-close, on randomized scenes including score ties, class filtering and
+uncertainty (logpdf) entries."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from d3d_tpu.abstraction import ObjectTag, ObjectTarget3D, Target3DArray
+from d3d_tpu.benchmarks import DetectionEvaluator
+from d3d_tpu.benchmarks_device import device_calc_stats
+from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+CAR = KittiObjectClass.Car
+VAN = KittiObjectClass.Van
+PED = KittiObjectClass.Pedestrian  # never evaluated -> must be ignored
+
+
+def _random_frame(rng, n, classes, with_var=False, frame="test"):
+    boxes = []
+    for _ in range(n):
+        pos = rng.uniform(-10, 10, 3)
+        dim = rng.uniform(1, 4, 3)
+        rot = Rotation.from_euler("Z", rng.uniform(-np.pi, np.pi))
+        tag = ObjectTag(rng.choice(classes),
+                        scores=float(rng.choice([0.3, 0.5, 0.7, 0.7, 0.9])))
+        kw = {}
+        if with_var and rng.random() < 0.5:
+            a = rng.uniform(0.1, 0.5, (3, 3))
+            kw["position_var"] = a @ a.T + np.eye(3) * 0.2
+            b = rng.uniform(0.1, 0.5, (3, 3))
+            kw["dimension_var"] = b @ b.T + np.eye(3) * 0.2
+            kw["orientation_var"] = float(rng.uniform(0.05, 1.0))
+        boxes.append(ObjectTarget3D(pos, rot, dim, tag, **kw))
+    return Target3DArray(boxes, frame=frame)
+
+
+def _perturbed(rng, gt, keep=0.8, extra=3):
+    """Detections = jittered subset of gt + spurious boxes."""
+    boxes = []
+    for b in gt:
+        if rng.random() > keep:
+            continue
+        rot = Rotation.from_euler("Z", b.yaw + rng.normal(0, 0.05))
+        tag = ObjectTag(b.tag.labels[0], scores=float(rng.uniform(0.2, 1.0)))
+        boxes.append(ObjectTarget3D(
+            b.position + rng.normal(0, 0.3, 3), rot,
+            b.dimension * rng.uniform(0.9, 1.1, 3), tag,
+            position_var=np.eye(3) * 0.3, dimension_var=np.eye(3) * 0.3,
+            orientation_var=float(rng.uniform(0.05, 1.0))))
+    boxes += list(_random_frame(rng, extra, [CAR, VAN, PED], with_var=True))
+    return Target3DArray(boxes, frame=gt.frame)
+
+
+def _assert_stats_match(host, dev, classes, ctx=""):
+    for k in (c.value for c in classes):
+        assert host.ngt[k] == dev.ngt[k], ctx
+        for fld in ("ndt", "tp", "fp", "fn"):
+            np.testing.assert_array_equal(
+                getattr(host, fld)[k], getattr(dev, fld)[k],
+                err_msg=f"{ctx} field {fld} class {k}")
+        for fld in ("acc_iou", "acc_angular", "acc_dist", "acc_box",
+                    "acc_var"):
+            h = getattr(host, fld)[k]
+            d = getattr(dev, fld)[k]
+            np.testing.assert_array_equal(np.isnan(h), np.isnan(d),
+                                          err_msg=f"{ctx} {fld} nan mask")
+            np.testing.assert_array_equal(np.isinf(h), np.isinf(d),
+                                          err_msg=f"{ctx} {fld} inf mask")
+            m = np.isfinite(h)
+            np.testing.assert_allclose(d[m], h[m], rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{ctx} field {fld}")
+
+
+class TestDeviceEvaluatorParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_per_frame_parity(self, seed):
+        rng = np.random.default_rng(seed)
+        classes = [CAR, VAN]
+        ev = DetectionEvaluator(classes, [0.3, 0.5], pr_sample_count=10)
+        gt = _random_frame(rng, 12, [CAR, VAN, PED])
+        dt = _perturbed(rng, gt)
+        host = ev.calc_stats(gt, dt)
+        dev, = device_calc_stats(ev, [gt], [dt], merge=False)
+        _assert_stats_match(host, dev, classes, f"seed={seed}")
+
+    def test_score_ties_match_host(self):
+        """All scores equal -> assignment decided purely by the (stable)
+        tie-break rules, which the device path must replicate."""
+        rng = np.random.default_rng(42)
+        classes = [CAR]
+        ev = DetectionEvaluator(classes, [0.2], pr_sample_count=5)
+        r = Rotation.identity()
+        gt = Target3DArray([
+            ObjectTarget3D([i * 1.5, 0, 0], r, [2, 2, 2], ObjectTag(CAR))
+            for i in range(6)], frame="t")
+        dt = Target3DArray([
+            ObjectTarget3D([i * 1.5 + 0.3, 0.1, 0], r, [2, 2, 2],
+                           ObjectTag(CAR, scores=0.7))
+            for i in rng.permutation(6)], frame="t")
+        host = ev.calc_stats(gt, dt)
+        dev, = device_calc_stats(ev, [gt], [dt], merge=False)
+        _assert_stats_match(host, dev, classes, "ties")
+
+    def test_batched_merge_equals_sequential(self):
+        rng = np.random.default_rng(7)
+        classes = [CAR, VAN]
+        ev_host = DetectionEvaluator(classes, [0.3, 0.5], pr_sample_count=8)
+        ev_dev = DetectionEvaluator(classes, [0.3, 0.5], pr_sample_count=8)
+        gts, dts = [], []
+        for _ in range(5):
+            gt = _random_frame(rng, int(rng.integers(0, 10)), [CAR, VAN, PED])
+            gts.append(gt)
+            dts.append(_perturbed(rng, gt))
+        for g, d in zip(gts, dts):
+            ev_host.add_stats(ev_host.calc_stats(g, d))
+        ev_dev.add_stats(device_calc_stats(ev_dev, gts, dts))
+        _assert_stats_match(ev_host.get_stats(), ev_dev.get_stats(), classes,
+                            "batch")
+        # headline metrics agree
+        for k, v in ev_host.ap().items():
+            assert np.isclose(ev_dev.ap()[k], v, atol=1e-5), k
+
+    def test_empty_frames(self):
+        classes = [CAR]
+        ev = DetectionEvaluator(classes, [0.3], pr_sample_count=4)
+        empty = Target3DArray([], frame="t")
+        r = Rotation.identity()
+        one = Target3DArray([ObjectTarget3D([0, 0, 0], r, [2, 2, 2],
+                                            ObjectTag(CAR, scores=0.9))],
+                            frame="t")
+        for gt, dt in [(empty, empty), (one, empty), (empty, one)]:
+            host = ev.calc_stats(gt, dt)
+            dev, = device_calc_stats(ev, [gt], [dt], merge=False)
+            _assert_stats_match(host, dev, classes, "empty")
