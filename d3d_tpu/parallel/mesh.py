@@ -52,29 +52,71 @@ def replicate_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
-def _param_spec(path, leaf):
-    """Shard wide trailing dims of conv/dense kernels over tp."""
-    if leaf.ndim >= 2 and leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 64:
+def _path_str(path):
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+def param_partition_spec(path, leaf, tp_size):
+    """Explicit per-leaf tensor-parallel rule (replaces the round-1 shape
+    heuristic, which silently replicated on a miss).
+
+    Every flax ``Dense``/``Conv``/``ConvTranspose`` weight is named
+    ``kernel`` with the output-channel axis last; those shard their output
+    channels over ``tp`` whenever divisible. Norm scale/bias, biases,
+    batch-stat vectors and anything 1-D replicate (they are KiB-scale).
+    A kernel whose output channels do NOT divide tp_size replicates — see
+    :func:`tp_param_report` to audit exactly which leaves partitioned.
+    """
+    name = str(getattr(path[-1], "key", "")) if path else ""
+    if name == "kernel" and leaf.ndim >= 2 and tp_size > 1 \
+            and leaf.shape[-1] % tp_size == 0:
         return P(*([None] * (leaf.ndim - 1) + ["tp"]))
     return P()
 
 
-def shard_train_step(train_step, mesh, donate=True):
+def tp_param_report(params, mesh):
+    """Audit the tp layout: returns (sharded_paths, replicated_kernel_paths)
+    so a silent all-replicated layout is detectable instead of silent."""
+    tp = mesh.shape["tp"]
+    sharded, repl_kernels = [], []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        spec = param_partition_spec(path, leaf, tp)
+        name = str(getattr(path[-1], "key", "")) if path else ""
+        if any(ax == "tp" for ax in spec):
+            sharded.append(_path_str(path))
+        elif name == "kernel":
+            repl_kernels.append(_path_str(path))
+    return sharded, repl_kernels
+
+
+def shard_train_step(train_step, mesh, donate=True, check_tp=True):
     """jit a train step over the mesh: params/opt-state sharded by
-    :func:`_param_spec` (channel dims over tp), batch over dp.
+    :func:`param_partition_spec` (output channels over tp), batch over dp.
 
     The step signature is ``(params, batch_stats, opt_state, batch)`` from
     :func:`d3d_tpu.models.pointpillars.make_train_step`.
+
+    :param check_tp: when the mesh has tp > 1, raise if NO parameter leaf
+        actually partitions over tp (an all-replicated layout would silently
+        waste the axis).
     """
-    repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp"))
+    tp = mesh.shape["tp"]
 
     def spec_of(tree):
         return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)),
+            lambda path, leaf: NamedSharding(
+                mesh, param_partition_spec(path, leaf, tp)),
             tree)
 
     def wrapped(params, batch_stats, opt_state, batch):
+        if check_tp and tp > 1:
+            sharded, _ = tp_param_report(params, mesh)
+            if not sharded:
+                raise ValueError(
+                    "mesh has tp=%d but no parameter partitions over tp; "
+                    "check param_partition_spec against this model" % tp)
         params = jax.lax.with_sharding_constraint(params, spec_of(params))
         batch = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_sh), batch)

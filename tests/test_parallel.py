@@ -76,3 +76,105 @@ def test_reduce_matches_host_merge(rng):
     assert np.allclose(merged_stats.acc_iou[CAR.value][ok],
                        hs.acc_iou[CAR.value][ok], atol=1e-6)
     assert np.all(np.isnan(merged_stats.acc_iou[CAR.value][~ok]))
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel axis: explicit rules must actually partition and must not
+# change the math
+# ---------------------------------------------------------------------------
+
+import optax
+
+from d3d_tpu.models.pointpillars import (PointPillars, PointPillarsConfig,
+                                         make_anchors, make_train_step,
+                                         pillarize)
+from d3d_tpu.parallel import shard_train_step
+from d3d_tpu.parallel.mesh import tp_param_report
+
+_TP_TINY = PointPillarsConfig(
+    bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32),
+    max_pillars=256, max_points_per_pillar=16, pfn_features=32,
+    backbone_channels=(32, 64), backbone_blocks=(1, 1),
+    upsample_channels=32)
+
+
+def _pp_state_and_batch(rng, b=4):
+    pts = np.stack([np.stack([
+        rng.random(2048) * 16, rng.random(2048) * 16 - 8,
+        rng.random(2048) * 4 - 3, rng.random(2048)], axis=1)
+        for _ in range(b)]).astype(np.float32)
+    feats, coords, valid = jax.vmap(
+        lambda p: pillarize(p, _TP_TINY))(jnp.asarray(pts))
+    m = 3
+    gt = np.stack([np.stack([
+        rng.random(m) * 12 + 2, rng.random(m) * 12 - 6, np.full(m, -1.0),
+        np.full(m, 3.9), np.full(m, 1.6), np.full(m, 1.56),
+        rng.random(m) * np.pi - np.pi / 2], axis=1)
+        for _ in range(b)]).astype(np.float32)
+    batch = dict(features=feats, coords=coords, valid=valid,
+                 gt_boxes=jnp.asarray(gt),
+                 gt_labels=jnp.zeros((b, m), jnp.int32),
+                 gt_mask=jnp.ones((b, m), bool))
+    model = PointPillars(_TP_TINY)
+    variables = model.init(jax.random.PRNGKey(0), feats, coords, valid)
+    opt = optax.adam(1e-3)
+    step = make_train_step(model, opt, _TP_TINY, make_anchors(_TP_TINY),
+                           riou_weight=0.1)
+    return variables, opt.init(variables["params"]), step, batch
+
+
+class TestTensorParallelAxis:
+    def test_tp_rules_partition_flagship_params(self, rng):
+        """The explicit rules must shard real kernels over tp — an
+        all-replicated layout (the round-1 heuristic's silent failure mode)
+        now raises in shard_train_step and is asserted against here."""
+        variables, _, _, _ = _pp_state_and_batch(rng)
+        mesh = make_mesh(8)  # 4 dp x 2 tp
+        sharded, repl_kernels = tp_param_report(variables["params"], mesh)
+        assert len(sharded) >= 5, sharded
+        # every conv/dense kernel in this config has even output channels
+        assert repl_kernels == [], repl_kernels
+
+    def test_tp_output_shardings_partitioned(self, rng):
+        """After one compiled step, at least one returned param must be
+        physically partitioned over tp (addressable shard smaller than the
+        global array)."""
+        variables, opt_state, step, batch = _pp_state_and_batch(rng)
+        mesh = make_mesh(8)
+        fn = shard_train_step(step, mesh, donate=False)
+        params, _, _, _ = fn(variables["params"], variables["batch_stats"],
+                             opt_state, batch)
+        found = False
+        for leaf in jax.tree.leaves(params):
+            spec = getattr(leaf.sharding, "spec", None)
+            if spec is not None and any(ax == "tp" for ax in spec):
+                shard = leaf.addressable_shards[0].data
+                assert shard.shape[-1] * 2 == leaf.shape[-1]
+                found = True
+        assert found, "no output param partitioned over tp"
+
+    def test_tp1_vs_tp2_same_loss(self, rng):
+        """Partitioning over tp must not change the computed loss (GSPMD
+        inserts collectives; the math is identical up to reduction order)."""
+        variables, opt_state, step, batch = _pp_state_and_batch(rng)
+        mesh1 = make_mesh(4, dp=4, tp=1)
+        mesh2 = make_mesh(8, dp=4, tp=2)
+        fn1 = shard_train_step(step, mesh1, donate=False, check_tp=False)
+        fn2 = shard_train_step(step, mesh2, donate=False)
+        _, _, _, aux1 = fn1(variables["params"], variables["batch_stats"],
+                            opt_state, batch)
+        _, _, _, aux2 = fn2(variables["params"], variables["batch_stats"],
+                            opt_state, batch)
+        l1, l2 = float(aux1["total"]), float(aux2["total"])
+        assert np.isfinite(l1)
+        assert np.isclose(l1, l2, rtol=1e-6, atol=1e-7), (l1, l2)
+
+    def test_tp_all_replicated_raises(self, rng):
+        """A model whose kernels cannot shard over tp must fail loudly."""
+        odd = {"dense": {"kernel": jnp.zeros((4, 7))},
+               "norm": {"scale": jnp.zeros((7,))}}
+        mesh = make_mesh(8)
+        fn = shard_train_step(lambda p, bs, o, b: (p, bs, o, {"total": 0.0}),
+                              mesh, donate=False)
+        with pytest.raises(ValueError, match="no parameter partitions"):
+            fn(odd, {}, {}, {"x": jnp.zeros((8, 4))})
