@@ -3,6 +3,8 @@ from .pointpillars import (PointPillars, PointPillarsConfig, assign_targets,
                            make_train_step, pillarize)
 from .centerpoint import (CenterPoint, CenterPointConfig,
                           assign_center_targets, center_loss, decode_centers)
+from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
+                     point_cell_coords, segmentation_loss)
 from .inference import make_centerpoint_detector, make_pointpillars_detector
 
 __all__ = [
@@ -10,5 +12,7 @@ __all__ = [
     "assign_targets", "detection_loss", "decode_boxes", "make_train_step",
     "CenterPoint", "CenterPointConfig", "assign_center_targets",
     "center_loss", "decode_centers",
+    "BEVSeg", "BEVSegConfig", "bevseg_pillarize", "point_cell_coords",
+    "segmentation_loss",
     "make_pointpillars_detector", "make_centerpoint_detector",
 ]

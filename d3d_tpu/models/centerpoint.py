@@ -235,17 +235,28 @@ def decode_centers(cfg: CenterPointConfig, outputs):
     return boxes, scores, labels
 
 
-def make_train_step(model, optimizer, cfg: CenterPointConfig):
+def make_train_step(model, optimizer, cfg: CenterPointConfig, remat=False):
     """``step(params, batch_stats, opt_state, batch) -> (new..., metrics)``;
     batch: features/coords/valid from ``pillarize`` (batched) plus padded
-    gt_boxes (B, M, 7), gt_labels (B, M), gt_mask (B, M)."""
+    gt_boxes (B, M, 7), gt_labels (B, M), gt_mask (B, M).
 
-    def loss_fn(params, batch_stats, batch):
-        outputs, updates = model.apply(
+    :param remat: rematerialize the forward in the backward (see
+        pointpillars.make_train_step)."""
+
+    def forward(params, batch_stats, batch):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["features"], batch["coords"], batch["valid"],
             train=True, mutable=["batch_stats"],
         )
+
+    if remat:
+        forward = jax.checkpoint(
+            forward,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, updates = forward(params, batch_stats, batch)
         targets = jax.vmap(
             lambda b, l, m: assign_center_targets(cfg, b, l, m)
         )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])

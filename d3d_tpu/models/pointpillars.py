@@ -390,21 +390,34 @@ def detection_loss(outputs, targets, cfg: PointPillarsConfig,
 # ---------------------------------------------------------------------------
 
 def make_train_step(model, optimizer, cfg: PointPillarsConfig, anchors,
-                    riou_weight=0.0):
+                    riou_weight=0.0, remat=False):
     """Build a pure train-step function
     ``step(params, batch_stats, opt_state, batch) -> (new..., metrics)``.
 
     ``batch`` carries pre-pillarized tensors plus padded GT:
     features/coords/valid from :func:`pillarize` (batched) and
     gt_boxes (B, M, 7), gt_labels (B, M), gt_mask (B, M).
+
+    :param remat: rematerialize the forward pass in the backward
+        (``jax.checkpoint`` keeping only MXU outputs via the
+        ``dots_with_no_batch_dims_saveable`` policy) — trades FLOPs for HBM
+        so larger per-chip batches fit.
     """
 
-    def loss_fn(params, batch_stats, batch):
-        outputs, updates = model.apply(
+    def forward(params, batch_stats, batch):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["features"], batch["coords"], batch["valid"],
             train=True, mutable=["batch_stats"],
         )
+
+    if remat:
+        forward = jax.checkpoint(
+            forward,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, updates = forward(params, batch_stats, batch)
         targets = jax.vmap(
             lambda b, l, m: assign_targets(anchors, b, l, m,
                                            cfg.pos_iou, cfg.neg_iou)

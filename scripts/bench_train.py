@@ -1,0 +1,119 @@
+"""Train-throughput benchmark: PointPillars at KITTI scale on one chip.
+
+Measures steps/s of the full jitted train step (pillar encoder -> BEV
+scatter -> conv backbone -> SSD head -> loss -> adam update) by looping N
+steps inside ONE jitted lax.fori_loop with the train state as the carry
+(so the tunnel RTT is paid once and nothing can be hoisted), following the
+methodology in .claude/skills/verify/SKILL.md.
+
+Sweeps dtype (f32 / bf16) x remat (off / on) x batch size.
+
+Usage: python scripts/bench_train.py [--steps 10] [--cpu] [--quick]
+"""
+
+import argparse
+import os
+import sys
+import time
+from dataclasses import replace
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def make_batch(rng, cfg, b, npts=120000, m=16):
+    from d3d_tpu.models.pointpillars import pillarize
+
+    pts = np.stack([np.stack([
+        rng.uniform(cfg.bounds[0], cfg.bounds[1], npts),
+        rng.uniform(cfg.bounds[2], cfg.bounds[3], npts),
+        rng.uniform(cfg.bounds[4], cfg.bounds[5], npts),
+        rng.uniform(0, 1, npts)], axis=1)
+        for _ in range(b)]).astype(np.float32)
+    feats, coords, valid = jax.vmap(
+        lambda p: pillarize(p, cfg))(jnp.asarray(pts))
+    gt = np.stack([np.stack([
+        rng.uniform(5, 60, m), rng.uniform(-30, 30, m), np.full(m, -1.0),
+        np.full(m, 3.9), np.full(m, 1.6), np.full(m, 1.56),
+        rng.uniform(-np.pi / 2, np.pi / 2, m)], axis=1)
+        for _ in range(b)]).astype(np.float32)
+    return dict(features=feats, coords=coords, valid=valid,
+                gt_boxes=jnp.asarray(gt),
+                gt_labels=jnp.zeros((b, m), jnp.int32),
+                gt_mask=jnp.ones((b, m), bool))
+
+
+def bench_config(rng, dtype, remat, b, nsteps):
+    import optax
+    from d3d_tpu.models.pointpillars import (PointPillars,
+                                             PointPillarsConfig,
+                                             make_anchors, make_train_step)
+
+    cfg = replace(PointPillarsConfig(), dtype=dtype)
+    batch = make_batch(rng, cfg, b)
+    model = PointPillars(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                           batch["coords"], batch["valid"])
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(variables["params"])
+    step = make_train_step(model, opt, cfg, make_anchors(cfg),
+                           remat=remat)
+
+    @jax.jit
+    def run(params, bs, opt_state, batch):
+        def body(_, carry):
+            params, bs, opt_state, _ = carry
+            return step(params, bs, opt_state, batch)
+        aux_shape = jax.eval_shape(step, params, bs, opt_state, batch)[3]
+        init = (params, bs, opt_state,
+                jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                             aux_shape))
+        return jax.lax.fori_loop(0, nsteps, body, init)
+
+    # compile + warmup (fetch a value: the only reliable barrier)
+    out = run(variables["params"], variables["batch_stats"], opt_state, batch)
+    loss0 = float(np.asarray(out[3]["total"]))
+    t0 = time.perf_counter()
+    out = run(variables["params"], variables["batch_stats"], opt_state, batch)
+    loss = float(np.asarray(out[3]["total"]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), loss
+    sps = nsteps / dt
+    print(f"dtype={dtype:9s} remat={int(remat)} batch={b}: "
+          f"{sps:6.2f} steps/s  {sps * b:6.2f} frames/s  "
+          f"({dt / nsteps * 1e3:.1f} ms/step, loss {loss:.3f})")
+    return sps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="only the bf16+remat flagship config")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    rng = np.random.default_rng(0)
+    print(f"device={jax.devices()[0].platform} steps/loop={args.steps} "
+          f"(KITTI-scale: 432x496 grid, 12k pillars, 120k pts/frame)")
+    if args.quick:
+        bench_config(rng, "bfloat16", True, 2, args.steps)
+        return
+    for dtype in ("float32", "bfloat16"):
+        for remat in (False, True):
+            bench_config(rng, dtype, remat, 2, args.steps)
+    bench_config(rng, "bfloat16", False, 4, args.steps)
+    bench_config(rng, "bfloat16", True, 4, args.steps)
+
+
+if __name__ == "__main__":
+    main()
