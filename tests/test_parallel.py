@@ -178,3 +178,38 @@ class TestTensorParallelAxis:
                               mesh, donate=False)
         with pytest.raises(ValueError, match="no parameter partitions"):
             fn(odd, {}, {}, {"x": jnp.zeros((8, 4))})
+
+
+# ---------------------------------------------------------------------------
+# multi-host path (single-process degradation; the multi-process branches
+# are exercised on real pods)
+# ---------------------------------------------------------------------------
+
+from d3d_tpu.parallel import (all_hosts_stats, initialize, make_global_mesh,
+                              process_count)
+
+
+class TestDistributed:
+    def test_initialize_noop_single_process(self):
+        assert initialize(num_processes=1) is False
+        assert process_count() == 1
+
+    def test_global_mesh_over_virtual_devices(self):
+        mesh = make_global_mesh()
+        assert mesh.axis_names == ("dp", "tp")
+        assert mesh.shape["dp"] * mesh.shape["tp"] == len(jax.devices())
+        assert mesh.shape["tp"] == 2  # 8 CPU devices -> 4 dp x 2 tp
+        mesh2 = make_global_mesh(dp=2, tp=4)
+        assert mesh2.shape == {"dp": 2, "tp": 4}
+
+    def test_all_hosts_stats_single_process(self, rng):
+        ev = DetectionEvaluator([CAR], [0.3], pr_sample_count=8)
+        stats = _frame_stats(ev, rng, 0)
+        merged = all_hosts_stats(stats, [CAR.value])
+        assert merged.ngt[CAR.value] == stats.ngt[CAR.value]
+        np.testing.assert_array_equal(merged.tp[CAR.value],
+                                      stats.tp[CAR.value])
+        h = stats.acc_iou[CAR.value]
+        m = merged.acc_iou[CAR.value]
+        np.testing.assert_array_equal(np.isnan(h), np.isnan(m))
+        np.testing.assert_allclose(m[~np.isnan(h)], h[~np.isnan(h)])
