@@ -276,7 +276,7 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
 # ---------------------------------------------------------------------------
 
 def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
-                      merge=True):
+                      merge=True, mesh=None):
     """Evaluate many frames with :func:`eval_frames_device` and return
     either one merged ``DetectionEvalStats`` (``merge=True``) or a list of
     per-frame stats identical to ``evaluator.calc_stats`` outputs.
@@ -285,11 +285,25 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
 
         stats = device_calc_stats(evaluator, gt_list, dt_list)
         evaluator.add_stats(stats)
+
+    :param mesh: optional ``jax.sharding.Mesh`` with a ``dp`` axis — the
+        frame batch shards over data-parallel chips (frames are padded to a
+        multiple of dp with empty frames, which contribute zero counters),
+        replacing the reference's multiprocess evaluation fan-out.
     """
     from .benchmarks import DetectionEvalStats
 
     gt_arrays = list(gt_arrays)
     dt_arrays = list(dt_arrays)
+    nframes = len(gt_arrays)
+    if mesh is not None and merge:
+        dp = mesh.shape["dp"]
+        pad = (-nframes) % dp
+        if pad:
+            empty = Target3DArray([], frame=gt_arrays[0].frame
+                                  if gt_arrays else None)
+            gt_arrays += [empty] * pad
+            dt_arrays += [empty] * pad
     for i, (g, d) in enumerate(zip(gt_arrays, dt_arrays)):
         if g.frame != d.frame:
             if calib is None:
@@ -302,8 +316,16 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
     packed = pack_frames(gt_arrays, dt_arrays, classes)
     md64 = np.array([evaluator._max_distance[c] for c in classes], np.float64)
     md = md64.astype(np.float32)
+    if mesh is not None and merge:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        frame_sh = NamedSharding(mesh, P("dp"))
+        packed = {k: jax.device_put(jnp.asarray(v), frame_sh)
+                  for k, v in packed.items()}
+    else:
+        packed = {k: jnp.asarray(v) for k, v in packed.items()}
     out = eval_frames_device(
-        {k: jnp.asarray(v) for k, v in packed.items()},
+        packed,
         jnp.asarray(evaluator._pr_thresholds, jnp.float32),
         jnp.asarray(md), jnp.asarray(md.astype(np.float64) > md64),
         nclasses=len(classes))

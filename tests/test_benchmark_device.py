@@ -134,3 +134,23 @@ class TestDeviceEvaluatorParity:
             host = ev.calc_stats(gt, dt)
             dev, = device_calc_stats(ev, [gt], [dt], merge=False)
             _assert_stats_match(host, dev, classes, "empty")
+
+
+class TestShardedEvaluation:
+    def test_dp_sharded_matches_unsharded(self):
+        """Frames sharded over the mesh dp axis (with empty-frame padding
+        for non-divisible counts) must produce identical merged stats."""
+        from d3d_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(3)
+        classes = [CAR, VAN]
+        ev = DetectionEvaluator(classes, [0.3, 0.5], pr_sample_count=8)
+        gts, dts = [], []
+        for _ in range(5):  # 5 frames on dp=4 -> exercises padding
+            gt = _random_frame(rng, 8, [CAR, VAN, PED])
+            gts.append(gt)
+            dts.append(_perturbed(rng, gt))
+        plain = device_calc_stats(ev, gts, dts)
+        mesh = make_mesh(8)
+        sharded = device_calc_stats(ev, gts, dts, mesh=mesh)
+        _assert_stats_match(plain, sharded, classes, "dp-sharded")
