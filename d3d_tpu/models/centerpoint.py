@@ -235,13 +235,27 @@ def decode_centers(cfg: CenterPointConfig, outputs):
     return boxes, scores, labels
 
 
-def make_train_step(model, optimizer, cfg: CenterPointConfig, remat=False):
+def prepare_center_targets(cfg: CenterPointConfig, batch):
+    """Batched heatmap/regression target rendering as a standalone jitted
+    program (parameter-independent — run it in the input pipeline and pass
+    ``external_targets=True`` to keep it out of the differentiated step;
+    see pointpillars.prepare_targets)."""
+    targets = jax.vmap(
+        lambda b, l, m: assign_center_targets(cfg, b, l, m)
+    )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+    return dict(batch, targets=targets)
+
+
+def make_train_step(model, optimizer, cfg: CenterPointConfig, remat=False,
+                    external_targets=False):
     """``step(params, batch_stats, opt_state, batch) -> (new..., metrics)``;
     batch: features/coords/valid from ``pillarize`` (batched) plus padded
     gt_boxes (B, M, 7), gt_labels (B, M), gt_mask (B, M).
 
     :param remat: rematerialize the forward in the backward (see
-        pointpillars.make_train_step)."""
+        pointpillars.make_train_step).
+    :param external_targets: consume ``batch["targets"]`` from
+        :func:`prepare_center_targets` instead of rendering in-step."""
 
     def forward(params, batch_stats, batch):
         return model.apply(
@@ -257,9 +271,12 @@ def make_train_step(model, optimizer, cfg: CenterPointConfig, remat=False):
 
     def loss_fn(params, batch_stats, batch):
         outputs, updates = forward(params, batch_stats, batch)
-        targets = jax.vmap(
-            lambda b, l, m: assign_center_targets(cfg, b, l, m)
-        )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+        if external_targets:
+            targets = jax.lax.stop_gradient(batch["targets"])
+        else:
+            targets = jax.vmap(
+                lambda b, l, m: assign_center_targets(cfg, b, l, m)
+            )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
         loss, aux = center_loss(outputs, targets)
         return loss, (updates["batch_stats"], aux)
 

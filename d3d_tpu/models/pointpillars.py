@@ -348,17 +348,38 @@ def detection_loss(outputs, targets, cfg: PointPillarsConfig,
     (+ optional differentiable rotated-IoU loss through the geometry core).
     """
     cls_logits, box_preds, dir_logits = outputs
-    pos = targets["pos"]
-    npos = jnp.maximum(jnp.sum(pos), 1).astype(jnp.float32)
+    if "cls_onehot" in targets:
+        # dense f32 representation from prepare_targets(dense=True): no
+        # int/bool target tensors enter the step, killing the per-iteration
+        # layout copies the device trace showed on the s32/u32/pred inputs
+        posf = targets["posf"]                  # (B, N) f32
+        pos = posf > 0
+        npos = jnp.maximum(jnp.sum(posf), 1.0)
+        tgt = targets["cls_onehot"]             # (B, N, C) f32
+        weight = targets["weight"][..., None]   # (B, N, 1) f32
+        p = jax.nn.sigmoid(cls_logits)
+        ce = -(tgt * jax.nn.log_sigmoid(cls_logits)
+               + (1 - tgt) * jax.nn.log_sigmoid(-cls_logits))
+        pt = jnp.where(tgt == 1, p, 1 - p)
+        af = jnp.where(tgt == 1, 0.25, 0.75)
+        cls_loss = jnp.sum(af * (1 - pt) ** 2 * ce * weight) / npos
+        reg = _smooth_l1(box_preds, targets["reg_target"])
+        reg_loss = jnp.sum(reg * posf[..., None]) / npos
+        dir_ce = -jax.nn.log_softmax(dir_logits)  # (B, N, 2)
+        dir_loss = jnp.sum(jnp.sum(dir_ce * targets["dir_onehot"], -1)
+                           * posf) / npos
+    else:
+        pos = targets["pos"]
+        npos = jnp.maximum(jnp.sum(pos), 1).astype(jnp.float32)
 
-    cls_loss = _focal_loss(cls_logits, targets["cls_target"], pos,
-                           targets["neg"], cfg.num_classes) / npos
-    reg = _smooth_l1(box_preds, targets["reg_target"])
-    reg_loss = jnp.sum(reg * pos[..., None]) / npos
-    dir_ce = -jax.nn.log_softmax(dir_logits)  # (B, N, 2)
-    dir_loss = jnp.sum(
-        jnp.take_along_axis(dir_ce, targets["dir_target"][..., None],
-                            axis=-1)[..., 0] * pos) / npos
+        cls_loss = _focal_loss(cls_logits, targets["cls_target"], pos,
+                               targets["neg"], cfg.num_classes) / npos
+        reg = _smooth_l1(box_preds, targets["reg_target"])
+        reg_loss = jnp.sum(reg * pos[..., None]) / npos
+        dir_ce = -jax.nn.log_softmax(dir_logits)  # (B, N, 2)
+        dir_loss = jnp.sum(
+            jnp.take_along_axis(dir_ce, targets["dir_target"][..., None],
+                                axis=-1)[..., 0] * pos) / npos
 
     total = cls_loss + 2.0 * reg_loss + 0.2 * dir_loss
     aux = dict(cls=cls_loss, reg=reg_loss, dir=dir_loss)
@@ -389,8 +410,42 @@ def detection_loss(outputs, targets, cfg: PointPillarsConfig,
 # training step factory
 # ---------------------------------------------------------------------------
 
+def prepare_targets(anchors, batch, pos_iou=0.6, neg_iou=0.45,
+                    num_classes=None, dense=False):
+    """Batched anchor-target assignment as a standalone jitted program.
+
+    Target assignment is parameter-independent — in a production input
+    pipeline it runs once per batch (overlapped with the previous step),
+    not inside the differentiated train step where its (N_anchors, M)
+    IoU matrix and layout copies weigh on the device profile. Returns
+    ``batch`` with a ``"targets"`` entry consumable by
+    ``make_train_step(..., external_targets=True)``.
+
+    :param dense: emit the all-f32 representation (cls_onehot / weight /
+        posf / dir_onehot) that the loss consumes without any int/bool
+        inputs — the fastest step path (requires ``num_classes``).
+    """
+    targets = jax.vmap(
+        lambda b, l, m: assign_targets(anchors, b, l, m, pos_iou, neg_iou)
+    )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+    if dense:
+        assert num_classes is not None
+        pos = targets["pos"]
+        onehot = jax.nn.one_hot(jnp.maximum(targets["cls_target"], 0),
+                                num_classes, dtype=jnp.float32)
+        targets = dict(
+            reg_target=targets["reg_target"],
+            cls_onehot=jnp.where(pos[..., None], onehot, 0.0),
+            weight=(pos | targets["neg"]).astype(jnp.float32),
+            posf=pos.astype(jnp.float32),
+            dir_onehot=jax.nn.one_hot(targets["dir_target"], 2,
+                                      dtype=jnp.float32),
+        )
+    return dict(batch, targets=targets)
+
+
 def make_train_step(model, optimizer, cfg: PointPillarsConfig, anchors,
-                    riou_weight=0.0, remat=False):
+                    riou_weight=0.0, remat=False, external_targets=False):
     """Build a pure train-step function
     ``step(params, batch_stats, opt_state, batch) -> (new..., metrics)``.
 
@@ -402,6 +457,9 @@ def make_train_step(model, optimizer, cfg: PointPillarsConfig, anchors,
         (``jax.checkpoint`` keeping only MXU outputs via the
         ``dots_with_no_batch_dims_saveable`` policy) — trades FLOPs for HBM
         so larger per-chip batches fit.
+    :param external_targets: consume ``batch["targets"]`` produced by
+        :func:`prepare_targets` instead of assigning anchors in-step —
+        the fast path when the input pipeline prepares targets on device.
     """
 
     def forward(params, batch_stats, batch):
@@ -418,10 +476,13 @@ def make_train_step(model, optimizer, cfg: PointPillarsConfig, anchors,
 
     def loss_fn(params, batch_stats, batch):
         outputs, updates = forward(params, batch_stats, batch)
-        targets = jax.vmap(
-            lambda b, l, m: assign_targets(anchors, b, l, m,
-                                           cfg.pos_iou, cfg.neg_iou)
-        )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+        if external_targets:
+            targets = jax.lax.stop_gradient(batch["targets"])
+        else:
+            targets = jax.vmap(
+                lambda b, l, m: assign_targets(anchors, b, l, m,
+                                               cfg.pos_iou, cfg.neg_iou)
+            )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
         loss, aux = detection_loss(outputs, targets, cfg, anchors,
                                    riou_weight)
         return loss, (updates["batch_stats"], aux)

@@ -47,11 +47,12 @@ def make_batch(rng, cfg, b, npts=120000, m=16):
                 gt_mask=jnp.ones((b, m), bool))
 
 
-def bench_config(rng, dtype, remat, b, nsteps):
+def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False):
     import optax
     from d3d_tpu.models.pointpillars import (PointPillars,
                                              PointPillarsConfig,
-                                             make_anchors, make_train_step)
+                                             make_anchors, make_train_step,
+                                             prepare_targets)
 
     cfg = replace(PointPillarsConfig(), dtype=dtype)
     batch = make_batch(rng, cfg, b)
@@ -60,8 +61,23 @@ def bench_config(rng, dtype, remat, b, nsteps):
                            batch["coords"], batch["valid"])
     opt = optax.adam(2e-4)
     opt_state = opt.init(variables["params"])
-    step = make_train_step(model, opt, cfg, make_anchors(cfg),
-                           remat=remat)
+    anchors = make_anchors(cfg)
+    step = make_train_step(model, opt, cfg, anchors, remat=remat,
+                           external_targets=ext_targets)
+    if ext_targets:
+        prep = jax.jit(lambda bt: prepare_targets(
+            jnp.asarray(anchors), bt, cfg.pos_iou, cfg.neg_iou,
+            num_classes=cfg.num_classes, dense=True))
+        raw = dict(batch)
+        prepped = prep(raw)  # compile
+        float(np.asarray(prepped["targets"]["posf"]).sum())
+        # perturb the raw batch (same pytree!) to defeat tunnel memoization
+        t0 = time.perf_counter()
+        prepped = prep(dict(raw, gt_boxes=raw["gt_boxes"] + 1e-6))
+        float(np.asarray(prepped["targets"]["posf"]).sum())
+        prep_ms = (time.perf_counter() - t0) * 1e3
+        print(f"  target-prep (per batch, overlappable): {prep_ms:.1f} ms")
+        batch = prepped
 
     @jax.jit
     def run(params, bs, opt_state, batch):
@@ -83,7 +99,8 @@ def bench_config(rng, dtype, remat, b, nsteps):
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), loss
     sps = nsteps / dt
-    print(f"dtype={dtype:9s} remat={int(remat)} batch={b}: "
+    tag = " ext-tgt" if ext_targets else ""
+    print(f"dtype={dtype:9s} remat={int(remat)} batch={b}{tag}: "
           f"{sps:6.2f} steps/s  {sps * b:6.2f} frames/s  "
           f"({dt / nsteps * 1e3:.1f} ms/step, loss {loss:.3f})")
     return sps
@@ -106,13 +123,15 @@ def main():
     print(f"device={jax.devices()[0].platform} steps/loop={args.steps} "
           f"(KITTI-scale: 432x496 grid, 12k pillars, 120k pts/frame)")
     if args.quick:
-        bench_config(rng, "bfloat16", True, 2, args.steps)
+        bench_config(rng, "bfloat16", False, 2, args.steps, ext_targets=True)
         return
     for dtype in ("float32", "bfloat16"):
         for remat in (False, True):
             bench_config(rng, dtype, remat, 2, args.steps)
     bench_config(rng, "bfloat16", False, 4, args.steps)
     bench_config(rng, "bfloat16", True, 4, args.steps)
+    bench_config(rng, "bfloat16", False, 2, args.steps, ext_targets=True)
+    bench_config(rng, "bfloat16", False, 4, args.steps, ext_targets=True)
 
 
 if __name__ == "__main__":

@@ -200,3 +200,31 @@ class TestInference:
             lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
             params, variables["params"]))
         assert max(delta) > 0
+
+
+def test_external_targets_match_in_step(rng):
+    from d3d_tpu.models.centerpoint import (make_train_step,
+                                            prepare_center_targets)
+    b = 2
+    pts = jnp.asarray(np.stack([_cloud(rng) for _ in range(b)]))
+    feats, coords, valid = jax.vmap(
+        lambda p: pillarize(p, TINY_PILLARS))(pts)
+    batch = dict(
+        features=feats, coords=coords, valid=valid,
+        gt_boxes=jnp.asarray(np.stack([_gt(rng) for _ in range(b)])),
+        gt_labels=jnp.zeros((b, 3), jnp.int32),
+        gt_mask=jnp.ones((b, 3), bool),
+    )
+    model = CenterPoint(TINY)
+    variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                           batch["coords"], batch["valid"])
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(variables["params"])
+    s_in = jax.jit(make_train_step(model, opt, TINY))
+    s_ext = jax.jit(make_train_step(model, opt, TINY, external_targets=True))
+    prepped = prepare_center_targets(TINY, batch)
+    _, _, _, a1 = s_in(variables["params"], variables["batch_stats"],
+                       opt_state, batch)
+    _, _, _, a2 = s_ext(variables["params"], variables["batch_stats"],
+                        opt_state, prepped)
+    assert np.isclose(float(a1["total"]), float(a2["total"]), rtol=1e-6)

@@ -185,3 +185,57 @@ class TestBfloat16:
         assert cls_logits.dtype == jnp.float32
         for out in (cls_logits, box_preds, dir_logits):
             assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestExternalTargets:
+    def test_external_targets_match_in_step(self, rng):
+        """prepare_targets + external_targets=True must produce the exact
+        same loss and updates as in-step assignment."""
+        from d3d_tpu.models.pointpillars import prepare_targets
+
+        batch = TestTraining._batch(self, rng, b=2)
+        model = PointPillars(TINY)
+        variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                               batch["coords"], batch["valid"])
+        anchors = make_anchors(TINY)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(variables["params"])
+        s_in = jax.jit(make_train_step(model, opt, TINY, anchors))
+        s_ext = jax.jit(make_train_step(model, opt, TINY, anchors,
+                                        external_targets=True))
+        prepped = prepare_targets(jnp.asarray(anchors), batch,
+                                  TINY.pos_iou, TINY.neg_iou)
+        p1, _, _, a1 = s_in(variables["params"], variables["batch_stats"],
+                            opt_state, batch)
+        p2, _, _, a2 = s_ext(variables["params"], variables["batch_stats"],
+                             opt_state, prepped)
+        # separate jits fuse differently -> equality only to fp tolerance
+        assert np.isclose(float(a1["total"]), float(a2["total"]),
+                          rtol=1e-6), (a1["total"], a2["total"])
+        for l1, l2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_dense_targets_match_in_step(self, rng):
+        """The all-f32 dense target path must compute the same loss."""
+        from d3d_tpu.models.pointpillars import prepare_targets
+
+        batch = TestTraining._batch(self, rng, b=2)
+        model = PointPillars(TINY)
+        variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                               batch["coords"], batch["valid"])
+        anchors = make_anchors(TINY)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(variables["params"])
+        s_in = jax.jit(make_train_step(model, opt, TINY, anchors))
+        s_ext = jax.jit(make_train_step(model, opt, TINY, anchors,
+                                        external_targets=True))
+        prepped = prepare_targets(jnp.asarray(anchors), batch,
+                                  TINY.pos_iou, TINY.neg_iou,
+                                  num_classes=TINY.num_classes, dense=True)
+        _, _, _, a1 = s_in(variables["params"], variables["batch_stats"],
+                           opt_state, batch)
+        _, _, _, a2 = s_ext(variables["params"], variables["batch_stats"],
+                            opt_state, prepped)
+        assert np.isclose(float(a1["total"]), float(a2["total"]),
+                          rtol=1e-6), (a1["total"], a2["total"])
