@@ -5,6 +5,7 @@ from .centerpoint import (CenterPoint, CenterPointConfig,
                           assign_center_targets, center_loss, decode_centers)
 from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      point_cell_coords, segmentation_loss)
+from .second import SECOND, SECONDConfig, second_voxelize
 from .inference import make_centerpoint_detector, make_pointpillars_detector
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "center_loss", "decode_centers",
     "BEVSeg", "BEVSegConfig", "bevseg_pillarize", "point_cell_coords",
     "segmentation_loss",
+    "SECOND", "SECONDConfig", "second_voxelize",
     "make_pointpillars_detector", "make_centerpoint_detector",
 ]

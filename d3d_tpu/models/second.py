@@ -1,0 +1,248 @@
+"""SECOND-style sparse voxel detector — fourth model family of d3d_tpu.
+
+Yan et al., "SECOND: Sparsely Embedded Convolutional Detection", Sensors
+2018: voxelize -> sparse 3D middle extractor -> collapse z -> 2D RPN with
+anchors. GPU implementations build spconv hash rule-books; here the middle
+extractor runs on the TPU sparse-conv core (:mod:`d3d_tpu.ops.sparse_conv`:
+sort-join neighbor maps, gather + batched-matmul convs, sort-unique
+downsampling — no hash maps, no serialized scatters until the final small
+densification). The anchor head, target assignment and loss are shared
+with PointPillars (:mod:`d3d_tpu.models.pointpillars`), so the full
+detection toolchain (rotated-IoU loss, NMS decode, evaluators) applies
+unchanged.
+
+Everything is static-shape: per-stage active-site caps, masked padding,
+jit/vmap/pjit-friendly; batch shards over ``dp`` and channels over ``tp``
+via :func:`d3d_tpu.parallel.shard_train_step` like every other family.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.sparse_conv import (build_neighbor_map, build_neighbor_map_strided,
+                               downsample_coords, sparse_to_dense,
+                               subm_conv_apply)
+from ..ops.voxel import voxelize_dense_padded
+from .pointpillars import (PointPillarsConfig, _ConvBlock, assign_targets,
+                           detection_loss, make_anchors)
+
+__all__ = ["SECONDConfig", "SECOND", "second_voxelize", "make_train_step",
+           "head_config"]
+
+
+@dataclass(frozen=True)
+class SECONDConfig:
+    """Static configuration (hashable -> usable as a jit static arg)."""
+
+    bounds: Tuple[float, ...] = (0.0, 70.4, -40.0, 40.0, -3.0, 1.0)
+    grid: Tuple[int, int, int] = (352, 400, 20)   # (x, y, z) voxel cells
+    max_voxels: int = 16000
+    stage_channels: Tuple[int, ...] = (16, 32, 64)
+    stage_sites: Tuple[int, ...] = (16000, 8000, 4000)  # caps after stride
+    subm_per_stage: int = 2
+    head_channels: int = 128
+    num_classes: int = 1
+    anchor_sizes: Tuple[Tuple[float, float, float], ...] = ((3.9, 1.6, 1.56),)
+    anchor_z: float = -1.0
+    anchor_rotations: Tuple[float, ...] = (0.0, 1.5707963)
+    pos_iou: float = 0.6
+    neg_iou: float = 0.45
+    dtype: str = "float32"
+
+    @property
+    def n_stages(self):
+        return len(self.stage_channels)
+
+    @property
+    def bev_grid(self):
+        s = 2 ** (self.n_stages - 1)
+        return (self.grid[0] // s, self.grid[1] // s)
+
+    @property
+    def final_grid(self):
+        s = 2 ** (self.n_stages - 1)
+        return (self.grid[0] // s, self.grid[1] // s,
+                max(self.grid[2] // s, 1))
+
+
+def head_config(cfg: SECONDConfig) -> PointPillarsConfig:
+    """A PointPillarsConfig describing the 2D head's anchor grid — lets
+    SECOND reuse make_anchors / assign_targets / detection_loss / the
+    inference factories unchanged."""
+    return PointPillarsConfig(
+        bounds=cfg.bounds, grid=cfg.bev_grid, num_classes=cfg.num_classes,
+        anchor_sizes=cfg.anchor_sizes, anchor_z=cfg.anchor_z,
+        anchor_rotations=cfg.anchor_rotations, pos_iou=cfg.pos_iou,
+        neg_iou=cfg.neg_iou, dtype=cfg.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def second_voxelize(points, cfg: SECONDConfig):
+    """Points (N, 4) -> (features (V, 4) per-voxel means, coords (V, 3)
+    int32 [ix, iy, iz], valid (V,)) with static shapes."""
+    bounds = jnp.asarray(cfg.bounds, points.dtype)
+    vox = voxelize_dense_padded(
+        points, cfg.grid, bounds, 1, cfg.max_voxels, "mean",
+        order_mode="sorted")
+    feats = vox.aggregates                        # (V, 4) means
+    coords = vox.coords.astype(jnp.int32)         # (V, 3)
+    valid = jnp.arange(cfg.max_voxels, dtype=jnp.int32) < vox.nvoxels
+    return feats * valid[:, None].astype(feats.dtype), coords, valid
+
+
+class _MaskedBN(nn.Module):
+    """BatchNorm over active sites only (padded rows excluded from the
+    statistics — spconv's BatchNorm1d over the active set)."""
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        if train:
+            w = valid.astype(jnp.float32)
+            # batched inputs: reduce over every axis but channels
+            axes = tuple(range(x.ndim - 1))
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(xf * w[..., None], axes) / n
+            var = jnp.sum(((xf - mean) ** 2) * w[..., None], axes) / n
+            if not self.is_initializing():
+                ra_mean.value = 0.99 * ra_mean.value + 0.01 * mean
+                ra_var.value = 0.99 * ra_var.value + 0.01 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-3) * scale + bias
+        return y.astype(x.dtype) * valid[..., None].astype(x.dtype)
+
+
+class _SpConv(nn.Module):
+    """One sparse conv layer (subm or strided, decided by the caller via
+    the neighbor map) + masked BN + relu."""
+
+    features: int
+    dtype: str
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        k = nbr.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, x.shape[-1], self.features))
+        if x.ndim == 3:  # batched: vmap the site-level conv
+            y = jax.vmap(subm_conv_apply, in_axes=(0, 0, None, 0))(
+                x.astype(jnp.dtype(self.dtype)), nbr, w, valid)
+        else:
+            y = subm_conv_apply(x.astype(jnp.dtype(self.dtype)), nbr, w,
+                                valid)
+        y = _MaskedBN()(y, valid, train)
+        return nn.relu(y)
+
+
+class SECOND(nn.Module):
+    """Sparse middle extractor + BEV RPN head (PointPillars-compatible
+    outputs: cls logits, box deltas, direction logits per anchor)."""
+
+    cfg: SECONDConfig
+
+    @nn.compact
+    def __call__(self, features, coords, valid, train: bool = False):
+        """:param features: (B, V, 4) voxel means
+        :param coords: (B, V, 3) int32
+        :param valid: (B, V)
+        """
+        cfg = self.cfg
+        b = features.shape[0]
+        x, cur_coords, cur_valid = features, coords, valid
+        grid = cfg.grid
+
+        for s, ch in enumerate(cfg.stage_channels):
+            # submanifold layers on the current active set
+            nbr = jax.vmap(lambda c, v: build_neighbor_map(c, v, grid))(
+                cur_coords, cur_valid)
+            for _ in range(cfg.subm_per_stage):
+                x = _SpConv(ch, cfg.dtype, name=f"subm{s}_{_}")(
+                    x, nbr, cur_valid, train)
+            if s + 1 < cfg.n_stages:
+                # strided sparse conv to the next stage's active set
+                cap = cfg.stage_sites[s + 1]
+                oc, ov = jax.vmap(
+                    lambda c, v: downsample_coords(c, v, grid, 2, cap)
+                )(cur_coords, cur_valid)
+                nbr_s = jax.vmap(
+                    lambda o, w, c, v: build_neighbor_map_strided(
+                        o, w, c, v, grid, 2)
+                )(oc, ov, cur_coords, cur_valid)
+                x = _SpConv(cfg.stage_channels[s + 1], cfg.dtype,
+                            name=f"down{s}")(x, nbr_s, ov, train)
+                cur_coords, cur_valid = oc, ov
+                grid = tuple(-(-g // 2) for g in grid)
+
+        # densify the final small stage and fold z into channels
+        fg = cfg.final_grid
+        dense = jax.vmap(lambda f, c, v: sparse_to_dense(f, c, v, fg))(
+            x, cur_coords, cur_valid)              # (B, X, Y, Z, C)
+        bev = dense.reshape(b, fg[0], fg[1], fg[2] * x.shape[-1])
+
+        bev = _ConvBlock(cfg.head_channels, 2, 1, cfg.dtype)(bev, train)
+        a = (len(cfg.anchor_sizes) * len(cfg.anchor_rotations))
+        dt = jnp.dtype(cfg.dtype)
+        cls_logits = nn.Conv(a * cfg.num_classes, (1, 1), dtype=dt,
+                             name="head_cls")(bev)
+        box_preds = nn.Conv(a * 7, (1, 1), dtype=dt, name="head_box")(bev)
+        dir_logits = nn.Conv(a * 2, (1, 1), dtype=dt, name="head_dir")(bev)
+        wh = fg[0] * fg[1]
+        return (
+            cls_logits.reshape(b, wh * a, cfg.num_classes).astype(jnp.float32),
+            box_preds.reshape(b, wh * a, 7).astype(jnp.float32),
+            dir_logits.reshape(b, wh * a, 2).astype(jnp.float32),
+        )
+
+
+def make_train_step(model, optimizer, cfg: SECONDConfig, anchors,
+                    riou_weight=0.0, remat=False):
+    """Same contract as pointpillars.make_train_step; batch carries
+    features/coords/valid from :func:`second_voxelize` (batched) plus
+    padded gt_boxes/gt_labels/gt_mask."""
+    hcfg = head_config(cfg)
+
+    def forward(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["features"], batch["coords"], batch["valid"],
+            train=True, mutable=["batch_stats"],
+        )
+
+    if remat:
+        forward = jax.checkpoint(
+            forward,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, updates = forward(params, batch_stats, batch)
+        targets = jax.vmap(
+            lambda b, l, m: assign_targets(anchors, b, l, m,
+                                           cfg.pos_iou, cfg.neg_iou)
+        )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+        loss, aux = detection_loss(outputs, targets, hcfg, anchors,
+                                   riou_weight)
+        return loss, (updates["batch_stats"], aux)
+
+    def train_step(params, batch_stats, opt_state, batch):
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        aux = dict(aux, total=loss)
+        return params, new_bs, opt_state, aux
+
+    return train_step
