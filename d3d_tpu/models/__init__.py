@@ -6,7 +6,8 @@ from .centerpoint import (CenterPoint, CenterPointConfig,
 from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      point_cell_coords, segmentation_loss)
 from .second import SECOND, SECONDConfig, second_voxelize
-from .inference import make_centerpoint_detector, make_pointpillars_detector
+from .inference import (make_centerpoint_detector,
+                        make_pointpillars_detector, make_second_detector)
 
 __all__ = [
     "PointPillars", "PointPillarsConfig", "pillarize", "make_anchors",
@@ -17,4 +18,5 @@ __all__ = [
     "segmentation_loss",
     "SECOND", "SECONDConfig", "second_voxelize",
     "make_pointpillars_detector", "make_centerpoint_detector",
+    "make_second_detector",
 ]

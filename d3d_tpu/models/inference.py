@@ -18,7 +18,8 @@ from ..ops.nms import nms2d
 from .pointpillars import decode_boxes, pillarize
 from .centerpoint import decode_centers
 
-__all__ = ["make_pointpillars_detector", "make_centerpoint_detector"]
+__all__ = ["make_pointpillars_detector", "make_centerpoint_detector",
+           "make_second_detector"]
 
 
 def _to_targets(boxes, scores, labels, keep, classes, frame, timestamp,
@@ -90,6 +91,37 @@ def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
         keep = ~nms2d(_bev(boxes), scores.astype(jnp.float32),
                       iou_threshold=iou_threshold, iou_method="rbox")
         return boxes, scores, labels, keep
+
+    def detect(points, frame=None, timestamp=0):
+        boxes, scores, labels, keep = device(
+            jnp.asarray(points, jnp.float32))
+        return _to_targets(boxes, scores, labels, keep, classes, frame,
+                           timestamp, score_threshold)
+
+    return detect
+
+
+def make_second_detector(model, variables, cfg, anchors, classes,
+                         score_threshold=0.3, iou_threshold=0.5,
+                         top_k=100):
+    """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
+    for a trained SECOND model (head outputs are PointPillars-compatible,
+    only the voxelization front-end differs)."""
+    from .second import second_voxelize
+
+    @jax.jit
+    def device(points):
+        feats, coords, valid = second_voxelize(points, cfg)
+        cls_logits, box_preds, _ = model.apply(
+            variables, feats[None], coords[None], valid[None], train=False)
+        scores_all = jax.nn.sigmoid(cls_logits[0])
+        best = jnp.max(scores_all, axis=-1)
+        top_scores, idx = jax.lax.top_k(best, top_k)
+        boxes = decode_boxes(anchors[idx], box_preds[0][idx])
+        labels = jnp.argmax(scores_all, axis=-1)[idx]
+        keep = ~nms2d(_bev(boxes), top_scores.astype(jnp.float32),
+                      iou_threshold=iou_threshold, iou_method="rbox")
+        return boxes, top_scores, labels, keep
 
     def detect(points, frame=None, timestamp=0):
         boxes, scores, labels, keep = device(

@@ -118,3 +118,23 @@ class TestTraining:
                                     variables["batch_stats"], opt_state,
                                     batch)
         assert np.isfinite(float(aux["total"]))
+
+
+class TestInference:
+    def test_detector_end_to_end(self, rng):
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+        from d3d_tpu.models import make_second_detector
+
+        pts = _cloud(rng)
+        model = SECOND(TINY)
+        f, c, v = second_voxelize(jnp.asarray(pts), TINY)
+        var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+        det = make_second_detector(
+            model, var, TINY, make_anchors(head_config(TINY)),
+            (KittiObjectClass.Car,), score_threshold=0.0, top_k=16)
+        out = det(pts, frame="velo", timestamp=3)
+        assert out.frame == "velo" and out.timestamp == 3
+        assert len(out) <= 16
+        for obj in out:
+            assert obj.tag_top == KittiObjectClass.Car
+            assert np.all(np.isfinite(obj.position))
