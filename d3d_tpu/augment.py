@@ -1,0 +1,159 @@
+"""Point-cloud training augmentation.
+
+The reference devkit provides the toolchain (crops, box geometry) that
+detection pipelines build augmentation from; this module closes that loop
+with the standard lidar-detector augmentations (SECOND Sec. 3.3 /
+PointPillars Sec. 2.3):
+
+  * :func:`global_augment` — jitted joint transform of points + GT boxes:
+    random y-flip, global z-rotation, uniform scale, translation noise.
+    Pure device code with a `jax.random` key: deterministic, vmappable
+    over a batch, runs in the (overlappable) input pipeline next to
+    `prepare_targets`.
+  * :func:`build_gt_database` / :func:`sample_ground_truths` — SECOND's
+    GT-sampling: a database of annotation boxes + their interior points
+    harvested with the framework's own :func:`~d3d_tpu.ops.box.box3dp_crop`,
+    pasted into training frames with a BEV rotated-IoU collision check
+    (host-side numpy: it mutates variable-length point sets, which is
+    input-pipeline work, not device work).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["global_augment", "build_gt_database", "sample_ground_truths"]
+
+
+def global_augment(key, points, gt_boxes, flip_prob=0.5, rot_range=0.7854,
+                   scale_range=(0.95, 1.05), translate_std=0.2):
+    """Jointly transform a frame's points and GT boxes.
+
+    :param key: jax.random key
+    :param points: (N, F) with xyz leading
+    :param gt_boxes: (M, 7) [x, y, z, l, w, h, yaw]
+    :returns: (points', gt_boxes') — same shapes/dtypes
+    """
+    kf, kr, ks, kt = jax.random.split(key, 4)
+    xyz = points[:, :3]
+    bx = gt_boxes
+
+    # y-flip
+    flip = jax.random.bernoulli(kf, flip_prob)
+    sign = jnp.where(flip, -1.0, 1.0).astype(points.dtype)
+    one = jnp.ones((), points.dtype)
+    xyz = xyz * jnp.stack([one, sign, one])
+    bx = bx.at[:, 1].multiply(sign).at[:, 6].multiply(sign)
+
+    # global rotation about z
+    theta = jax.random.uniform(kr, (), points.dtype,
+                               -rot_range, rot_range)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.asarray([[c, -s], [s, c]], points.dtype)
+    xyz = jnp.concatenate([xyz[:, :2] @ rot.T, xyz[:, 2:3]], axis=1)
+    bxy = bx[:, :2] @ rot.T
+    bx = jnp.concatenate([bxy, bx[:, 2:6], bx[:, 6:7] + theta], axis=1)
+
+    # uniform scale
+    scale = jax.random.uniform(ks, (), points.dtype, scale_range[0],
+                               scale_range[1])
+    xyz = xyz * scale
+    bx = jnp.concatenate([bx[:, :6] * scale, bx[:, 6:7]], axis=1)
+
+    # global translation noise
+    shift = jax.random.normal(kt, (3,), points.dtype) * translate_std
+    xyz = xyz + shift
+    bx = bx.at[:, :3].add(shift)
+
+    return jnp.concatenate([xyz, points[:, 3:]], axis=1), bx
+
+
+# ---------------------------------------------------------------------------
+# GT sampling (host-side input pipeline)
+# ---------------------------------------------------------------------------
+
+def build_gt_database(frames, min_points=5):
+    """Harvest a GT-sample database from ``(points, boxes7, labels)``
+    frames.
+
+    :param frames: iterable of tuples — points (N, F) float32, boxes
+        (M, 7), labels (M,) int
+    :returns: dict label -> list of (box7, interior_points) with points
+        re-centered to the box frame (so pasting = rotate + translate)
+    """
+    from .ops.box import box3dp_crop
+
+    db = {}
+    for points, boxes, labels in frames:
+        if len(boxes) == 0:
+            continue
+        crops = box3dp_crop(points[:, :3].astype(np.float32),
+                            np.asarray(boxes, np.float32))
+        for i, (box, lab) in enumerate(zip(boxes, labels)):
+            idx = np.asarray(crops[i])
+            if idx.size < min_points:
+                continue
+            pts = np.array(points[idx], np.float32)
+            # re-center to the box frame (undo yaw + translation)
+            c, s = np.cos(-box[6]), np.sin(-box[6])
+            local = pts.copy()
+            local[:, 0] = c * (pts[:, 0] - box[0]) - s * (pts[:, 1] - box[1])
+            local[:, 1] = s * (pts[:, 0] - box[0]) + c * (pts[:, 1] - box[1])
+            local[:, 2] = pts[:, 2] - box[2]
+            db.setdefault(int(lab), []).append(
+                (np.asarray(box, np.float32), local))
+    return db
+
+
+def sample_ground_truths(rng, db, points, gt_boxes, gt_labels,
+                         max_per_class=10, iou_threshold=0.0):
+    """Paste sampled GT objects into a frame (SECOND's sampling step).
+
+    Candidates are drawn per class from ``db`` at their ORIGINAL pose and
+    rejected if their BEV rotated IoU with any existing (or previously
+    accepted) box exceeds ``iou_threshold``.
+
+    :returns: (points', gt_boxes', gt_labels') numpy arrays
+    """
+    from .ops.box import box2d_iou
+
+    def bev(b):
+        return np.concatenate([b[..., 0:2], b[..., 3:5], b[..., 6:7]],
+                              axis=-1)
+
+    cur_boxes = list(np.asarray(gt_boxes, np.float32))
+    cur_labels = list(np.asarray(gt_labels))
+    add_points = []
+    for lab, samples in db.items():
+        have = sum(1 for l in cur_labels if int(l) == int(lab))
+        want = max_per_class - have
+        if want <= 0 or not samples:
+            continue
+        order = rng.permutation(len(samples))
+        for j in order[: 3 * want]:
+            if want <= 0:
+                break
+            box, local = samples[j]
+            if cur_boxes:
+                ious = np.asarray(box2d_iou(
+                    bev(box[None]), bev(np.stack(cur_boxes)),
+                    method="rbox"))[0]
+                if ious.max() > iou_threshold:
+                    continue
+            # place the stored interior points at the box pose
+            c, s = np.cos(box[6]), np.sin(box[6])
+            pts = local.copy()
+            pts[:, 0] = c * local[:, 0] - s * local[:, 1] + box[0]
+            pts[:, 1] = s * local[:, 0] + c * local[:, 1] + box[1]
+            pts[:, 2] = local[:, 2] + box[2]
+            add_points.append(pts)
+            cur_boxes.append(box)
+            cur_labels.append(lab)
+            want -= 1
+
+    if add_points:
+        points = np.concatenate([np.asarray(points, np.float32)]
+                                + add_points, axis=0)
+    return (np.asarray(points, np.float32),
+            np.stack(cur_boxes) if cur_boxes else np.zeros((0, 7), np.float32),
+            np.asarray(cur_labels))
