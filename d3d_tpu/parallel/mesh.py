@@ -122,7 +122,22 @@ def shard_train_step(train_step, mesh, donate=True, check_tp=True):
             lambda x: jax.lax.with_sharding_constraint(x, batch_sh), batch)
         return train_step(params, batch_stats, opt_state, batch)
 
-    return jax.jit(wrapped, donate_argnums=(0, 2) if donate else ())
+    jitted = jax.jit(wrapped, donate_argnums=(0, 2) if donate else ())
+    repl = NamedSharding(mesh, P())
+
+    def call(params, batch_stats, opt_state, batch):
+        # inputs committed to different device assemblies (fresh init on
+        # one device, a separately-jitted prep batch, restored state) can't
+        # mix inside one jit — place everything on its mesh sharding first
+        # (no-op copies when already there)
+        params = jax.device_put(params, spec_of(params))
+        batch_stats = jax.device_put(
+            batch_stats, jax.tree.map(lambda _: repl, batch_stats))
+        opt_state = jax.device_put(opt_state, spec_of(opt_state))
+        batch = jax.device_put(batch, batch_sh)
+        return jitted(params, batch_stats, opt_state, batch)
+
+    return call
 
 
 # ---------------------------------------------------------------------------
