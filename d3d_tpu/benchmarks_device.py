@@ -61,7 +61,12 @@ def _bucket(n, minimum=8):
 
 def _pack_one(arr: Target3DArray, class_to_idx, n, want_var):
     """One Target3DArray -> fixed-size arrays. Padding rows are unit boxes
-    far outside the scene (IoU exactly 0 with everything) with label -1."""
+    far outside the scene (IoU exactly 0 with everything) with label -1.
+
+    Extraction is columnar where the object model allows: quaternions come
+    from ONE batched scipy call (Rotation.concatenate) instead of a scipy
+    call per box — packing, not the device kernel, dominates end-to-end
+    evaluation time."""
     labels = np.full(n, -1, np.int32)
     scores = np.zeros(n, np.float32)
     boxes = np.zeros((n, 7), np.float32)
@@ -74,20 +79,24 @@ def _pack_one(arr: Target3DArray, class_to_idx, n, want_var):
         dim_var = np.zeros((n, 3, 3), np.float32)
         ori_var = np.zeros(n, np.float32)
 
-    if len(arr) > 0:
+    m = len(arr)
+    if m > 0:
+        from scipy.spatial.transform import Rotation
+
         # identical extraction to ScoreMatcher.prepare_boxes (to_numpy 9-col
         # layout, cols 2:9) so the distance matrix is bit-identical
         npy = arr.to_numpy().astype(np.float32)
-        boxes[:len(arr)] = npy[:, 2:9]
-        scores[:len(arr)] = npy[:, 1]
-    for i, box in enumerate(arr):
-        lab = box.tag.labels[0]
-        labels[i] = class_to_idx.get(getattr(lab, "value", lab), -1)
-        quats[i] = box.orientation.as_quat()
+        boxes[:m] = npy[:, 2:9]
+        scores[:m] = npy[:, 1]
+        labs = [b.tag.labels[0] for b in arr]
+        labels[:m] = [class_to_idx.get(getattr(l, "value", l), -1)
+                      for l in labs]
+        quats[:m] = Rotation.concatenate(
+            [b.orientation for b in arr]).as_quat()
         if want_var:
-            pos_var[i] = box.position_var
-            dim_var[i] = box.dimension_var
-            ori_var[i] = box.orientation_var
+            pos_var[:m] = [b.position_var for b in arr]
+            dim_var[:m] = [b.dimension_var for b in arr]
+            ori_var[:m] = [b.orientation_var for b in arr]
 
     out = dict(labels=labels, scores=scores, boxes=boxes, quats=quats)
     if want_var:
