@@ -49,8 +49,13 @@ def kernel_offsets(kernel_size=3, ndim=3):
 
 
 def linearize(coords, grid):
-    """Linear int32 keys of (N, 3) integer coords on ``grid`` (D tuple)."""
+    """Linear int32 keys of (N, 3) integer coords on ``grid`` (D tuple).
+
+    The grid volume must stay below 2**30: :func:`match_sorted` reserves
+    one bit for the ref/query tag (keys are doubled)."""
     d0, d1, d2 = grid
+    assert d0 * d1 * d2 < (1 << 30), \
+        f"sparse grid {grid} too large for tagged int32 sort keys"
     return (coords[:, 0] * (d1 * d2) + coords[:, 1] * d2
             + coords[:, 2]).astype(jnp.int32)
 

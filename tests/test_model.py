@@ -239,3 +239,80 @@ class TestExternalTargets:
                             opt_state, prepped)
         assert np.isclose(float(a1["total"]), float(a2["total"]),
                           rtol=1e-6), (a1["total"], a2["total"])
+
+
+class TestMultiClass:
+    """Three classes with per-class anchors — exercises the class-indexed
+    paths (anchor grid, per-class assignment, focal one-hot, decode) the
+    single-class tests leave untouched."""
+
+    CFG = PointPillarsConfig(
+        bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32),
+        max_pillars=256, max_points_per_pillar=16, pfn_features=32,
+        backbone_channels=(32, 64), backbone_blocks=(1, 1),
+        upsample_channels=32, num_classes=3,
+        anchor_sizes=((3.9, 1.6, 1.56), (0.8, 0.6, 1.73), (1.76, 0.6, 1.73)))
+
+    def test_forward_and_train(self, rng):
+        cfg = self.CFG
+        pts = jnp.asarray(np.stack([_cloud(rng) for _ in range(2)]))
+        feats, coords, valid = jax.vmap(lambda p: pillarize(p, cfg))(pts)
+        gt = np.stack([_gt(rng) for _ in range(2)])
+        batch = dict(features=feats, coords=coords, valid=valid,
+                     gt_boxes=jnp.asarray(gt),
+                     gt_labels=jnp.asarray(
+                         np.tile([0, 1, 2], (2, 1)), jnp.int32),
+                     gt_mask=jnp.ones((2, 3), bool))
+        model = PointPillars(cfg)
+        variables = model.init(jax.random.PRNGKey(0), feats, coords, valid)
+        cls_logits, box_preds, dir_logits = model.apply(
+            variables, feats, coords, valid)
+        a = cfg.num_anchors_per_cell
+        assert a == 6  # 3 sizes x 2 rotations
+        assert cls_logits.shape == (2, 32 * 32 * a, 3)
+        anchors = make_anchors(cfg)
+        assert anchors.shape == (32 * 32 * a, 7)
+
+        opt = optax.adam(1e-3)
+        step = jax.jit(make_train_step(model, opt, cfg, anchors))
+        params, bs = variables["params"], variables["batch_stats"]
+        opt_state = opt.init(params)
+        losses = []
+        for _ in range(4):
+            params, bs, opt_state, aux = step(params, bs, opt_state, batch)
+            losses.append(float(aux["total"]))
+        assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+    def test_per_class_assignment(self, rng):
+        """Each gt matches only anchors of its own class."""
+        from d3d_tpu.models.pointpillars import assign_targets
+
+        cfg = self.CFG
+        anchors = make_anchors(cfg)
+        gt = jnp.asarray(_gt(rng))
+        labels = jnp.asarray([0, 1, 2], jnp.int32)
+        mask = jnp.ones(3, bool)
+        t = assign_targets(anchors, gt, labels, mask, 0.6, 0.45)
+        pos = np.asarray(t["pos"])
+        cls_t = np.asarray(t["cls_target"])
+        assert pos.sum() >= 3
+        assert set(np.unique(cls_t[pos])) <= {0, 1, 2}
+
+    def test_multiclass_detector_inference(self, rng):
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+        from d3d_tpu.models import make_pointpillars_detector
+
+        cfg = self.CFG
+        classes = (KittiObjectClass.Car, KittiObjectClass.Pedestrian,
+                   KittiObjectClass.Cyclist)
+        pts = _cloud(rng)
+        model = PointPillars(cfg)
+        f, c, v = pillarize(jnp.asarray(pts), cfg)
+        var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+        det = make_pointpillars_detector(
+            model, var, cfg, make_anchors(cfg), classes,
+            score_threshold=0.0, top_k=16)
+        out = det(pts)
+        assert len(out) <= 16
+        seen = {obj.tag_top for obj in out}
+        assert seen <= set(classes)
