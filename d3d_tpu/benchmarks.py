@@ -395,7 +395,35 @@ class TrackingEvaluator(DetectionEvaluator):
             self._last_gt_tags[i].clear()
             self._last_dt_tags[i].clear()
 
-    def calc_stats(self, gt_boxes, dt_boxes, calib=None):
+    def _device_match_subsets(self, dt_boxes, gt_boxes, masks):
+        """One batched device call covering every threshold's greedy match
+        (see d3d_tpu.benchmarks_device.match_subsets_device); returns the
+        (S, G) matched-dt-row array."""
+        import jax.numpy as jnp
+
+        from .benchmarks_device import _pack_one, match_subsets_device
+
+        class_to_idx = {v: i for i, v in enumerate(self._classes)}
+        nd, ng = masks.shape[1], max(len(gt_boxes), 1)
+        dt = _pack_one(dt_boxes, class_to_idx, nd, want_var=False)
+        gt = _pack_one(gt_boxes, class_to_idx, ng, want_var=False)
+        md64 = np.array([self._max_distance[c] for c in self._classes],
+                        np.float64)
+        md = md64.astype(np.float32)
+        match, _ = match_subsets_device(
+            jnp.asarray(dt["boxes"]), jnp.asarray(dt["labels"]),
+            jnp.asarray(dt["scores"]), jnp.asarray(gt["boxes"]),
+            jnp.asarray(gt["labels"]), jnp.asarray(masks),
+            jnp.asarray(md), jnp.asarray(md.astype(np.float64) > md64))
+        return np.asarray(match)
+
+    def calc_stats(self, gt_boxes, dt_boxes, calib=None, device_match=False):
+        """Evaluate one frame.
+
+        :param device_match: run all thresholds' greedy re-matching as one
+            batched device call instead of the per-threshold host loop
+            (bit-identical assignments; id bookkeeping stays on host).
+        """
         if gt_boxes.frame != dt_boxes.frame:
             if calib is None:
                 raise ValueError("Calibration is not provided when dt_boxes "
@@ -426,6 +454,8 @@ class TrackingEvaluator(DetectionEvaluator):
 
         gt_tid_to_idx = {gt_boxes[i].tid: i for i in range(len(gt_boxes))}
 
+        # pass 1: per-threshold subsets + preserved assignments (host dicts)
+        per_si = []
         for si, thres in enumerate(self._pr_thresholds):
             gt_assignment_idx = {}  # gt tid -> dt idx
             dt_assignment_idx = {}  # dt tid -> gt idx
@@ -458,16 +488,38 @@ class TrackingEvaluator(DetectionEvaluator):
                     else:
                         gt_assignment_idx[prev] = dt_idx
                         dt_assignment_idx[dt_tid] = gt_idx
+            per_si.append((gt_assignment_idx, dt_assignment_idx, dt_indices,
+                           dt_tid_set))
 
-            matcher.clear_match()
-            matcher.match(dt_indices, gt_indices, self._max_distance)
+        # matching: one batched device call, or the per-threshold host loop
+        if device_match and len(dt_boxes) > 0 and len(gt_boxes) > 0:
+            from .benchmarks_device import _bucket
+
+            masks = np.zeros((self._pr_nsamples, _bucket(len(dt_boxes))),
+                             bool)
+            for si, (_, _, dt_indices, _) in enumerate(per_si):
+                masks[si, dt_indices] = True
+            match_all = self._device_match_subsets(dt_boxes, gt_boxes, masks)
+            match_of = lambda si, gt_idx: int(match_all[si, gt_idx])
+        else:
+            host_matches = []
+            for si, (_, _, dt_indices, _) in enumerate(per_si):
+                matcher.clear_match()
+                matcher.match(dt_indices, gt_indices, self._max_distance)
+                host_matches.append(dict(matcher._dst_assignment))
+            match_of = lambda si, gt_idx: host_matches[si].get(gt_idx, -1)
+
+        # pass 2: counters + id bookkeeping from the match results
+        for si, thres in enumerate(self._pr_thresholds):
+            gt_assignment_idx, dt_assignment_idx, dt_indices, dt_tid_set = \
+                per_si[si]
 
             for gt_idx in gt_indices:
                 gt_box = gt_boxes[gt_idx]
                 gt_tag = gt_box.tag.labels[0]
                 gt_tid = gt_box.tid
 
-                dt_idx = matcher.query_dst_match(gt_idx)
+                dt_idx = match_of(si, gt_idx)
                 if dt_idx >= 0:
                     dt_box = dt_boxes[dt_idx]
                     if gt_tid in gt_assignment_idx:

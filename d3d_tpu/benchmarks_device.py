@@ -41,7 +41,8 @@ from jax import lax
 
 from .abstraction import Target3DArray
 
-__all__ = ["pack_frames", "eval_frames_device", "device_calc_stats"]
+__all__ = ["pack_frames", "eval_frames_device", "device_calc_stats",
+           "match_subsets_device"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 _BIG_RANK = np.int32(2 ** 30)
@@ -150,16 +151,16 @@ def _vonmises_logpdf(x, kappa):
     return kappa * jnp.cos(x) - _LOG_2PI - (jnp.log(jax.scipy.special.i0e(kappa)) + kappa)
 
 
-def _greedy_match(dist_ok, rank, dt_label, dt_score, dt_valid,
-                  gt_label, gt_valid, thres):
-    """Greedy score match for one threshold; returns per-GT matched dt index
-    (-1 unmatched). Exactly ScoreMatcher.match + _match_by_order semantics:
-    sources in descending score (ties: descending subset position), each
-    trying GT candidates by ascending distance rank of the loop-position-th
-    subset element (the reference quirk), first free compatible GT wins."""
+def _greedy_match_masked(dist_ok, rank, m, dt_label, dt_score,
+                         gt_label, gt_valid):
+    """Greedy score match over an arbitrary dt subset mask ``m``; returns
+    per-GT matched dt index (-1 unmatched). Exactly ScoreMatcher.match +
+    _match_by_order semantics: sources in descending score (ties:
+    descending subset position), each trying GT candidates by ascending
+    distance rank of the loop-position-th subset element (the reference
+    quirk), first free compatible GT wins."""
     D = dt_label.shape[0]
     G = gt_label.shape[0]
-    m = dt_valid & (dt_score >= thres)  # survivors at this threshold
 
     # subset-position -> dt index (survivors in index order first)
     arange_d = jnp.arange(D, dtype=jnp.int32)
@@ -185,6 +186,58 @@ def _greedy_match(dist_ok, rank, dt_label, dt_score, dt_valid,
     return m, lax.fori_loop(0, D, body, init)
 
 
+def _greedy_match(dist_ok, rank, dt_label, dt_score, dt_valid,
+                  gt_label, gt_valid, thres):
+    """Score-threshold wrapper around :func:`_greedy_match_masked`."""
+    m = dt_valid & (dt_score >= thres)
+    return _greedy_match_masked(dist_ok, rank, m, dt_label, dt_score,
+                                gt_label, gt_valid)
+
+
+def _matching_tables(dt_box, gt_box, gt_label, gt_valid, max_dist,
+                     max_dist_strict):
+    """Distance matrix + acceptance mask + stable distance ranks shared by
+    the detection evaluator and the tracking match helper. Identical
+    computation to ScoreMatcher.prepare_boxes (bit-identical distances)."""
+    from .ops.geometry import box3dr_iou_pair
+
+    b1 = dt_box.at[:, 3:6].set(jnp.clip(dt_box[:, 3:6], -1e3, 1e3))
+    b2 = gt_box.at[:, 3:6].set(jnp.clip(gt_box[:, 3:6], -1e3, 1e3))
+    iou = box3dr_iou_pair(b1[:, None, :], b2[None, :, :])
+    dist = (1.0 - iou).astype(jnp.float32)
+
+    safe_gtl = jnp.where(gt_valid, gt_label, 0)
+    md = max_dist[safe_gtl]
+    le = dist <= md[None, :]
+    tie = (dist == md[None, :]) & max_dist_strict[safe_gtl][None, :]
+    dist_ok = le & ~tie
+
+    rank_key = jnp.where(gt_valid[None, :], dist, jnp.float32(np.inf))
+    order_g = jnp.argsort(rank_key, axis=1, stable=True)
+    rank = jnp.argsort(order_g, axis=1, stable=True).astype(jnp.int32)
+    return dist, dist_ok, rank
+
+
+@jax.jit
+def match_subsets_device(dt_box, dt_label, dt_score, gt_box, gt_label,
+                         subset_masks, max_dist, max_dist_strict):
+    """Greedy-match every per-threshold dt subset against the valid gt in
+    one device call (the TrackingEvaluator's per-threshold re-matching,
+    with its preservation-filtered subsets supplied as masks).
+
+    :param subset_masks: (S, D) bool — dt rows participating per threshold
+    :returns: (match (S, G) int32 dt row or -1, dist (D, G) f32)
+    """
+    gt_valid = gt_label >= 0
+    dist, dist_ok, rank = _matching_tables(
+        dt_box, gt_box, gt_label, gt_valid, max_dist, max_dist_strict)
+    _, match = jax.vmap(
+        lambda m: _greedy_match_masked(dist_ok, rank, m, dt_label,
+                                       dt_score, gt_label, gt_valid)
+    )(subset_masks)
+    return match, dist
+
+
 @partial(jax.jit, static_argnames=("nclasses",))
 def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
                        nclasses):
@@ -202,31 +255,14 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
         var}`` (F, C, S) f32 sums over matched GT (divide by ``tp`` for the
         host evaluator's per-frame means).
     """
-    from .ops.geometry import box3dr_iou_pair
-
     def one_frame(p):
         dtl, dts, dtb = p["dt_label"], p["dt_score"], p["dt_box"]
         gtl, gtb = p["gt_label"], p["gt_box"]
         D, G = dtl.shape[0], gtl.shape[0]
         dv, gv = dtl >= 0, gtl >= 0
 
-        # distance matrix: identical computation to ScoreMatcher
-        b1 = dtb.at[:, 3:6].set(jnp.clip(dtb[:, 3:6], -1e3, 1e3))
-        b2 = gtb.at[:, 3:6].set(jnp.clip(gtb[:, 3:6], -1e3, 1e3))
-        iou = box3dr_iou_pair(b1[:, None, :], b2[None, :, :])
-        dist = (1.0 - iou).astype(jnp.float32)
-
-        # per-class acceptance, with the f32-tie fixup vs the host's f64
-        safe_gtl = jnp.where(gv, gtl, 0)
-        md = max_dist[safe_gtl]  # (G,)
-        le = dist <= md[None, :]
-        tie = (dist == md[None, :]) & max_dist_strict[safe_gtl][None, :]
-        dist_ok = le & ~tie
-
-        # stable ascending distance rank per dt row over valid gt
-        rank_key = jnp.where(gv[None, :], dist, jnp.float32(np.inf))
-        order_g = jnp.argsort(rank_key, axis=1, stable=True)
-        rank = jnp.argsort(order_g, axis=1, stable=True).astype(jnp.int32)
+        dist, dist_ok, rank = _matching_tables(
+            dtb, gtb, gtl, gv, max_dist, max_dist_strict)
 
         # (D, G) accuracy-value matrices, computed once on the VPU
         d_pos = gtb[None, :, 0:3] - dtb[:, None, 0:3]

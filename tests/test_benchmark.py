@@ -225,3 +225,69 @@ class TestSegmentationEvaluator:
         ev = SegmentationEvaluator([1, 2])
         copy = pickle.loads(pickle.dumps(ev))
         assert copy._classes == ev._classes
+
+
+class TestTrackingDeviceMatch:
+    """device_match=True must reproduce the host matcher's assignments
+    bit-for-bit, including across the stateful multi-frame scenarios."""
+
+    def _run_crossing(self, device_match):
+        evaluator = TrackingEvaluator([CAR, VAN], [0.5, 1])
+        traj1 = [_track(p, 1, 0.8) for p in ([-2, 2, 0], [-1, 1, 0],
+                                             [0, 0, 0], [1, 1, 0],
+                                             [2, 2, 0])]
+        traj2 = [_track(p, 2, 0.9) for p in ([-2, -2, 0], [-1, -1, 0],
+                                             [0, 0, 0], [1, -1, 0],
+                                             [2, -2, 0])]
+        dt_trajs = [Target3DArray([a, b], frame="test")
+                    for a, b in zip(traj1, traj2)]
+        for dt_arr, gt_arr in zip(dt_trajs, _gt_trajs()):
+            evaluator.add_stats(evaluator.calc_stats(
+                gt_arr, dt_arr, device_match=device_match))
+        return evaluator
+
+    def test_crossing_scenario_exact(self):
+        host = self._run_crossing(False)
+        dev = self._run_crossing(True)
+        for ev in (host, dev):
+            assert ev.tp()[CAR] == 10
+            assert ev.fp()[CAR] == 0
+            assert ev.fn()[CAR] == 0
+            assert ev.id_switches()[CAR] == 2
+            assert ev.fragments()[CAR] == 2
+        for k in (CAR.value, VAN.value):
+            np.testing.assert_array_equal(host.get_stats().tp[k],
+                                          dev.get_stats().tp[k])
+            np.testing.assert_array_equal(host.get_stats().id_switches[k],
+                                          dev.get_stats().id_switches[k])
+
+    def test_randomized_parity(self):
+        rng = np.random.default_rng(11)
+        r = Rotation.from_euler("Z", 0)
+
+        def frame(jitter):
+            gt = Target3DArray([
+                ObjectTarget3D([i * 3.0, 0, 0], r, [2, 2, 2],
+                               ObjectTag(CAR), tid=100 + i)
+                for i in range(6)], frame="t")
+            dts = []
+            for i in rng.permutation(6):
+                if rng.random() < 0.8:
+                    dts.append(TrackingTarget3D(
+                        [i * 3.0 + jitter * rng.normal(0, 0.3), 0, 0], r,
+                        [2, 2, 2], [0, 0, 0], [0, 0, 0],
+                        ObjectTag(CAR, scores=float(rng.uniform(0.2, 1))),
+                        tid=1 + int(i)))
+            return gt, Target3DArray(dts, frame="t")
+
+        frames = [frame(j) for j in (0.1, 0.5, 1.0, 0.2)]
+        ev_h = TrackingEvaluator([CAR], [0.5], pr_sample_count=12)
+        ev_d = TrackingEvaluator([CAR], [0.5], pr_sample_count=12)
+        for gt, dt in frames:
+            ev_h.add_stats(ev_h.calc_stats(gt, dt, device_match=False))
+            ev_d.add_stats(ev_d.calc_stats(gt, dt, device_match=True))
+        k = CAR.value
+        for fld in ("tp", "fp", "fn", "ndt", "id_switches", "fragments"):
+            np.testing.assert_array_equal(
+                getattr(ev_h.get_stats(), fld)[k],
+                getattr(ev_d.get_stats(), fld)[k], err_msg=fld)
