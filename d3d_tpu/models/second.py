@@ -209,10 +209,12 @@ class SECOND(nn.Module):
 
 
 def make_train_step(model, optimizer, cfg: SECONDConfig, anchors,
-                    riou_weight=0.0, remat=False):
+                    riou_weight=0.0, remat=False, external_targets=False):
     """Same contract as pointpillars.make_train_step; batch carries
     features/coords/valid from :func:`second_voxelize` (batched) plus
-    padded gt_boxes/gt_labels/gt_mask."""
+    padded gt_boxes/gt_labels/gt_mask. With ``external_targets`` the batch
+    carries ``targets`` from ``pointpillars.prepare_targets`` (built on
+    this model's ``head_config`` anchors)."""
     hcfg = head_config(cfg)
 
     def forward(params, batch_stats, batch):
@@ -229,10 +231,13 @@ def make_train_step(model, optimizer, cfg: SECONDConfig, anchors,
 
     def loss_fn(params, batch_stats, batch):
         outputs, updates = forward(params, batch_stats, batch)
-        targets = jax.vmap(
-            lambda b, l, m: assign_targets(anchors, b, l, m,
-                                           cfg.pos_iou, cfg.neg_iou)
-        )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+        if external_targets:
+            targets = jax.lax.stop_gradient(batch["targets"])
+        else:
+            targets = jax.vmap(
+                lambda b, l, m: assign_targets(anchors, b, l, m,
+                                               cfg.pos_iou, cfg.neg_iou)
+            )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
         loss, aux = detection_loss(outputs, targets, hcfg, anchors,
                                    riou_weight)
         return loss, (updates["batch_stats"], aux)
