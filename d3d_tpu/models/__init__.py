@@ -6,6 +6,7 @@ from .centerpoint import (CenterPoint, CenterPointConfig,
 from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      point_cell_coords, segmentation_loss)
 from .second import SECOND, SECONDConfig, second_voxelize
+from . import presets
 from .inference import (make_centerpoint_detector,
                         make_pointpillars_detector, make_second_detector)
 
@@ -16,7 +17,7 @@ __all__ = [
     "center_loss", "decode_centers",
     "BEVSeg", "BEVSegConfig", "bevseg_pillarize", "point_cell_coords",
     "segmentation_loss",
-    "SECOND", "SECONDConfig", "second_voxelize",
+    "SECOND", "SECONDConfig", "second_voxelize", "presets",
     "make_pointpillars_detector", "make_centerpoint_detector",
     "make_second_detector",
 ]

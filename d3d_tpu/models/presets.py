@@ -1,0 +1,79 @@
+"""Ready-made model configurations for the supported datasets.
+
+The reference devkit leaves model configuration to downstream users; these
+presets pin the standard literature settings so a detector is one call
+away::
+
+    from d3d_tpu.models import presets
+    cfg = presets.pointpillars_kitti()          # 3-class car/ped/cyclist
+    cfg = presets.centerpoint_nuscenes()
+    cfg = presets.second_kitti()
+    cfg = presets.bevseg_semantickitti()
+
+All presets default to ``bfloat16`` compute (the MXU-native dtype);
+pass ``dtype="float32"`` to override.
+"""
+
+from dataclasses import replace
+
+from .bevseg import BEVSegConfig
+from .centerpoint import CenterPointConfig
+from .pointpillars import PointPillarsConfig
+from .second import SECONDConfig
+
+__all__ = ["pointpillars_kitti", "pointpillars_kitti_3class",
+           "centerpoint_nuscenes", "second_kitti", "bevseg_semantickitti"]
+
+# KITTI car/pedestrian/cyclist anchor sizes (l, w, h) from the
+# PointPillars paper (Lang et al., CVPR 2019, Sec. 4.1)
+_KITTI_CAR = (3.9, 1.6, 1.56)
+_KITTI_PED = (0.8, 0.6, 1.73)
+_KITTI_CYC = (1.76, 0.6, 1.73)
+
+
+def pointpillars_kitti(**overrides):
+    """Single-class (car) KITTI PointPillars: 0.16 m pillars, 432x496."""
+    cfg = PointPillarsConfig(
+        bounds=(0.0, 69.12, -39.68, 39.68, -3.0, 1.0), grid=(432, 496),
+        max_pillars=12000, max_points_per_pillar=32, pfn_features=64,
+        backbone_channels=(64, 128, 256), backbone_blocks=(3, 5, 5),
+        upsample_channels=128, num_classes=1, anchor_sizes=(_KITTI_CAR,),
+        pos_iou=0.6, neg_iou=0.45, dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
+def pointpillars_kitti_3class(**overrides):
+    """Three-class KITTI PointPillars (car/pedestrian/cyclist anchors)."""
+    cfg = pointpillars_kitti(
+        num_classes=3, anchor_sizes=(_KITTI_CAR, _KITTI_PED, _KITTI_CYC),
+        pos_iou=0.5, neg_iou=0.35)
+    return replace(cfg, **overrides)
+
+
+def centerpoint_nuscenes(**overrides):
+    """nuScenes-scale CenterPoint: 0.2 m pillars over a 102.4 m square."""
+    cfg = CenterPointConfig(
+        bounds=(-51.2, 51.2, -51.2, 51.2, -5.0, 3.0), grid=(512, 512),
+        dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
+def second_kitti(**overrides):
+    """KITTI SECOND: 0.2 m voxels, 20 z-layers, sparse middle extractor."""
+    cfg = SECONDConfig(
+        bounds=(0.0, 70.4, -40.0, 40.0, -3.0, 1.0), grid=(352, 400, 20),
+        max_voxels=16000, stage_channels=(16, 32, 64),
+        stage_sites=(16000, 8000, 4000), subm_per_stage=2,
+        head_channels=128, num_classes=1, anchor_sizes=(_KITTI_CAR,),
+        dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
+def bevseg_semantickitti(**overrides):
+    """SemanticKITTI-style BEV segmentation: 19 classes + unlabeled."""
+    cfg = BEVSegConfig(
+        bounds=(-48.0, 48.0, -48.0, 48.0, -3.0, 1.8), grid=(480, 480),
+        max_pillars=24000, max_points_per_pillar=32, pfn_features=64,
+        enc_channels=(64, 128, 256), enc_blocks=(2, 2, 2),
+        dec_channels=128, num_classes=20, ignore_index=0, dtype="bfloat16")
+    return replace(cfg, **overrides)

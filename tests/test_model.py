@@ -316,3 +316,26 @@ class TestMultiClass:
         assert len(out) <= 16
         seen = {obj.tag_top for obj in out}
         assert seen <= set(classes)
+
+
+class TestPresets:
+    def test_presets_construct_and_are_hashable(self):
+        from d3d_tpu.models import presets
+
+        for fn in (presets.pointpillars_kitti,
+                   presets.pointpillars_kitti_3class,
+                   presets.centerpoint_nuscenes, presets.second_kitti,
+                   presets.bevseg_semantickitti):
+            cfg = fn()
+            hash(cfg)  # jit-static usable
+            assert cfg.dtype == "bfloat16"
+            cfg32 = fn(dtype="float32")
+            assert cfg32.dtype == "float32"
+        assert presets.pointpillars_kitti_3class().num_anchors_per_cell == 6
+
+    def test_preset_anchor_grid(self):
+        from d3d_tpu.models import presets
+
+        anchors = make_anchors(presets.pointpillars_kitti(dtype="float32"))
+        assert anchors.shape == (432 * 496 * 2, 7)
+        assert np.isfinite(np.asarray(anchors)).all()
