@@ -90,10 +90,10 @@ def build_gt_database(frames, min_points=5):
         crops = box3dp_crop(points[:, :3].astype(np.float32),
                             np.asarray(boxes, np.float32))
         for i, (box, lab) in enumerate(zip(boxes, labels)):
-            idx = np.asarray(crops[i])
-            if idx.size < min_points:
+            mask = np.asarray(crops[i])  # (N,) bool interior mask
+            if int(mask.sum()) < min_points:
                 continue
-            pts = np.array(points[idx], np.float32)
+            pts = np.array(points[mask], np.float32)
             # re-center to the box frame (undo yaw + translation)
             c, s = np.cos(-box[6]), np.sin(-box[6])
             local = pts.copy()

@@ -173,7 +173,9 @@ class DetectionEvaluator:
             summary.ngt[gt_tag] += 1
             gt_indices.append(gt_idx)
 
-        scores = [b.tag.scores[0] for b in dt_boxes]
+        # f32 like the reference's C float score storage (and the device
+        # evaluator's packed scores) so threshold ties agree everywhere
+        scores = np.asarray([b.tag.scores[0] for b in dt_boxes], np.float32)
         tags = [b.tag.labels[0] for b in dt_boxes]
         for si, thres in enumerate(self._pr_thresholds):
             dt_indices = []
@@ -401,20 +403,19 @@ class TrackingEvaluator(DetectionEvaluator):
         (S, G) matched-dt-row array."""
         import jax.numpy as jnp
 
-        from .benchmarks_device import _pack_one, match_subsets_device
+        from .benchmarks_device import (_pack_one, match_subsets_device,
+                                        max_dist_arrays)
 
         class_to_idx = {v: i for i, v in enumerate(self._classes)}
         nd, ng = masks.shape[1], max(len(gt_boxes), 1)
         dt = _pack_one(dt_boxes, class_to_idx, nd, want_var=False)
         gt = _pack_one(gt_boxes, class_to_idx, ng, want_var=False)
-        md64 = np.array([self._max_distance[c] for c in self._classes],
-                        np.float64)
-        md = md64.astype(np.float32)
+        md, md_strict = max_dist_arrays(self)
         match, _ = match_subsets_device(
             jnp.asarray(dt["boxes"]), jnp.asarray(dt["labels"]),
             jnp.asarray(dt["scores"]), jnp.asarray(gt["boxes"]),
             jnp.asarray(gt["labels"]), jnp.asarray(masks),
-            jnp.asarray(md), jnp.asarray(md.astype(np.float64) > md64))
+            jnp.asarray(md), jnp.asarray(md_strict))
         return np.asarray(match)
 
     def calc_stats(self, gt_boxes, dt_boxes, calib=None, device_match=False):
@@ -465,7 +466,7 @@ class TrackingEvaluator(DetectionEvaluator):
                 dt_tag = dt_box.tag.labels[0]
                 if dt_tag not in summary.ngt:
                     continue
-                if dt_box.tag.scores[0] < thres:
+                if np.float32(dt_box.tag.scores[0]) < thres:
                     continue
                 dt_tid = dt_box.tid
                 assert dt_tid > 0, ("Tracking id should be greater than 0 "

@@ -42,10 +42,21 @@ from jax import lax
 from .abstraction import Target3DArray
 
 __all__ = ["pack_frames", "eval_frames_device", "device_calc_stats",
-           "match_subsets_device"]
+           "match_subsets_device", "max_dist_arrays"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 _BIG_RANK = np.int32(2 ** 30)
+
+
+def max_dist_arrays(evaluator):
+    """(max_dist f32 (C,), strict-tie bool (C,)) for an evaluator — the
+    f32 threshold plus the flag marking thresholds whose f32 rounding went
+    UP, where an exact f32 tie must be rejected to reproduce the host's
+    f64 comparison. Shared by the detection and tracking device paths."""
+    md64 = np.array([evaluator._max_distance[c] for c in evaluator._classes],
+                    np.float64)
+    md = md64.astype(np.float32)
+    return md, md.astype(np.float64) > md64
 
 
 # ---------------------------------------------------------------------------
@@ -341,6 +352,10 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
     gt_arrays = list(gt_arrays)
     dt_arrays = list(dt_arrays)
     nframes = len(gt_arrays)
+    if nframes == 0:
+        return ([] if not merge
+                else DetectionEvalStats(evaluator._classes,
+                                        evaluator._pr_nsamples))
     if mesh is not None and merge:
         dp = mesh.shape["dp"]
         pad = (-nframes) % dp
@@ -359,8 +374,7 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
     classes = evaluator._classes
     nsamples = evaluator._pr_nsamples
     packed = pack_frames(gt_arrays, dt_arrays, classes)
-    md64 = np.array([evaluator._max_distance[c] for c in classes], np.float64)
-    md = md64.astype(np.float32)
+    md, md_strict = max_dist_arrays(evaluator)
     if mesh is not None and merge:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -372,7 +386,7 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
     out = eval_frames_device(
         packed,
         jnp.asarray(evaluator._pr_thresholds, jnp.float32),
-        jnp.asarray(md), jnp.asarray(md.astype(np.float64) > md64),
+        jnp.asarray(md), jnp.asarray(md_strict),
         nclasses=len(classes))
     out = {k: np.asarray(v) for k, v in out.items()}
 

@@ -47,13 +47,20 @@ class TrainCheckpointer:
 
     # -- save ---------------------------------------------------------------
     def save(self, step, params, batch_stats, opt_state, force=False):
-        """Queue an async save of the train state at ``step``."""
+        """Queue an async save of the train state at ``step``. Saving a
+        step that already exists is a no-op returning False (orbax raises
+        StepAlreadyExists even under ``force=True``)."""
         import orbax.checkpoint as ocp
+        from orbax.checkpoint.checkpoint_manager import \
+            StepAlreadyExistsError
 
         state = {"params": params, "batch_stats": batch_stats,
                  "opt_state": opt_state}
-        return self._mgr.save(step, args=ocp.args.StandardSave(state),
-                              force=force)
+        try:
+            return self._mgr.save(step, args=ocp.args.StandardSave(state),
+                                  force=force)
+        except StepAlreadyExistsError:
+            return False
 
     def maybe_save(self, step, params, batch_stats, opt_state, every=1000):
         if every and step % every == 0:

@@ -59,16 +59,23 @@ class SECONDConfig:
     def n_stages(self):
         return len(self.stage_channels)
 
+    def _downsampled_grid(self):
+        """Ceil-divide per stage, exactly like the stage loop — a plain
+        ``grid // 2**stages`` would under-size odd dimensions and alias
+        out-of-range sites into wrong cells at densification."""
+        g = tuple(self.grid)
+        for _ in range(self.n_stages - 1):
+            g = tuple(-(-x // 2) for x in g)
+        return g
+
     @property
     def bev_grid(self):
-        s = 2 ** (self.n_stages - 1)
-        return (self.grid[0] // s, self.grid[1] // s)
+        g = self._downsampled_grid()
+        return (g[0], g[1])
 
     @property
     def final_grid(self):
-        s = 2 ** (self.n_stages - 1)
-        return (self.grid[0] // s, self.grid[1] // s,
-                max(self.grid[2] // s, 1))
+        return self._downsampled_grid()
 
 
 def head_config(cfg: SECONDConfig) -> PointPillarsConfig:

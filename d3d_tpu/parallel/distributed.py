@@ -37,12 +37,24 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     On Cloud TPU all parameters auto-detect; on other platforms pass
     ``coordinator_address="host:port"``, ``num_processes`` and
     ``process_id`` explicitly.
+
+    The multi-worker environment is detected from the TPU runtime env
+    vars, NOT ``jax.default_backend()`` — querying the backend would
+    initialize XLA, after which ``jax.distributed.initialize`` refuses to
+    run ("must be called before any JAX computations").
     """
-    if num_processes == 1 or (coordinator_address is None
-                              and num_processes is None
-                              and process_id is None
-                              and not jax.default_backend() == "tpu"):
+    import os
+
+    if num_processes == 1:
         return False
+    if (coordinator_address is None and num_processes is None
+            and process_id is None):
+        # auto-detect path: only meaningful inside a multi-worker TPU job
+        tpu_env = any(os.environ.get(k) for k in (
+            "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
+            "MEGASCALE_COORDINATOR_ADDRESS"))
+        if not tpu_env:
+            return False
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id, **kwargs)
@@ -119,13 +131,21 @@ def all_hosts_stats(stats, classes, evaluator_cls=None):
 
     host = {k: np.asarray(v) for k, v in arrays.items()}
     gathered = multihost_utils.process_allgather(host)  # leading host axis
+    return arrays_to_stats(merge_stacked_stats(gathered), classes,
+                           stats_cls=type(stats))
 
-    tp = gathered["tp"]  # (H, C, S)
+
+def merge_stacked_stats(gathered):
+    """Reduce stacked per-host stat arrays (leading host axis) — the numpy
+    twin of :func:`d3d_tpu.parallel.reduce_stats_arrays` (which runs the
+    same counters-sum / tp-weighted-mean formula as device collectives);
+    a change to one merge rule must be mirrored in the other."""
+    tp = np.asarray(gathered["tp"])  # (H, C, S)
     out = {}
     for f in ("ngt", "ndt", "tp", "fp", "fn"):
-        out[f] = gathered[f].sum(axis=0)
+        out[f] = np.asarray(gathered[f]).sum(axis=0)
     tot = np.maximum(out["tp"], 1)
     for f in ("acc_iou", "acc_angular", "acc_dist", "acc_box", "acc_var"):
-        weighted = np.where(tp > 0, gathered[f] * tp, 0.0)
+        weighted = np.where(tp > 0, np.asarray(gathered[f]) * tp, 0.0)
         out[f] = np.where(out["tp"] > 0, weighted.sum(axis=0) / tot, np.nan)
-    return arrays_to_stats(out, classes, stats_cls=type(stats))
+    return out

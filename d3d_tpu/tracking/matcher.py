@@ -131,7 +131,9 @@ class ScoreMatcher(BaseMatcher):
         dst_subset = list(dst_subset)
         if not src_subset or not dst_subset:
             return
-        scores = [self._src_boxes[i].tag.scores[0] for i in src_subset]
+        scores = np.asarray(
+            [self._src_boxes[i].tag.scores[0] for i in src_subset],
+            np.float32)  # C-float score semantics, matches the device path
         # stable sorts so tie order is deterministic (descending score, ties
         # by descending subset position; distance ties by ascending dst
         # position) — the device evaluator (benchmarks_device) replicates

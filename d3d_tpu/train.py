@@ -77,11 +77,16 @@ class Trainer:
         while num_steps is None or step < start_step + num_steps:
             batch = nxt
             # dispatch the NEXT batch's prep before fetching anything —
-            # it overlaps the step below on device
-            try:
-                nxt = prep(next(it))
-            except StopIteration:
+            # it overlaps the step below on device. Don't prefetch past the
+            # last step: a persistent iterator would silently lose a batch.
+            last = num_steps is not None and step + 1 >= start_step + num_steps
+            if last:
                 nxt = None
+            else:
+                try:
+                    nxt = prep(next(it))
+                except StopIteration:
+                    nxt = None
             params, batch_stats, opt_state, metrics = self.step_fn(
                 params, batch_stats, opt_state, batch)
             step += 1
@@ -102,6 +107,10 @@ class Trainer:
                 break
 
         if self.ckpt is not None:
-            self.ckpt.save(step, params, batch_stats, opt_state, force=True)
+            # orbax raises StepAlreadyExists even with force=True — skip if
+            # the periodic save already covered the final step
+            if self.ckpt.latest_step != step:
+                self.ckpt.save(step, params, batch_stats, opt_state,
+                               force=True)
             self.ckpt.wait()
         return step, params, batch_stats, opt_state

@@ -112,12 +112,12 @@ def main():
           f"{host_per_frame / dev_per_frame:.1f}x host")
 
     # kernel-only: pre-packed arrays already on device
-    md64 = np.array([ev2._max_distance[c] for c in ev2._classes], np.float64)
-    md = md64.astype(np.float32)
+    from d3d_tpu.benchmarks_device import max_dist_arrays
+    md, md_strict = max_dist_arrays(ev2)
     packed = {k: jnp.asarray(v)
               for k, v in pack_frames(gts, dts, ev2._classes).items()}
     thr = jnp.asarray(ev2._pr_thresholds, jnp.float32)
-    strict = jnp.asarray(md.astype(np.float64) > md64)
+    strict = jnp.asarray(md_strict)
     mdj = jnp.asarray(md)
     out = eval_frames_device(packed, thr, mdj, strict, nclasses=3)
     float(np.asarray(out["tp"]).sum())  # barrier

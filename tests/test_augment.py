@@ -43,12 +43,12 @@ class TestGlobalAugment:
         transformed box after — the rigid+scale consistency invariant."""
         rng = np.random.default_rng(seed)
         pts, boxes = _scene(rng)
-        before = [set(np.asarray(c).tolist())
+        before = [set(np.where(np.asarray(c))[0].tolist())
                   for c in box3dp_crop(pts[:, :3], boxes)]
         p2, b2 = global_augment(jax.random.PRNGKey(seed),
                                 jnp.asarray(pts), jnp.asarray(boxes))
         p2, b2 = np.asarray(p2), np.asarray(b2)
-        after = [set(np.asarray(c).tolist())
+        after = [set(np.where(np.asarray(c))[0].tolist())
                  for c in box3dp_crop(p2[:, :3], b2)]
         for i in range(len(boxes)):
             # allow boundary jitter of a few points from fp rounding
@@ -103,7 +103,8 @@ class TestGTSampling:
         # anything
         for i in range(len(tgt_boxes), len(out_boxes)):
             assert iou[i].max() <= 1e-5, (i, iou[i].max())
-        # pasted points actually land inside their boxes
-        crops = box3dp_crop(out_pts[:, :3], out_boxes[len(tgt_boxes):])
-        for c in crops:
-            assert len(np.asarray(c)) >= 3
+        # pasted points actually land inside their boxes (boolean mask rows)
+        crops = np.asarray(box3dp_crop(out_pts[:, :3],
+                                       out_boxes[len(tgt_boxes):]))
+        for row in crops:
+            assert int(row.sum()) >= 3

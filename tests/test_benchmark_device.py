@@ -154,3 +154,11 @@ class TestShardedEvaluation:
         mesh = make_mesh(8)
         sharded = device_calc_stats(ev, gts, dts, mesh=mesh)
         _assert_stats_match(plain, sharded, classes, "dp-sharded")
+
+
+def test_zero_frames_returns_empty_stats():
+    ev = DetectionEvaluator([CAR], [0.3], pr_sample_count=4)
+    s = device_calc_stats(ev, [], [])
+    assert s.ngt[CAR.value] == 0
+    assert s.tp[CAR.value].sum() == 0
+    assert device_calc_stats(ev, [], [], merge=False) == []

@@ -213,3 +213,29 @@ class TestDistributed:
         m = merged.acc_iou[CAR.value]
         np.testing.assert_array_equal(np.isnan(h), np.isnan(m))
         np.testing.assert_allclose(m[~np.isnan(h)], h[~np.isnan(h)])
+
+    def test_merge_stacked_equals_sequential_add_stats(self, rng):
+        """The multi-host numpy merge must equal sequential host add_stats
+        (runs the merge math the multi-process branch uses, without
+        needing multiple processes)."""
+        from d3d_tpu.parallel import merge_stacked_stats
+
+        ev_parts = DetectionEvaluator([CAR], [0.3], pr_sample_count=8)
+        parts = [_frame_stats(ev_parts, rng, i) for i in range(4)]
+        host = DetectionEvaluator([CAR], [0.3], pr_sample_count=8)
+        for p in parts:
+            host.add_stats(p)
+
+        stacked = {}
+        arrs = [stats_to_arrays(p, [CAR.value]) for p in parts]
+        for k in arrs[0]:
+            stacked[k] = np.stack([np.asarray(a[k]) for a in arrs])
+        merged = arrays_to_stats(merge_stacked_stats(stacked), [CAR.value])
+        hs = host.get_stats()
+        np.testing.assert_array_equal(merged.tp[CAR.value],
+                                      hs.tp[CAR.value])
+        h = hs.acc_iou[CAR.value]
+        d = merged.acc_iou[CAR.value]
+        np.testing.assert_array_equal(np.isnan(h), np.isnan(d))
+        np.testing.assert_allclose(d[~np.isnan(h)], h[~np.isnan(h)],
+                                   rtol=1e-6)

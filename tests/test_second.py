@@ -138,3 +138,33 @@ class TestInference:
         for obj in out:
             assert obj.tag_top == KittiObjectClass.Car
             assert np.all(np.isfinite(obj.position))
+
+
+class TestOddGrid:
+    def test_odd_dims_do_not_alias(self, rng):
+        """Grid dims not divisible by the total stride: the per-stage ceil
+        chain must match final_grid or densification aliases sites into
+        wrong cells (round-2 review finding)."""
+        cfg = SECONDConfig(
+            bounds=(0.0, 16.5, -8.0, 8.5, -3.0, 1.2),
+            grid=(33, 33, 7), max_voxels=256,
+            stage_channels=(8, 16, 32), stage_sites=(256, 128, 64),
+            subm_per_stage=1, head_channels=8)
+        g = cfg.grid
+        for _ in range(cfg.n_stages - 1):
+            g = tuple(-(-x // 2) for x in g)
+        assert cfg.final_grid == g  # (9, 9, 2)
+        assert cfg.bev_grid == g[:2]
+
+        pts = np.stack([
+            rng.random(1024) * 16.5, rng.random(1024) * 16.5 - 8,
+            rng.random(1024) * 4.2 - 3, rng.random(1024)],
+            axis=1).astype(np.float32)
+        feats, coords, valid = second_voxelize(jnp.asarray(pts), cfg)
+        model = SECOND(cfg)
+        variables = model.init(jax.random.PRNGKey(0), feats[None],
+                               coords[None], valid[None])
+        out = model.apply(variables, feats[None], coords[None], valid[None])
+        a = 2
+        assert out[0].shape == (1, g[0] * g[1] * a, 1)
+        assert np.all(np.isfinite(np.asarray(out[0])))
