@@ -158,3 +158,20 @@ class TestDownsample:
                     dense[cs[i, 0], cs[i, 1], cs[i, 2]],
                     np.asarray(feats[i]), rtol=1e-6)
         assert np.count_nonzero(dense.sum(-1)) <= 30
+
+
+class TestKernel5:
+    def test_k5_neighbor_map_vs_brute_force(self, rng):
+        coords, valid = _active_sites(rng, 40, 64)
+        nbr = np.asarray(build_neighbor_map(coords, valid, GRID,
+                                            kernel_size=5))
+        offs = kernel_offsets(5)
+        assert nbr.shape == (64, 125)
+        cs = np.asarray(coords)
+        lookup = {tuple(cs[i]): i for i in range(64) if valid[i]}
+        for i in range(0, 64, 3):
+            for k in range(0, 125, 7):
+                want = -1
+                if valid[i]:
+                    want = lookup.get(tuple(cs[i] + offs[k]), -1)
+                assert nbr[i, k] == want
