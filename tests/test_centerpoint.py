@@ -228,3 +228,34 @@ def test_external_targets_match_in_step(rng):
     _, _, _, a2 = s_ext(variables["params"], variables["batch_stats"],
                         opt_state, prepped)
     assert np.isclose(float(a1["total"]), float(a2["total"]), rtol=1e-6)
+
+
+def test_multiclass_heads_and_targets(rng):
+    """num_classes=3: per-class heatmap channels, class-indexed gaussian
+    targets and decode."""
+    from dataclasses import replace
+
+    from d3d_tpu.models.centerpoint import (assign_center_targets,
+                                            decode_centers)
+
+    cfg = replace(TINY, num_classes=3)
+    pts = _cloud(rng)
+    feats, coords, valid = pillarize(jnp.asarray(pts), TINY_PILLARS)
+    model = CenterPoint(cfg)
+    variables = model.init(jax.random.PRNGKey(0), feats[None], coords[None],
+                           valid[None])
+    outputs = model.apply(variables, feats[None], coords[None], valid[None])
+    assert np.asarray(outputs["heatmap"]).shape[-1] == 3
+
+    gt = jnp.asarray(_gt(rng))
+    labels = jnp.asarray([0, 1, 2], jnp.int32)
+    targets = assign_center_targets(cfg, gt, labels, jnp.ones(3, bool))
+    hm = np.asarray(targets["heatmap"])
+    assert hm.shape[-1] == 3
+    # each class channel has exactly one peak == 1
+    for c in range(3):
+        assert np.isclose(hm[..., c].max(), 1.0)
+
+    out1 = jax.tree.map(lambda x: x[0], outputs)
+    boxes, scores, labs = decode_centers(cfg, out1)
+    assert set(np.unique(np.asarray(labs))) <= {0, 1, 2}
