@@ -74,7 +74,9 @@ class KITTI360Loader(TrackingDatasetBase):
                 for archive in self.base_path.glob(
                         f"2013_05_28_drive_*_sync_{aname}.zip"):
                     with ZipFile(archive) as data:
-                        seq = archive.stem[:archive.stem.rfind("_")]
+                        # strip the known archive suffix: rfind('_') would
+                        # only peel '_00' off image archives
+                        seq = archive.stem[: -len(f"_{aname}")]
                         frame_count[seq] = sum(
                             1 for n in data.namelist() if n.endswith(ext))
                 if frame_count:
@@ -256,7 +258,10 @@ class KITTI360Loader(TrackingDatasetBase):
         ib = int(np.searchsorted(sick_ts, key_ts, side="right"))
         idx_list = list(range(ia, ib))
         if ninter_frames is not None:
-            idx_list = idx_list[-ninter_frames:]
+            # reference bug fixed: its `idx_list[-ninter_frames:]`
+            # (loader.py:654) returns ALL frames for ninter_frames=0
+            idx_list = idx_list[max(len(idx_list) - ninter_frames, 0):] \
+                if ninter_frames > 0 else []
 
         if self.interpolate_pose:
             self._preload_poses(seq_id)
@@ -411,11 +416,20 @@ class KITTI360Loader(TrackingDatasetBase):
         for item in self.intermediate_data(
                 (seq_id, frame_idx), names="sick", report_semantic=False,
                 bypass=True):
+            # (u, v, 0) embedding replicates the reference
+            # (loader.py:417); the official kitti360scripts devkit embeds
+            # (0, -u, v) — parity follows the reference here
             cloud = np.insert(item.data, 2, 0, axis=1)
             cloud = self._calibration.transform_points(
                 cloud, frame_to="pose", frame_from="sick")
-            cloud = cloud.dot(item.pose.orientation.as_matrix().T) \
-                + item.pose.position
+            # interpolate_pose=False items carry no pose (same as the
+            # reference, whose cache build then crashes — loader.py:419);
+            # fall back to the key frame's pose instead
+            pose_r, pose_t = ((item.pose.orientation, item.pose.position)
+                              if "pose" in item else
+                              (self._poses_r[seq_id][frame_idx],
+                               self._poses_t[seq_id][frame_idx]))
+            cloud = cloud.dot(pose_r.as_matrix().T) + pose_t
             yield "sick", item.index, cloud
 
     def _preload_3dsemantics(self, seq_id, expand_frames=150, nworkers=0):
@@ -437,7 +451,8 @@ class KITTI360Loader(TrackingDatasetBase):
                 "build the semantic cache on the unzipped layout first "
                 "(then zip data_3d_semantics/<seq> as <seq>_semantics.zip)")
         result_path = self._semantic_result_path(seq_id)
-        if (result_path / "velodyne" / "semantic").exists():
+        done_marker = result_path / ".labels_complete"
+        if done_marker.exists():
             return
 
         from ...ops.point import nearest_neighbor
@@ -450,17 +465,39 @@ class KITTI360Loader(TrackingDatasetBase):
             if i >= 0:
                 idmap[i] = label.name.value
 
-        # best-so-far accumulators keyed by (sensor, frame index)
-        accum = {}
+        # gather all windows (both kinds) sorted by expanded start so
+        # finished frames can stream to disk instead of holding the whole
+        # sequence's best-so-far arrays in RAM (real KITTI-360 sequences
+        # are 10k+ frames x 120k points)
+        windows = []
+        for kind in ("static", "dynamic"):
+            folder = result_path / kind
+            if not folder.exists():
+                continue
+            for ply in sorted(folder.glob("*.ply")):
+                fstart, fend = (int(v) for v in ply.stem.split("_"))
+                windows.append((max(fstart - expand_frames, 0),
+                                min(fend + expand_frames, nframes),
+                                kind, folder, ply.name))
+        if not windows:
+            raise FileNotFoundError(
+                f"no aggregated 3D-semantics windows under {result_path} "
+                "(download data_3d_semantics for this sequence)")
+        windows.sort(key=lambda w: w[:2])
 
-        def update(sensor, fidx, cloud, win_xyz, win_fields):
+        accum = {}            # (sensor, sidx) -> best-so-far fields
+        frame_clouds = {}     # fidx -> [(sensor, sidx, world xyz)]
+        frame_children = {}   # fidx -> [(sensor, sidx)]
+        crop_radius2 = 150.0 ** 2  # beyond lidar range + pose drift margin
+
+        def update(sensor, sidx, cloud, win_xyz, win_fields):
             if len(cloud) == 0 or len(win_xyz) == 0:
                 return
             dist, nn = nearest_neighbor(cloud, win_xyz)
-            key = (sensor, fidx)
+            key = (sensor, sidx)
             if key not in accum:
                 accum[key] = EDict(
-                    dist=np.full(len(cloud), np.inf),
+                    dist=np.full(len(cloud), np.inf, np.float32),
                     rgb=np.zeros((len(cloud), 3), "u1"),
                     semantic=np.zeros(len(cloud), "u1"),
                     instance=np.zeros(len(cloud), "u2"),
@@ -476,52 +513,74 @@ class KITTI360Loader(TrackingDatasetBase):
             a.visible = np.where(upd, win_fields["visible"][nn] > 0,
                                  a.visible)
 
-        for kind in ("static", "dynamic"):
-            folder = result_path / kind
-            if not folder.exists():
-                continue
-            for ply in sorted(folder.glob("*.ply")):
-                data = load_ply(folder, ply.name)
-                if len(data) == 0:
-                    continue
-                fstart, fend = (int(v) for v in ply.stem.split("_"))
-                fstart = max(fstart - expand_frames, 0)
-                fend = min(fend + expand_frames, nframes)
-                xyz = np.stack([data["x"], data["y"], data["z"]], 1)
-                fields = dict(
-                    rgb=np.stack([data["red"], data["green"], data["blue"]],
-                                 1) if "red" in data.dtype.names
-                    else np.zeros((len(data), 3), "u1"),
-                    semantic=data["semantic"].astype(np.int64),
-                    instance=data["instance"],
-                    visible=data["visible"]
-                    if "visible" in data.dtype.names
-                    else np.ones(len(data), "u1"))
-                dyn_ts = data["timestamp"] if kind == "dynamic" \
-                    and "timestamp" in data.dtype.names else None
-                for fidx in range(fstart, fend):
-                    if dyn_ts is not None:
-                        sel = dyn_ts == fidx
-                        if not sel.any():
-                            continue
-                        wxyz = xyz[sel]
-                        wfields = {k: v[sel] for k, v in fields.items()}
-                    else:
-                        wxyz, wfields = xyz, fields
-                    for sensor, sidx, cloud in self._iter_frame_clouds(
-                            seq_id, fidx):
-                        update(sensor, sidx, cloud, wxyz, wfields)
-
         for sensor in ("velodyne", "sick"):
             for k in self._semantic_dtypes:
                 (result_path / sensor / k).mkdir(parents=True, exist_ok=True)
-        for (sensor, fidx), a in accum.items():
-            out = result_path / sensor
-            a.rgb.tofile(out / "rgb" / ("%010d.bin" % fidx))
-            a.semantic.tofile(out / "semantic" / ("%010d.bin" % fidx))
-            a.instance.tofile(out / "instance" / ("%010d.bin" % fidx))
-            np.packbits(a.visible).tofile(
-                out / "visible" / ("%010d.bin" % fidx))
+
+        def flush(fidx):
+            for sensor, sidx in frame_children.pop(fidx, ()):
+                a = accum.pop((sensor, sidx), None)
+                if a is None:
+                    continue
+                out = result_path / sensor
+                a.rgb.tofile(out / "rgb" / ("%010d.bin" % sidx))
+                a.semantic.tofile(out / "semantic" / ("%010d.bin" % sidx))
+                a.instance.tofile(out / "instance" / ("%010d.bin" % sidx))
+                np.packbits(a.visible).tofile(
+                    out / "visible" / ("%010d.bin" % sidx))
+            frame_clouds.pop(fidx, None)
+
+        for wi, (fstart, fend, kind, folder, name) in enumerate(windows):
+            data = load_ply(folder, name)
+            if len(data) == 0:
+                continue
+            xyz = np.stack([data["x"], data["y"], data["z"]], 1)
+            fields = dict(
+                rgb=np.stack([data["red"], data["green"], data["blue"]],
+                             1) if "red" in data.dtype.names
+                else np.zeros((len(data), 3), "u1"),
+                semantic=data["semantic"].astype(np.int64),
+                instance=data["instance"],
+                visible=data["visible"]
+                if "visible" in data.dtype.names
+                else np.ones(len(data), "u1"))
+            dyn_ts = data["timestamp"] if kind == "dynamic" \
+                and "timestamp" in data.dtype.names else None
+            for fidx in range(fstart, fend):
+                if dyn_ts is not None:
+                    sel = dyn_ts == fidx
+                    if not sel.any():
+                        continue
+                    wxyz = xyz[sel]
+                    wfields = {k: v[sel] for k, v in fields.items()}
+                else:
+                    # pre-crop the (multi-million-point) window to lidar
+                    # range around the frame pose: distant points can
+                    # never win the min-distance merge
+                    origin = self._poses_t[seq_id][fidx]
+                    near = np.sum((xyz - origin) ** 2, axis=1) \
+                        < crop_radius2
+                    if not near.any():
+                        continue
+                    wxyz = xyz[near]
+                    wfields = {k: v[near] for k, v in fields.items()}
+                if fidx not in frame_clouds:
+                    frame_clouds[fidx] = list(
+                        self._iter_frame_clouds(seq_id, fidx))
+                    frame_children[fidx] = [
+                        (s, i) for s, i, _ in frame_clouds[fidx]]
+                for sensor, sidx, cloud in frame_clouds[fidx]:
+                    update(sensor, sidx, cloud, wxyz, wfields)
+            # frames below every remaining window's range are final
+            min_future = min((w[0] for w in windows[wi + 1:]),
+                             default=nframes)
+            for fidx in [f for f in list(frame_children)
+                         if f < min_future]:
+                flush(fidx)
+
+        for fidx in list(frame_children):
+            flush(fidx)
+        done_marker.touch()
 
     @expand_idx
     def annotation_3dpoints(self, idx):

@@ -151,15 +151,27 @@ def _nn_padded(query, ref, rvalid, q_chunk, r_chunk):
             idx.reshape(nq))
 
 
-def nearest_neighbor(query, ref, q_chunk=1024, r_chunk=4096):
+def nearest_neighbor(query, ref, q_chunk=1024, r_chunk=4096, center=True):
     """Nearest reference point per query point (brute force on device).
 
     :param query: (N, 3) float array
     :param ref: (M, 3) float array, M >= 1
+    :param center: subtract the query centroid from both clouds before the
+        f32 distance expansion. At world-frame magnitudes (KITTI-360
+        drives sit km from the origin) |q|^2 ~ 1e7 and the f32 ulp of the
+        expansion is ~1 m^2 — large-coordinate clouds would match the
+        WRONG neighbors without recentering. Distances/indices are
+        translation-invariant, so this only removes the error.
     :return: (distance (N,), index (N,) int32) numpy arrays
     """
-    query = np.asarray(query, np.float32)
-    ref = np.asarray(ref, np.float32)
+    query = np.asarray(query, np.float64)
+    ref = np.asarray(ref, np.float64)
+    if center and len(query):
+        origin = query.mean(axis=0)
+        query = query - origin
+        ref = ref - origin
+    query = query.astype(np.float32)
+    ref = ref.astype(np.float32)
     n, m = len(query), len(ref)
     if n == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int32)

@@ -68,14 +68,10 @@ def _segment_structure(key, max_key=None, order_mode="encounter"):
         # k_s stays int32 (invalid cells hold max_key + 1, which sorts last
         # and forms its own trailing segment, like the int64 sentinel)
         valid_s = k_s <= max_key
-    elif max_key is not None and (max_key + 2) < (1 << 62) // max(n, 1):
-        # pack (key, idx) into one int64: stable by construction
-        capped = jnp.minimum(key, max_key + 1)
-        packed = jnp.sort(capped * n + jnp.arange(n))
-        order = (packed % n).astype(jnp.int32)
-        k_s = jnp.where(packed // n > max_key, _INT_SENTINEL, packed // n)
-        valid_s = k_s != _INT_SENTINEL
     else:
+        # data-dependent key range (sparse path): generic stable argsort.
+        # (An int64 packed-sort middle path existed but was unreachable —
+        # dense grids always satisfy the int32 bound, sparse passes None.)
         order = jnp.argsort(key, stable=True).astype(jnp.int32)
         k_s = key[order]
         valid_s = k_s != _INT_SENTINEL
@@ -325,6 +321,7 @@ def voxelize_mean_fm(points_fm, shape, bounds, max_voxels):
     """
     shape = tuple(int(v) for v in shape)
     f, n = points_fm.shape
+    n_real = n  # before sentinel padding (stats must exclude the -1e30s)
     if n < max_voxels + 1:
         # pad with out-of-range sentinel points so the [:V+1] slices exist
         pad = max_voxels + 1 - n
@@ -352,8 +349,12 @@ def voxelize_mean_fm(points_fm, shape, bounds, max_voxels):
     frac = scaled - idx.astype(scaled.dtype)
     qxyz = jnp.round(frac * qscale).astype(jnp.int32)
     extra = points_fm[3:]
-    cmin = jnp.min(extra, axis=1, keepdims=True)
-    crange = jnp.maximum(jnp.max(extra, axis=1, keepdims=True) - cmin, 1e-30)
+    # quantization stats over the REAL columns only — the -1e30 sentinel
+    # padding would otherwise blow cmin/crange and zero out every real
+    # point's quantized extras (round-2 review finding)
+    cmin = jnp.min(extra[:, :n_real], axis=1, keepdims=True)
+    crange = jnp.maximum(
+        jnp.max(extra[:, :n_real], axis=1, keepdims=True) - cmin, 1e-30)
     qextra = jnp.round((extra - cmin) / crange * qscale).astype(jnp.int32)
     qmax = jnp.int32(1 << qbits)
     qcols = jnp.clip(jnp.concatenate([qxyz, qextra], axis=0),

@@ -291,3 +291,43 @@ class TestCADC:
         pose = loader.pose(0)
         assert np.isfinite(pose.position).all()
         assert loader.timestamp(1) > 1e15
+
+
+class TestKitti360CacheRobustness:
+    def test_ninter_frames_zero_and_build_guards(self, tmp_path):
+        """Round-2 review findings: ninter_frames=0 must return [] (the
+        reference returns everything); a missing-windows build must raise
+        instead of writing an empty cache marker; adding the windows later
+        must still build."""
+        import shutil
+
+        from d3d_tpu.dataset.kitti360 import KITTI360Loader
+
+        root = tmp_path / "k360"
+        dfx.build_kitti360(root, nframes=4)
+        loader = KITTI360Loader(root, inzip=False, phase="training",
+                                trainval_split=1)
+        assert loader.intermediate_data(0, names="sick",
+                                        report_semantic=False,
+                                        ninter_frames=0) == []
+        # large ninter_frames returns all, not a wrapped slice
+        allf = loader.intermediate_data(0, names="sick",
+                                        report_semantic=False,
+                                        ninter_frames=999)
+        assert len(allf) >= 1
+
+        # stash the windows away -> build must raise, not poison the cache
+        sem = root / "data_3d_semantics" / dfx._K360_SEQ
+        stash = tmp_path / "stash"
+        stash.mkdir()
+        for kind in ("static", "dynamic"):
+            shutil.move(str(sem / kind), str(stash / kind))
+        loader2 = KITTI360Loader(root, inzip=False, phase="training",
+                                 trainval_split=1)
+        with pytest.raises(FileNotFoundError):
+            loader2.annotation_3dpoints(0)
+        # restore windows: the build must now succeed (no stale marker)
+        for kind in ("static", "dynamic"):
+            shutil.move(str(stash / kind), str(sem / kind))
+        seg = loader2.annotation_3dpoints(0)
+        assert seg.semantic.shape == (len(loader2.lidar_data(0)),)

@@ -126,3 +126,21 @@ def test_nearest_neighbor_vs_kdtree(rng):
     assert d0.shape == (0,)
     d1, i1 = nearest_neighbor(q[:7], r[:3])
     assert (i1 < 3).all()
+
+
+class TestNearestNeighborWorldScale:
+    def test_km_offset_exact_vs_kdtree(self, rng):
+        """World-frame coordinates (km from origin, the KITTI-360 regime):
+        the f32 distance expansion would mismatch without the query-centroid
+        recentering (round-2 review finding)."""
+        from scipy.spatial import cKDTree
+
+        from d3d_tpu.ops.point import nearest_neighbor
+
+        origin = np.array([3200.0, -4100.0, 110.0])
+        ref = origin + rng.normal(0, 30, (5000, 3))
+        query = origin + rng.normal(0, 30, (800, 3))
+        d, i = nearest_neighbor(query, ref)
+        kd_d, kd_i = cKDTree(ref).query(query)
+        np.testing.assert_array_equal(i, kd_i)
+        np.testing.assert_allclose(d, kd_d, rtol=1e-4, atol=1e-3)

@@ -207,3 +207,31 @@ class TestSparse:
         with pytest.raises(NotImplementedError):
             VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10],
                            max_points_filter="farthest_sampling")
+
+
+class TestFMFewPoints:
+    def test_small_cloud_extra_features_correct(self, rng):
+        """Fewer points than max_voxels+1: the sentinel padding must not
+        poison the extra-column quantization stats (round-2 review
+        finding: means came out ~-1e25)."""
+        import jax.numpy as jnp
+
+        from d3d_tpu.ops.voxel import voxelize_mean_fm
+
+        n = 1000
+        pts = np.stack([
+            rng.uniform(0, 10, n), rng.uniform(0, 10, n),
+            rng.uniform(0, 4, n), rng.uniform(0, 1, n)],
+            axis=0).astype(np.float32)
+        bounds = jnp.asarray([0, 10, 0, 10, 0, 4], jnp.float32)
+        out = voxelize_mean_fm(jnp.asarray(pts), (10, 10, 4), bounds, 4000)
+        nv = int(out.nvoxels)
+        assert nv > 0
+        agg = np.asarray(out.aggregates)[:, :nv]
+        npv = np.asarray(out.voxel_npoints)[:nv]
+        assert np.all(npv > 0)
+        # intensity means must lie inside the data range
+        assert np.all(agg[3] >= -1e-3) and np.all(agg[3] <= 1 + 1e-3), \
+            (agg[3].min(), agg[3].max())
+        # xyz means inside the grid
+        assert np.all(agg[0] >= 0) and np.all(agg[0] <= 10)
