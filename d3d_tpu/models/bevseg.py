@@ -108,12 +108,8 @@ class BEVSeg(nn.Module):
         pf = _PFN(cfg.pfn_features, cfg.dtype)(features, pmask, train)
         pf = pf * valid[..., None].astype(pf.dtype)
 
-        w, h = cfg.grid
-        flat = coords[..., 0] * h + coords[..., 1]
-        flat = jnp.where(valid, flat, w * h)
-        canvas = jnp.zeros((b, w * h + 1, cfg.pfn_features), pf.dtype)
-        canvas = jax.vmap(lambda c, f, v: c.at[f].add(v))(canvas, flat, pf)
-        x = canvas[:, :-1].reshape(b, w, h, cfg.pfn_features)
+        from .pointpillars import scatter_to_bev
+        x = scatter_to_bev(pf, coords, valid, cfg.grid)
 
         # U-Net encoder (stride-2 stages) with skip connections
         skips = []

@@ -70,12 +70,8 @@ class CenterPoint(nn.Module):
         pf = _PFN(cfg.pfn_features, cfg.dtype)(features, pmask, train)
         pf = pf * valid[..., None].astype(pf.dtype)
 
-        w, h = cfg.grid
-        flat = coords[..., 0] * h + coords[..., 1]
-        flat = jnp.where(valid, flat, w * h)
-        canvas = jnp.zeros((b, w * h + 1, cfg.pfn_features), pf.dtype)
-        canvas = jax.vmap(lambda c, f, v: c.at[f].add(v))(canvas, flat, pf)
-        x = canvas[:, :-1].reshape(b, w, h, cfg.pfn_features)
+        from .pointpillars import scatter_to_bev
+        x = scatter_to_bev(pf, coords, valid, cfg.grid)
 
         ups = []
         for i, (ch, nb) in enumerate(zip(cfg.backbone_channels,
@@ -104,19 +100,26 @@ class CenterPoint(nn.Module):
 
 
 def _gaussian_radius(l_cells, w_cells, min_overlap):
-    """CornerNet radius so any center within it keeps IoU >= min_overlap."""
-    a1 = 1.0
+    """Radius such that any center within it keeps IoU >= min_overlap.
+
+    Uses the mathematically correct quadratic roots ``(-b ± sqrt(b²-4ac))
+    / (2a)`` for the three CornerNet overlap cases. (The widely copied
+    CornerNet code divides every root by 2 regardless of ``a`` — a known
+    quirk of the published implementation. Verified by the radius-property
+    test: translating the box by the radius keeps IoU >= min_overlap.)
+    """
     b1 = l_cells + w_cells
     c1 = l_cells * w_cells * (1 - min_overlap) / (1 + min_overlap)
-    r1 = (b1 - jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * a1 * c1, 0.0))) / 2
+    r1 = (b1 - jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * c1, 0.0))) / 2
     a2 = 4.0
     b2 = 2 * (l_cells + w_cells)
     c2 = (1 - min_overlap) * l_cells * w_cells
-    r2 = (b2 - jnp.sqrt(jnp.maximum(b2 ** 2 - 4 * a2 * c2, 0.0))) / 4
+    r2 = (b2 - jnp.sqrt(jnp.maximum(b2 ** 2 - 4 * a2 * c2, 0.0))) / (2 * a2)
     a3 = 4.0 * min_overlap
     b3 = -2 * min_overlap * (l_cells + w_cells)
     c3 = (min_overlap - 1) * l_cells * w_cells
-    r3 = (b3 + jnp.sqrt(jnp.maximum(b3 ** 2 - 4 * a3 * c3, 0.0))) / 4
+    r3 = (-b3 + jnp.sqrt(jnp.maximum(b3 ** 2 - 4 * a3 * c3, 0.0))) \
+        / (2 * a3)
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 

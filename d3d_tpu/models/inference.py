@@ -47,21 +47,27 @@ def _bev(boxes):
                            axis=-1).astype(jnp.float32)
 
 
-def make_pointpillars_detector(model, variables, cfg, anchors, classes,
-                               score_threshold=0.3, iou_threshold=0.5,
-                               top_k=100):
-    """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
-    for a trained PointPillars model (jitted once)."""
+def _make_anchor_detector(model, variables, cfg, anchors, classes,
+                          voxelize_fn, score_threshold, iou_threshold,
+                          top_k):
+    """Shared factory for the anchor-head families (PointPillars, SECOND):
+    voxelize -> heads -> top-k decode (incl. the direction classifier:
+    arcsin only recovers yaw up to pi, the trained dir head supplies the
+    flip) -> rotated NMS -> Target3DArray."""
 
     @jax.jit
     def device(points):
-        feats, coords, valid = pillarize(points, cfg)
-        cls_logits, box_preds, _ = model.apply(
+        feats, coords, valid = voxelize_fn(points, cfg)
+        cls_logits, box_preds, dir_logits = model.apply(
             variables, feats[None], coords[None], valid[None], train=False)
         scores_all = jax.nn.sigmoid(cls_logits[0])        # (N, C)
         best = jnp.max(scores_all, axis=-1)
         top_scores, idx = jax.lax.top_k(best, top_k)
         boxes = decode_boxes(anchors[idx], box_preds[0][idx])
+        # direction head disambiguates the arcsin yaw (training target:
+        # residual mod 2pi > pi -> class 1 -> add pi)
+        flip = jnp.argmax(dir_logits[0][idx], axis=-1).astype(boxes.dtype)
+        boxes = boxes.at[:, 6].add(flip * jnp.pi)
         labels = jnp.argmax(scores_all, axis=-1)[idx]
         keep = ~nms2d(_bev(boxes), top_scores.astype(jnp.float32),
                       iou_threshold=iou_threshold, iou_method="rbox")
@@ -74,6 +80,16 @@ def make_pointpillars_detector(model, variables, cfg, anchors, classes,
                            timestamp, score_threshold)
 
     return detect
+
+
+def make_pointpillars_detector(model, variables, cfg, anchors, classes,
+                               score_threshold=0.3, iou_threshold=0.5,
+                               top_k=100):
+    """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
+    for a trained PointPillars model (jitted once)."""
+    return _make_anchor_detector(model, variables, cfg, anchors, classes,
+                                 pillarize, score_threshold, iou_threshold,
+                                 top_k)
 
 
 def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
@@ -109,24 +125,6 @@ def make_second_detector(model, variables, cfg, anchors, classes,
     only the voxelization front-end differs)."""
     from .second import second_voxelize
 
-    @jax.jit
-    def device(points):
-        feats, coords, valid = second_voxelize(points, cfg)
-        cls_logits, box_preds, _ = model.apply(
-            variables, feats[None], coords[None], valid[None], train=False)
-        scores_all = jax.nn.sigmoid(cls_logits[0])
-        best = jnp.max(scores_all, axis=-1)
-        top_scores, idx = jax.lax.top_k(best, top_k)
-        boxes = decode_boxes(anchors[idx], box_preds[0][idx])
-        labels = jnp.argmax(scores_all, axis=-1)[idx]
-        keep = ~nms2d(_bev(boxes), top_scores.astype(jnp.float32),
-                      iou_threshold=iou_threshold, iou_method="rbox")
-        return boxes, top_scores, labels, keep
-
-    def detect(points, frame=None, timestamp=0):
-        boxes, scores, labels, keep = device(
-            jnp.asarray(points, jnp.float32))
-        return _to_targets(boxes, scores, labels, keep, classes, frame,
-                           timestamp, score_threshold)
-
-    return detect
+    return _make_anchor_detector(model, variables, cfg, anchors, classes,
+                                 second_voxelize, score_threshold,
+                                 iou_threshold, top_k)

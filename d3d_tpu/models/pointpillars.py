@@ -30,7 +30,7 @@ import flax.linen as nn
 from ..ops import geometry as G
 from ..ops.voxel import voxelize_dense_padded
 
-__all__ = ["PointPillarsConfig", "PointPillars", "pillarize",
+__all__ = ["PointPillarsConfig", "PointPillars", "pillarize", "scatter_to_bev",
            "make_anchors", "assign_targets", "detection_loss",
            "decode_boxes", "make_train_step"]
 
@@ -111,6 +111,19 @@ def pillarize(points, cfg: PointPillarsConfig):
 # network modules
 # ---------------------------------------------------------------------------
 
+def scatter_to_bev(pf, coords, valid, grid):
+    """Scatter per-pillar features (B, P, F) onto the dense BEV canvas
+    (B, W, H, F) via the trash-row trick (invalid pillars land on a
+    discarded extra row). Shared by every pillar-based family."""
+    b, _, nf = pf.shape
+    w, h = grid
+    flat = coords[..., 0] * h + coords[..., 1]
+    flat = jnp.where(valid, flat, w * h)
+    canvas = jnp.zeros((b, w * h + 1, nf), pf.dtype)
+    canvas = jax.vmap(lambda c, f, v: c.at[f].add(v))(canvas, flat, pf)
+    return canvas[:, :-1].reshape(b, w, h, nf)
+
+
 class _PFN(nn.Module):
     """Per-pillar PointNet: linear + BN + ReLU + masked max over points."""
 
@@ -185,12 +198,7 @@ class PointPillars(nn.Module):
         pf = pf * valid[..., None].astype(pf.dtype)  # (B, P, F)
 
         # scatter pillars to the BEV canvas (W, H layout: x -> rows)
-        w, h = cfg.grid
-        flat = coords[..., 0] * h + coords[..., 1]  # (B, P)
-        flat = jnp.where(valid, flat, w * h)  # trash row
-        canvas = jnp.zeros((b, w * h + 1, cfg.pfn_features), pf.dtype)
-        canvas = jax.vmap(lambda c, f, v: c.at[f].add(v))(canvas, flat, pf)
-        x = canvas[:, :-1].reshape(b, w, h, cfg.pfn_features)
+        x = scatter_to_bev(pf, coords, valid, cfg.grid)
 
         # backbone + FPN-style upsampling
         ups = []
@@ -303,10 +311,17 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask,
     best_iou = jnp.max(iou, axis=1)
 
     pos = best_iou >= pos_iou
-    # force-match: every gt gets its best anchor (if valid)
-    best_anchor = jnp.argmax(iou, axis=0)  # (M,)
+    # force-match: every gt gets its best anchor — but ONLY gts that are
+    # valid AND actually overlap something: a padded or out-of-range gt's
+    # IoU column is uniform (-1 / 0), argmax lands on anchor 0 and the
+    # duplicate-index scatter would clobber real matches there / train a
+    # corner anchor on garbage residuals (round-2 review finding)
+    gt_best_iou = jnp.max(iou, axis=0)  # (M,)
+    can_force = gt_mask & (gt_best_iou > 0)
+    oob = jnp.int32(anchors.shape[0])
+    best_anchor = jnp.where(can_force, jnp.argmax(iou, axis=0), oob)
     force = jnp.zeros(anchors.shape[0], bool).at[best_anchor].set(
-        gt_mask, mode="drop")
+        True, mode="drop")
     forced_gt = jnp.zeros(anchors.shape[0], jnp.int32).at[best_anchor].set(
         jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode="drop")
     best_gt = jnp.where(force & ~pos, forced_gt, best_gt)
@@ -410,8 +425,8 @@ def detection_loss(outputs, targets, cfg: PointPillarsConfig,
 # training step factory
 # ---------------------------------------------------------------------------
 
-def prepare_targets(anchors, batch, pos_iou=0.6, neg_iou=0.45,
-                    num_classes=None, dense=False):
+def prepare_targets(anchors, batch, pos_iou=None, neg_iou=None,
+                    num_classes=None, dense=False, cfg=None):
     """Batched anchor-target assignment as a standalone jitted program.
 
     Target assignment is parameter-independent — in a production input
@@ -424,7 +439,20 @@ def prepare_targets(anchors, batch, pos_iou=0.6, neg_iou=0.45,
     :param dense: emit the all-f32 representation (cls_onehot / weight /
         posf / dir_onehot) that the loss consumes without any int/bool
         inputs — the fastest step path (requires ``num_classes``).
+    :param cfg: PointPillarsConfig supplying pos_iou/neg_iou/num_classes
+        defaults — thresholds must come from somewhere explicit so this
+        path can never silently diverge from the in-step assignment.
     """
+    if cfg is not None:
+        pos_iou = cfg.pos_iou if pos_iou is None else pos_iou
+        neg_iou = cfg.neg_iou if neg_iou is None else neg_iou
+        num_classes = (cfg.num_classes if num_classes is None
+                       else num_classes)
+    if pos_iou is None or neg_iou is None:
+        raise ValueError(
+            "prepare_targets needs pos_iou/neg_iou — pass them explicitly "
+            "or provide cfg= (no silent defaults: they could diverge from "
+            "the train step's config)")
     targets = jax.vmap(
         lambda b, l, m: assign_targets(anchors, b, l, m, pos_iou, neg_iou)
     )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])

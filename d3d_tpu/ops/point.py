@@ -8,7 +8,11 @@ fixed (N, 2^m) batched gather + weighted reduce, one fused XLA program.
 
 Border semantics match scatter.cpp:34-77: out-of-range coordinates clamp to
 the border cell and halve the interpolation weight per crossing, so a fully
-clamped point still sums to exactly the border value.
+clamped point still sums to exactly the border value. One reference quirk
+is reproduced deliberately: at EXACTLY integral in-range coordinates
+floor == ceil and both lattice neighbors get weight 1 (scatter.cpp:64-75),
+so the "linear" sum doubles per integral axis — measure-zero for real
+fractional coordinates but visible on grid-aligned synthetic points.
 """
 
 from functools import partial

@@ -259,3 +259,19 @@ def test_multiclass_heads_and_targets(rng):
     out1 = jax.tree.map(lambda x: x[0], outputs)
     boxes, scores, labs = decode_centers(cfg, out1)
     assert set(np.unique(np.asarray(labs))) <= {0, 1, 2}
+
+
+def test_gaussian_radius_property():
+    """Translating a box by the radius must keep axis-aligned IoU >= the
+    requested overlap (the quadratic-root denominators were wrong in
+    round 2's first cut)."""
+    from d3d_tpu.models.centerpoint import _gaussian_radius
+
+    for (l, w) in [(24.0, 10.0), (6.0, 6.0), (40.0, 4.0)]:
+        for o in (0.1, 0.3, 0.7):
+            r = float(_gaussian_radius(l, w, o))
+            assert r > 0
+            # case-1 style displacement: both boxes translated apart by r
+            inter = max(l - r, 0) * max(w - r, 0)
+            union = 2 * l * w - inter
+            assert inter / union >= o - 1e-6, (l, w, o, r)

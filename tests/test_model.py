@@ -339,3 +339,32 @@ class TestPresets:
         anchors = make_anchors(presets.pointpillars_kitti(dtype="float32"))
         assert anchors.shape == (432 * 496 * 2, 7)
         assert np.isfinite(np.asarray(anchors)).all()
+
+
+class TestForceMatchGuards:
+    def test_padded_and_out_of_range_gt_do_not_pollute(self, rng):
+        """Padded gts (mask False) and valid gts with zero anchor overlap
+        must not force-match anchor 0 (round-2 review finding)."""
+        anchors = make_anchors(TINY)
+        # one in-range gt + one far outside the grid + padding
+        gt = jnp.asarray([
+            [8.0, 0.0, -1.0, 3.9, 1.6, 1.56, 0.0],
+            [500.0, 500.0, -1.0, 3.9, 1.6, 1.56, 0.0],
+            [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        ], jnp.float32)
+        labels = jnp.zeros(3, jnp.int32)
+        mask = jnp.asarray([True, True, False])
+        t = assign_targets(anchors, gt, labels, mask, 0.6, 0.45)
+        pos = np.asarray(t["pos"])
+        best_gt = np.asarray(t["cls_target"])
+        # anchor 0 (grid corner, far from the only real gt) must not be
+        # positive
+        assert not pos[0]
+        # the real gt still force-matched somewhere
+        assert pos.sum() >= 1
+        # no positive anchor points at the out-of-range or padded gt:
+        # every positive anchor's reg target must decode near the real gt
+        from d3d_tpu.models.pointpillars import decode_boxes
+        dec = np.asarray(decode_boxes(anchors[pos],
+                                      t["reg_target"][pos]))
+        assert np.all(np.abs(dec[:, 0] - 8.0) < 2.0)
