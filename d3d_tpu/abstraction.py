@@ -779,12 +779,21 @@ class TransformSet:
     # -- geometric operations ----------------------------------------------
     def transform_objects(self, objects, frame_to=None):
         """Re-express a Target3DArray in another frame (rotates positions,
-        orientations and velocities; reference abstraction.pyx:936-969)."""
+        orientations and velocities; reference abstraction.pyx:936-969).
+
+        Reference bug fixed: the reference copies angular velocity and all
+        covariance matrices into the new frame UNROTATED; here the angular
+        velocity rotates as a vector and every covariance transforms as
+        R @ S @ R^T, so downstream filters consume frame-consistent
+        dynamics."""
         if self._is_same(objects.frame, frame_to):
             return objects
         rt = self.get_extrinsic(frame_from=objects.frame, frame_to=frame_to)
         r = Rotation.from_matrix(rt[:3, :3])
         rmat, t = r.as_matrix(), rt[:3, 3]
+
+        def rot_cov(s):
+            return rmat @ np.asarray(s) @ rmat.T
 
         new_objs = Target3DArray(frame=frame_to, timestamp=objects.timestamp)
         for obj in objects:
@@ -792,19 +801,19 @@ class TransformSet:
             orientation = r * obj.orientation
             if isinstance(obj, TrackingTarget3D):
                 new_objs.append(TrackingTarget3D(
-                    position=position, position_var=obj.position_var,
+                    position=position, position_var=rot_cov(obj.position_var),
                     orientation=orientation,
                     orientation_var=obj.orientation_var,
                     dimension=obj.dimension, dimension_var=obj.dimension_var,
                     velocity=rmat.dot(obj.velocity),
-                    velocity_var=obj.velocity_var,
-                    angular_velocity=obj.angular_velocity,
-                    angular_velocity_var=obj.angular_velocity_var,
+                    velocity_var=rot_cov(obj.velocity_var),
+                    angular_velocity=rmat.dot(obj.angular_velocity),
+                    angular_velocity_var=rot_cov(obj.angular_velocity_var),
                     tag=obj.tag, tid=obj.tid, history=obj.history,
                     aux=obj.aux))
             elif isinstance(obj, ObjectTarget3D):
                 new_objs.append(ObjectTarget3D(
-                    position=position, position_var=obj.position_var,
+                    position=position, position_var=rot_cov(obj.position_var),
                     orientation=orientation,
                     orientation_var=obj.orientation_var,
                     dimension=obj.dimension, dimension_var=obj.dimension_var,

@@ -25,8 +25,6 @@ broadcast over leading dimensions.  Everything here is dtype-polymorphic;
 the public API in :mod:`d3d_tpu.ops.box` handles the ``precise`` fp64 upcast.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -51,9 +49,7 @@ __all__ = [
 ]
 
 # Maximum vertices of the intersection polygon of two convex quads.
-_MAX_INTER = 8
 # Candidate count: 16 edge crossings + 4 + 4 contained corners.
-_NCAND = 24
 
 
 def _cross2(a, b):
@@ -134,7 +130,14 @@ def quad_intersection(poly1, poly2):
     ac = c_ - a_
     # Parallel edges never produce an interior crossing vertex we need:
     # overlap endpoints are covered by the corner-containment candidates.
-    ok = jnp.abs(denom) > 1e-14
+    # RELATIVE parallelism cutoff: |r x s| = |r||s| sin(angle), so compare
+    # against |r||s|. A dtype-blind absolute 1e-14 let f32 rounding-noise
+    # denominators through, exploding the t = cross/denom autodiff gradient
+    # to ~1e9 on near-identical boxes (measured; round-2 review finding).
+    par_eps = 1e-12 if denom.dtype == jnp.float64 else 1e-4
+    rs_scale = jnp.sqrt(jnp.maximum(
+        jnp.sum(r * r, -1) * jnp.sum(s * s, -1), 1e-30))
+    ok = jnp.abs(denom) > par_eps * rs_scale
     denom_safe = jnp.where(ok, denom, 1.0)
     t = jnp.where(ok, _cross2(ac, s) / denom_safe, -1.0)
     u = jnp.where(ok, _cross2(ac, r) / denom_safe, -1.0)
@@ -148,11 +151,16 @@ def quad_intersection(poly1, poly2):
     # Relative tolerance: identical/touching boxes put corners exactly on the
     # other quad's boundary, where an exact >=0 side test flips on rounding
     # (this is why the reference needs fp64, README.md:31). Admitting points
-    # within ~1e-9*scale of the boundary changes the area by O(eps).
+    # within ~eps*scale of the boundary changes the area by O(eps); eps is
+    # dtype-aware — 1e-9 is far below f32 resolution and silently dropped
+    # boundary corners for near-identical f32 boxes (IoU ~1.0 reported as
+    # ~0.33; measured, round-2 review finding — geometry_soa always had the
+    # dtype-aware form).
     scale = jnp.max(
         jnp.abs(jnp.concatenate([poly1, poly2], axis=-2)), axis=(-1, -2)
     )
-    ceps = ((scale + 1.0) * 1e-9)[..., None, None]
+    eps = 1e-9 if poly1.dtype == jnp.float64 else 1e-5
+    ceps = ((scale + 1.0) * eps)[..., None, None]
     in12 = poly_contains(poly2[..., None, :, :], poly1, ceps)  # poly1 verts in poly2
     in21 = poly_contains(poly1[..., None, :, :], poly2, ceps)
 

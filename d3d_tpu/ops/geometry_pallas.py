@@ -71,7 +71,11 @@ def _iou_tile_kernel(a_ref, b_ref, o_ref):
             j2 = (j + 1) % 4
             sx, sy = bx[j2] - bx[j], by[j2] - by[j]
             denom = rx * sy - ry * sx
-            ok = jnp.abs(denom) > 1e-14
+            # relative parallelism cutoff, mirroring geometry_soa (the
+            # kernel runs f32: an absolute 1e-14 admits rounding noise)
+            rs = jnp.sqrt(jnp.maximum(
+                (rx * rx + ry * ry) * (sx * sx + sy * sy), 1e-30))
+            ok = jnp.abs(denom) > 1e-4 * rs
             dsafe = jnp.where(ok, denom, 1.0)
             acx, acy = bx[j] - ax[i], by[j] - ay[i]
             t = jnp.where(ok, (acx * sy - acy * sx) / dsafe, -1.0)

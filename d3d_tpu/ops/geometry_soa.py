@@ -125,7 +125,13 @@ def intersect_area(b1, b2):
             j2 = (j + 1) % 4
             sx, sy = bx[j2] - bx[j], by[j2] - by[j]
             denom = rx * sy - ry * sx
-            ok = jnp.abs(denom) > 1e-14
+            # relative parallelism cutoff (|r x s| = |r||s| sin angle);
+            # the old absolute 1e-14 exploded f32 gradients through
+            # t = cross/denom on near-parallel edges (see geometry.py)
+            par_eps = 1e-12 if denom.dtype == jnp.float64 else 1e-4
+            rs = jnp.sqrt(jnp.maximum(
+                (rx * rx + ry * ry) * (sx * sx + sy * sy), 1e-30))
+            ok = jnp.abs(denom) > par_eps * rs
             dsafe = jnp.where(ok, denom, 1.0)
             acx, acy = bx[j] - ax[i], by[j] - ay[i]
             t = jnp.where(ok, (acx * sy - acy * sx) / dsafe, -1.0)

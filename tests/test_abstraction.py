@@ -223,3 +223,39 @@ class TestTransformSet:
         assert loaded.frames == ts.frames
         assert np.allclose(
             loaded.get_extrinsic("cam", "velo"), ts.get_extrinsic("cam", "velo"))
+
+
+class TestCovarianceRotation:
+    def test_transform_objects_rotates_covariances(self):
+        """Reference bug fixed: covariances transform as R S R^T and
+        angular velocity rotates as a vector (the reference copies both
+        unrotated)."""
+        from scipy.spatial.transform import Rotation as R
+
+        ts = TransformSet("base")
+        ts.set_intrinsic_lidar("velo")
+        ts.set_extrinsic(np.eye(4), frame_to="velo")
+        rot90 = np.eye(4)
+        rot90[:3, :3] = R.from_euler("Z", np.pi / 2).as_matrix()
+        ts.set_intrinsic_lidar("rot")
+        ts.set_extrinsic(rot90, frame_from="velo", frame_to="rot")
+
+        obj = TrackingTarget3D(
+            [1, 0, 0], R.identity(), [2, 2, 2], [1, 0, 0], [0.2, 0, 0],
+            ObjectTag(1, scores=1.0), tid=5,
+            position_var=np.diag([4.0, 1.0, 0.5]),
+            velocity_var=np.diag([9.0, 1.0, 0.1]),
+            angular_velocity_var=np.diag([0.3, 0.1, 0.05]))
+        arr = Target3DArray([obj], frame="velo")
+        out = ts.transform_objects(arr, frame_to="rot")[0]
+        # 90-deg z rotation swaps x/y of vectors and covariance diagonals
+        np.testing.assert_allclose(out.angular_velocity, [0, 0.2, 0],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.diag(out.position_var),
+                                   [1.0, 4.0, 0.5], atol=1e-12)
+        np.testing.assert_allclose(np.diag(out.velocity_var),
+                                   [1.0, 9.0, 0.1], atol=1e-12)
+        np.testing.assert_allclose(np.diag(out.angular_velocity_var),
+                                   [0.1, 0.3, 0.05], atol=1e-12)
+        # dimensions are box-frame quantities: untouched
+        np.testing.assert_allclose(out.dimension, [2, 2, 2])
