@@ -329,13 +329,15 @@ def expand_idx_name(valid_names):
 
             results = []
             for name in names:
+                # pass the name POSITIONALLY: `names=name, *args` makes any
+                # caller-positional argument collide with the names keyword
                 if self.nframes == 0 or bypass:
                     results.append(
-                        func(self, (seq_id, frame_idx), names=name,
+                        func(self, (seq_id, frame_idx), name,
                              *args, **kwargs))
                 else:
                     results.append(
-                        [func(self, (seq_id, fi), names=name, *args, **kwargs)
+                        [func(self, (seq_id, fi), name, *args, **kwargs)
                          for fi in range(frame_idx,
                                          frame_idx + self.nframes + 1)])
             return results[0] if unpack else results
@@ -372,7 +374,10 @@ class NumberPool:
         with nlock:
             n = next(i for i, v in enumerate(pool) if v == 0)
             pool[n] = 1
-        return n, func(n + offset, *args)
+        try:
+            return n, func(n + offset, *args), None
+        except BaseException as e:  # release the slot via the callback
+            return n, None, f"{type(e).__name__}: {e}"
 
     def apply_async(self, func, args=(), callback=None):
         if self._single_thread:
@@ -382,20 +387,33 @@ class NumberPool:
             return result
 
         def _wrap_cb(ret):
-            n, out = ret
+            # ALWAYS releases the slot and the queue count — a failing task
+            # previously leaked both and deadlocked wait_for_once
+            n, out, err = ret
             with self._nlock:
                 self._npool[n] = 0
-            self._nqueue -= 1
-            if callback is not None:
+                self._nqueue -= 1
+            if err is not None:
+                print(err)
+            elif callback is not None:
                 callback(out)
             self._complete_event.set()
 
-        self._nqueue += 1
+        def _err_cb(e):
+            # infrastructure failure (unpicklable args etc.): the slot may
+            # be leaked, but keep the queue draining
+            with self._nlock:
+                self._nqueue -= 1
+            print(f"{type(e).__name__}: {e}")
+            self._complete_event.set()
+
+        with self._nlock:
+            self._nqueue += 1
         self._ppool.apply_async(
             NumberPool._wrap_func,
             (func, args, self._npool, self._nlock, self._offset),
             callback=_wrap_cb,
-            error_callback=lambda e: print(f"{type(e).__name__}: {e}"),
+            error_callback=_err_cb,
         )
 
     def wait_for_once(self, margin=0):

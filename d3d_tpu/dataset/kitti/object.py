@@ -37,7 +37,7 @@ def load_label(basepath, file):
         line = line.strip()
         if not line:
             continue
-        fields = line.split(" ")
+        fields = line.split()
         rows.append([KittiObjectClass[fields[0]]]
                     + [float(v) for v in fields[1:]])
     return rows

@@ -328,7 +328,12 @@ class NuscenesLoader(TrackingDatasetBase):
     def dump_detection_output(self, idx, detections, fout=None):
         """Convert an ego-frame detection array into nuScenes submission
         entries (global frame, wlh sizes, wxyz quaternions); returns the list
-        and optionally writes JSON to ``fout``."""
+        and optionally writes JSON to ``fout``.
+
+        .. warning:: with ``nframes > 0`` the @expand_idx window calls this
+           once per window frame (reference behavior) — each call rewrites
+           ``fout``, keeping only the last frame. Pass distinct paths or use
+           ``bypass=True`` when dumping under a windowed loader."""
         seq_id, frame_idx = idx
         sample_token = self.metadata((seq_id, frame_idx),
                                      bypass=True).sample_token

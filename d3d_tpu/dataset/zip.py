@@ -104,7 +104,10 @@ class PatchedZipFile(ZipFile):
             info._raw_time = t
             info.date_time = ((d >> 9) + 1980, (d >> 5) & 0xF, d & 0x1F,
                               t >> 11, (t >> 5) & 0x3F, (t & 0x1F) * 2)
-            info._decodeExtra(crc32(raw_name))
+            try:
+                info._decodeExtra(crc32(raw_name))  # py3.12+ signature
+            except TypeError:
+                info._decodeExtra()  # py3.10/3.11 take no argument
             info.header_offset = rec[_CD_LOCAL_HEADER_OFFSET] + concat
 
             self.filelist.append(info)

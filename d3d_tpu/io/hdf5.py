@@ -43,7 +43,7 @@ def dump_sequence_dataset(dataset, out_path, sequences=None, size_limit=None,
                           root_name="dataset"):
     """Dump lidar data of a sequence dataset, one HDF5 group per sequence
     with per-frame datasets."""
-    sequences = sequences or dataset.sequence_ids
+    sequences = dataset.sequence_ids if sequences is None else sequences
     if not isinstance(sequences, (list, tuple)):
         sequences = [sequences]
 

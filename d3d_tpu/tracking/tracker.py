@@ -70,8 +70,11 @@ class VanillaTracker:
         return list(self._tracked_poses.keys())
 
     def _current_objects_array(self):
+        # report in the INPUT unit (microseconds) — _last_timestamp holds
+        # seconds for filter dt math only
         array = Target3DArray(frame=self._last_frameid,
-                              timestamp=self._last_timestamp)
+                              timestamp=getattr(self, "_last_timestamp_us",
+                                                0))
         for tid in self.tracked_ids:
             array.append(ObjectTarget3D(
                 position=self._tracked_poses[tid].position,
@@ -97,7 +100,8 @@ class VanillaTracker:
 
     def update(self, detections):
         """Feed a new frame of detections (timestamp in microseconds)."""
-        current_ts = detections.timestamp / 1e6
+        current_ts = detections.timestamp / 1e6  # seconds, for filter dt
+        self._last_timestamp_us = detections.timestamp
         if self._last_timestamp is None:
             for target in detections:
                 self._assign_default_var(target)
@@ -110,7 +114,8 @@ class VanillaTracker:
                 tracker.predict(dt)
 
             current_targets = self._current_objects_array()
-            if isinstance(self._match_threshold, (float, int)):
+            if isinstance(self._match_threshold,
+                          (float, int, np.floating, np.integer)):
                 thresholds = {box.tag_top.value: float(self._match_threshold)
                               for box in list(current_targets) + list(detections)}
             else:
@@ -154,8 +159,11 @@ class VanillaTracker:
 
     def report(self):
         """Current tracked targets as TrackingTarget3D array."""
+        # report in the INPUT unit (microseconds) — _last_timestamp holds
+        # seconds for filter dt math only
         array = Target3DArray(frame=self._last_frameid,
-                              timestamp=self._last_timestamp)
+                              timestamp=getattr(self, "_last_timestamp_us",
+                                                0))
         for tid in self.tracked_ids:
             array.append(TrackingTarget3D(
                 position=self._tracked_poses[tid].position,

@@ -428,3 +428,39 @@ class TestNuscenesConverter:
         assert loader.camera_data(0, names="cam_front").size == (32, 18)
         assert loader.metadata(1).sample_token == "s1"
         assert loader.pose(1).position[0] == pytest.approx(5.0)
+
+
+class TestRound2ReviewFixes:
+    def test_expand_idx_name_positional_args(self, tmp_path):
+        """Positional args after the index must not collide with the names
+        keyword (round-2 review finding: every expand_idx_name accessor
+        raised TypeError on loader.lidar_data(0, 'velo', ...))."""
+        from d3d_tpu.dataset.kitti import KittiObjectLoader
+
+        root = tmp_path / "kitti"
+        fx.build_unzipped(root, nframes=2)
+        loader = KittiObjectLoader(root, inzip=False)
+        a = loader.lidar_data(0, "velo")
+        b = loader.lidar_data(0, names="velo")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_numberpool_task_failure_does_not_deadlock(self):
+        """A raising task must release its slot and queue count so
+        wait_for_once never hangs (previously reproduced deadlock)."""
+        from d3d_tpu.dataset.base import NumberPool
+
+        pool = NumberPool(2)
+        done = []
+        for i in range(6):
+            pool.wait_for_once()
+            pool.apply_async(_fail_or_succeed, (i,),
+                             callback=done.append)
+        pool.close()
+        pool.join()
+        assert sorted(done) == [1, 3, 5]  # odd tasks succeeded
+
+
+def _fail_or_succeed(ntqdm, i):
+    if i % 2 == 0:
+        raise RuntimeError(f"task {i} failed")
+    return i
