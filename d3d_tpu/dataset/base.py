@@ -347,6 +347,20 @@ def expand_idx_name(valid_names):
     return decorator
 
 
+def locate_windowed_frame(idx, frame_counts, nframes):
+    """Map a flat dataset index onto (sequence, frame) for nframes-windowed
+    sequence datasets. Counts are clamped like the train/val split domain
+    (max(count - nframes, 0)) — the unclamped per-loader copies desynced
+    the mapping whenever a sequence was shorter than nframes (round-2
+    review finding)."""
+    for k, v in frame_counts.items():
+        n = max(v - nframes, 0)
+        if idx < n:
+            return k, idx
+        idx -= n
+    raise KeyError("Index larger than dataset size")
+
+
 class NumberPool:
     """Multiprocessing pool that hands each task a tqdm position slot, so
     parallel progress bars render in place (used by the dataset converters).

@@ -105,12 +105,9 @@ class CADCDLoader(TrackingDatasetBase):
         return seq_id[:10], seq_id[11:]
 
     def _locate_frame(self, idx):
-        idx = self.frames[idx]
-        for k, v in self.frame_dict.items():
-            if idx < v - self.nframes:
-                return k, idx
-            idx -= v - self.nframes
-        raise ValueError("Index larger than dataset size")
+        from .. import base as _base
+        return _base.locate_windowed_frame(self.frames[idx],
+                                           self.frame_dict, self.nframes)
 
     @expand_idx
     def identity(self, idx):
@@ -188,8 +185,9 @@ class CADCDLoader(TrackingDatasetBase):
                 tsdict[frame] = utils.load_timestamps(drive_path, fname)
         self._timestamp_cache[seq_id] = tsdict
 
-    @expand_idx_name(VALID_CAM_NAMES + VALID_LIDAR_NAMES
-                     + ["novatel", "xsens_30", "xsens_300"])
+    # reference bug fixed: it also advertises xsens_30/xsens_300 here but
+    # never loads their folders, so those names always KeyError
+    @expand_idx_name(VALID_CAM_NAMES + VALID_LIDAR_NAMES + ["novatel"])
     def timestamp(self, idx, names="lidar"):
         assert not self._return_file_path, \
             "The timestamp is not stored in single file!"

@@ -103,12 +103,9 @@ class KittiOdometryLoader(TrackingDatasetBase, SegmentationDatasetMixin):
         return dict(self.frame_dict)
 
     def _locate_frame(self, idx):
-        idx = self.frames[idx]
-        for k, v in self.frame_dict.items():
-            if idx < v - self.nframes:
-                return k, idx
-            idx -= v - self.nframes
-        raise KeyError("Index larger than dataset size")
+        from ..base import locate_windowed_frame
+        return locate_windowed_frame(self.frames[idx], self.frame_dict,
+                                     self.nframes)
 
     @expand_idx
     def identity(self, idx):
@@ -157,7 +154,7 @@ class KittiOdometryLoader(TrackingDatasetBase, SegmentationDatasetMixin):
             return filedata
 
         if seq_id not in self._image_size_cache:
-            self.camera_data((seq_id, self.nframes))
+            self.camera_data((seq_id, 0), bypass=True)
         image_size = self._image_size_cache[seq_id]
 
         data = TransformSet("velo")

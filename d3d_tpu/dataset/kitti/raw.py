@@ -103,12 +103,9 @@ class KittiRawLoader(TrackingDatasetBase):
         return seq_id[:10]
 
     def _locate_frame(self, idx):
-        idx = self.frames[idx]
-        for k, v in self.frame_dict.items():
-            if idx < v - self.nframes:
-                return k, idx
-            idx -= v - self.nframes
-        raise ValueError("Index larger than dataset size")
+        from ..base import locate_windowed_frame
+        return locate_windowed_frame(self.frames[idx], self.frame_dict,
+                                     self.nframes)
 
     @expand_idx
     def identity(self, idx):

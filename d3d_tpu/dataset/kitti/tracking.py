@@ -125,12 +125,9 @@ class KittiTrackingLoader(TrackingDatasetBase):
         return dict(self.frame_dict)
 
     def _locate_frame(self, idx):
-        idx = self.frames[idx]
-        for k, v in self.frame_dict.items():
-            if idx < v - self.nframes:
-                return k, idx
-            idx -= v - self.nframes
-        raise KeyError("Index larger than dataset size")
+        from ..base import locate_windowed_frame
+        return locate_windowed_frame(self.frames[idx], self.frame_dict,
+                                     self.nframes)
 
     # -- cached sequence-level parses ---------------------------------------
     def _preload_label(self, seq_id):
@@ -223,7 +220,7 @@ class KittiTrackingLoader(TrackingDatasetBase):
             return filedata
 
         if seq not in self._image_size_cache:
-            self.camera_data((seq, self.nframes))
+            self.camera_data((seq, 0), bypass=True)
         image_size = self._image_size_cache[seq]
 
         data = TransformSet("velo")

@@ -45,6 +45,7 @@ class WaymoLoader(TrackingDatasetBase):
                  trainval_split=None, trainval_random=False, nframes=0):
         super().__init__(base_path, inzip=inzip, phase=phase, nframes=nframes)
         self.base_path = Path(base_path) / phase
+        self._calib_cache = {}
         self._load_metadata()
 
     def _load_metadata(self):
@@ -66,13 +67,19 @@ class WaymoLoader(TrackingDatasetBase):
                     metadata[folder.name] = json.loads(
                         (folder / "context/stats.json").read_text())
             assert metadata, "No converted Waymo segments found!"
-            meta_path.write_bytes(msgpack.packb(metadata))
+            try:
+                meta_path.write_bytes(msgpack.packb(metadata))
+            except OSError:
+                # read-only dataset mount: keep the in-memory metadata
+                self._metadata = SortedDict(
+                    (k, EDict(v)) for k, v in metadata.items())
+                return
         self._metadata = SortedDict(
             (k, EDict(v)) for k, v in msgpack.unpackb(
                 meta_path.read_bytes()).items())
 
     def __len__(self):
-        return sum(v["frame_count"] - self.nframes
+        return sum(max(v["frame_count"] - self.nframes, 0)
                    for v in self._metadata.values())
 
     @property
@@ -84,11 +91,9 @@ class WaymoLoader(TrackingDatasetBase):
         return {k: v["frame_count"] for k, v in self._metadata.items()}
 
     def _locate_frame(self, idx):
-        for k, v in self._metadata.items():
-            if idx < v["frame_count"] - self.nframes:
-                return k, idx
-            idx -= v["frame_count"] - self.nframes
-        raise ValueError("Index larger than dataset size")
+        from ..base import locate_windowed_frame
+        counts = {k: v["frame_count"] for k, v in self._metadata.items()}
+        return locate_windowed_frame(idx, counts, self.nframes)
 
     def _read(self, seq_id, fname):
         if self.inzip:
@@ -109,8 +114,13 @@ class WaymoLoader(TrackingDatasetBase):
             return self.base_path / seq_id / fname
         cloud = np.frombuffer(self._read(seq_id, fname),
                               dtype="f4").reshape(-1, 5).copy()
-        # clouds are stored in the sensor frame; report in the vehicle frame
-        rt = self.calibration_data(idx).extrinsics[names]
+        # clouds are stored in the sensor frame; report in the vehicle
+        # frame. extrinsics[frame] holds vehicle->sensor (TransformSet
+        # stores the inverse of set_extrinsic(frame_from=...)), so the
+        # sensor->vehicle transform is get_extrinsic(frame_from=names) —
+        # the raw matrix applied points in the WRONG direction (round-2
+        # review finding: clouds came out mirrored through the mount).
+        rt = self.calibration_data(idx).get_extrinsic(frame_from=names)
         cloud[:, :3] = cloud[:, :3].dot(rt[:3, :3].T) + rt[:3, 3]
         if not formatted:
             return cloud
@@ -160,6 +170,8 @@ class WaymoLoader(TrackingDatasetBase):
                      if isinstance(idx, (int, np.integer)) else idx)
         assert not self._return_file_path, \
             "The calibration data is not in a single file!"
+        if seq_id in self._calib_cache:  # JSON parse once per segment
+            return self._calib_cache[seq_id]
 
         calib = TransformSet("vehicle")
         calib_cams = self._read_json(seq_id, "context/calib_cams.json")
@@ -178,6 +190,7 @@ class WaymoLoader(TrackingDatasetBase):
             calib.set_intrinsic_lidar(frame)
             calib.set_extrinsic(np.array(entry["extrinsic"]).reshape(4, 4),
                                 frame_from=frame)
+        self._calib_cache[seq_id] = calib
         return calib
 
     @expand_idx

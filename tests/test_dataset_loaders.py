@@ -224,10 +224,23 @@ class TestWaymo:
         rec = loader.lidar_data(0, formatted=True)
         assert set(rec.dtype.names) == {"x", "y", "z", "intensity",
                                         "elongation"}
-        # stored in sensor frame, reported in vehicle frame (z += 2.18)
-        raw = np.frombuffer(
-            loader.lidar_data(0, names="lidar_top")[:, :3].tobytes(),
-            dtype="f4")
+        # stored in sensor frame, reported in vehicle frame: the fixture
+        # mounts the top lidar at (1.43, 0, 2.18), so the reported cloud is
+        # the stored one SHIFTED BY the mount (round-2 review finding: the
+        # loader applied the inverse transform and this was never asserted)
+        seq = loader.sequence_ids[0]
+        import numpy as _np
+        if loader.inzip:
+            from zipfile import ZipFile
+            with ZipFile(loader.base_path / f"{seq}.zip") as z:
+                stored = _np.frombuffer(z.read("lidar_top/0000.bin"),
+                                        dtype="f4").reshape(-1, 5)
+        else:
+            stored = _np.fromfile(
+                loader.base_path / seq / "lidar_top" / "0000.bin",
+                dtype="f4").reshape(-1, 5)
+        _np.testing.assert_allclose(
+            cloud[:, :3], stored[:, :3] + [1.43, 0.0, 2.18], atol=1e-5)
         img = loader.camera_data(0)
         assert img.size == (192, 128)
 
