@@ -242,7 +242,11 @@ class DetectionEvaluator:
     def _get_score_idx(self, score):
         if score is None or (isinstance(score, float) and np.isnan(score)):
             return self._pr_nsamples // 2
-        return int(np.searchsorted(self._pr_thresholds, score, side="left"))
+        # clamp: a score above the top threshold (e.g. 1.0 with the log10
+        # grid topping out at ~0.993) would index past the stat vectors
+        return min(int(np.searchsorted(self._pr_thresholds, score,
+                                       side="left")),
+                   self._pr_nsamples - 1)
 
     @property
     def score_thresholds(self):
@@ -650,11 +654,13 @@ class TrackingEvaluator(DetectionEvaluator):
                                       return_all)
 
     def mota(self, score=None):
-        """CLEAR-MOT accuracy: 1 - (FP + FN + IDS) / ngt."""
+        """CLEAR-MOT accuracy: 1 - (FP + FN + IDS) / ngt (nan when a
+        class never appears in ground truth)."""
         si = self._get_score_idx(score)
-        return {self._class_type(k): 1 - float(
+        return {self._class_type(k): (1 - float(
             self._stats.fp[k][si] + self._stats.fn[k][si]
-            + self._stats.id_switches[k][si]) / self._stats.ngt[k]
+            + self._stats.id_switches[k][si]) / self._stats.ngt[k])
+            if self._stats.ngt[k] else float("nan")
             for k in self._classes}
 
     def summary(self, score_thres=0.8, tracked_ratio_thres=0.8,

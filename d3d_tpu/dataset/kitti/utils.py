@@ -162,9 +162,14 @@ def load_image(basepath, file, gray=False):
 
 def load_velo_scan(basepath, file, binary=True, formatted=False):
     """Parse a KITTI velodyne scan into an (N, 4) float32 array (or a record
-    array with x/y/z/intensity fields if ``formatted``)."""
-    scan = np.frombuffer(read_file(basepath, file), dtype=np.float32)
-    scan = scan.reshape(-1, 4).copy()
+    array with x/y/z/intensity fields if ``formatted``). ``binary=False``
+    parses the ASCII .txt scans of the raw 'extract' distribution."""
+    raw = read_file(basepath, file)
+    if binary:
+        scan = np.frombuffer(raw, dtype=np.float32).reshape(-1, 4).copy()
+    else:
+        scan = np.loadtxt(io.BytesIO(raw),
+                          dtype=np.float32).reshape(-1, 4)
     if formatted:
         rec = np.rec.fromarrays(
             [scan[:, 0], scan[:, 1], scan[:, 2], scan[:, 3]],
@@ -193,17 +198,25 @@ def load_calib_file(basepath, file):
 
 
 def load_timestamps(basepath, file, formatted=False):
-    """Parse a KITTI timestamps.txt into int64 microsecond epochs."""
+    """Parse a KITTI timestamps.txt into int64 microsecond epochs (UTC —
+    naive .timestamp() would shift by the HOST timezone, so the same file
+    parsed on different machines disagreed), or into datetime objects when
+    ``formatted``."""
+    from datetime import timezone
+
     out = []
+    stamps = []
     for line in read_file(basepath, file).decode().splitlines():
         line = line.strip()
         if not line:
             continue
         # format: 2011-09-26 13:02:25.964389445 (ns precision -> trim to us)
         stamp = datetime.strptime(line[:26], "%Y-%m-%d %H:%M:%S.%f")
-        out.append(int(stamp.timestamp() * 1e6))
-    arr = np.asarray(out, dtype=np.int64)
-    return arr
+        stamps.append(stamp)
+        out.append(int(stamp.replace(tzinfo=timezone.utc).timestamp() * 1e6))
+    if formatted:
+        return stamps
+    return np.asarray(out, dtype=np.int64)
 
 
 def load_oxt_file(basepath, file):

@@ -182,7 +182,11 @@ def load_bboxes(basepath, file):
         if obj.get("dynamic", 0):
             ranges.append((obj.timestamp, obj.timestamp + 1, idx))
         else:
-            ranges.append((obj.start_frame, obj.end_frame, idx))
+            # end_frame is INCLUSIVE in KITTI-360 (kitti360Scripts tests
+            # start <= f <= end); the reference feeds it into an
+            # end-exclusive intervaltree Interval, dropping every static
+            # object on its last valid frame — reference bug fixed
+            ranges.append((obj.start_frame, obj.end_frame + 1, idx))
     return objects, ranges
 
 

@@ -95,25 +95,29 @@ class KeyFrameConverter:
             samples.append(sample_t[tok])
             tok = samples[-1]["next"]
 
-        # group sample_data by sample and channel
+        # group sample_data by sample and channel. The rows are pre-indexed
+        # by sample token ONCE per converter (the old per-scene full-table
+        # scan made conversion O(scenes x 2.4M rows) on trainval).
+        if not hasattr(self, "_sdata_by_sample"):
+            self._sdata_by_sample = defaultdict(list)
+            for sd in sdata_t.values():
+                self._sdata_by_sample[sd["sample_token"]].append(sd)
         by_sample = defaultdict(dict)
         sweeps = defaultdict(list)
         calib_per_channel = {}
-        for sd in sdata_t.values():
-            if sd["sample_token"] not in sample_t:
-                continue
-            if sample_t[sd["sample_token"]]["scene_token"] != scene["token"]:
-                continue
-            channel = sensor_t[calib_t[sd["calibrated_sensor_token"]]
-                               ["sensor_token"]]["channel"]
-            if channel not in _CHANNEL_MAP:
-                continue
-            name = _CHANNEL_MAP[channel]
-            calib_per_channel[name] = calib_t[sd["calibrated_sensor_token"]]
-            if sd["is_key_frame"]:
-                by_sample[sd["sample_token"]][name] = sd
-            else:
-                sweeps[(sd["sample_token"], name)].append(sd)
+        for sample in samples:
+            for sd in self._sdata_by_sample.get(sample["token"], ()):
+                channel = sensor_t[calib_t[sd["calibrated_sensor_token"]]
+                                   ["sensor_token"]]["channel"]
+                if channel not in _CHANNEL_MAP:
+                    continue
+                name = _CHANNEL_MAP[channel]
+                calib_per_channel[name] = \
+                    calib_t[sd["calibrated_sensor_token"]]
+                if sd["is_key_frame"]:
+                    by_sample[sd["sample_token"]][name] = sd
+                else:
+                    sweeps[(sd["sample_token"], name)].append(sd)
 
         # scene-level json
         tokens = {name: [] for name in _CHANNEL_MAP.values()}
@@ -238,7 +242,12 @@ class KeyFrameConverter:
         self.output_path.mkdir(parents=True, exist_ok=True)
         pool = NumberPool(nworkers)
         for scene in todo:
-            pool.apply_async(lambda _n, s=scene: self.convert_scene(s))
+            # module-level task: a lambda cannot pickle into worker
+            # processes (every scene would fail silently in parallel mode)
+            pool.apply_async(_convert_scene_task,
+                             (self.input_path, self.output_path,
+                              self.version, self.zip_output,
+                              self.store_inter, scene["token"]))
             pool.wait_for_once()
         if nworkers:
             pool.close()
@@ -278,3 +287,13 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _convert_scene_task(_ntqdm, input_path, output_path, version,
+                        zip_output, store_inter, scene_token):
+    """Picklable per-scene worker: rebuilds a converter in the worker
+    process and converts one scene."""
+    conv = KeyFrameConverter(input_path, output_path, version=version,
+                             zip_output=zip_output, store_inter=store_inter)
+    scene = conv._table("scene")[scene_token]
+    conv.convert_scene(scene)

@@ -38,13 +38,19 @@ def tap_time(name, clear=True, report=True, sync=None):
 
 
 class ArrayRef:
-    """Weak-ish reference to a jax array with a printable summary."""
+    """Weak-ish reference to a jax array with a printable summary.
+
+    Arrays that reject weakref are marked untracked — treating them as
+    permanently released made tap_arrays report a live array as released
+    on one call and new on the next, forever (round-2 review finding)."""
 
     def __init__(self, array):
         try:
             self._ref = weakref.ref(array)
+            self.trackable = True
         except TypeError:  # jax arrays are not always weakref-able
             self._ref = lambda: None
+            self.trackable = False
         self._id = id(array)
         self._summary = (f"<Array, dtype={array.dtype}, "
                          f"shape={list(array.shape)}>")
@@ -53,13 +59,15 @@ class ArrayRef:
         return self._id
 
     def __eq__(self, other):
+        if isinstance(other, ArrayRef):
+            return self._id == other._id
         return self._ref() is other
 
     def __str__(self):
         return self._summary
 
     def released(self):
-        return self._ref() is None
+        return self.trackable and self._ref() is None
 
 
 _arrays = {}  # id -> ArrayRef (jax arrays are unhashable)

@@ -8,8 +8,11 @@ __all__ = ["visualize_detections"]
 
 
 def _tid_color(tid):
-    """Deterministic RGB per tracking id."""
-    rng = np.random.default_rng(abs(hash(tid)) % (1 << 32))
+    """Deterministic RGB per tracking id (stable across processes:
+    hash() is randomized for strings by PYTHONHASHSEED)."""
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(str(tid).encode()))
     return tuple(rng.random(3) * 0.8 + 0.2)
 
 
