@@ -464,3 +464,18 @@ def _fail_or_succeed(ntqdm, i):
     if i % 2 == 0:
         raise RuntimeError(f"task {i} failed")
     return i
+
+
+def test_locate_windowed_frame_short_sequences():
+    """Sequences shorter than the frame window must contribute zero
+    indices, keeping the mapping aligned with the split domain (round-2
+    review finding: the unclamped walk shifted every index)."""
+    from d3d_tpu.dataset.base import locate_windowed_frame
+
+    counts = {"A": 3, "B": 10}
+    nframes = 5
+    # domain size = max(3-5,0) + max(10-5,0) = 5, all in B
+    for i in range(5):
+        assert locate_windowed_frame(i, counts, nframes) == ("B", i)
+    with pytest.raises(KeyError):
+        locate_windowed_frame(5, counts, nframes)
