@@ -127,12 +127,9 @@ class KITTI360Loader(TrackingDatasetBase):
         return dict(self.frame_dict)
 
     def _locate_frame(self, idx):
-        idx = self.frames[idx]
-        for k, v in self.frame_dict.items():
-            if idx < v - self.nframes:
-                return k, idx
-            idx -= v - self.nframes
-        raise ValueError("Index larger than dataset size")
+        from ..base import locate_windowed_frame
+        return locate_windowed_frame(self.frames[idx], self.frame_dict,
+                                     self.nframes)
 
     @expand_idx
     def identity(self, idx):
@@ -185,8 +182,11 @@ class KITTI360Loader(TrackingDatasetBase):
 
         for frame, intri in (("cam3", intri3), ("cam4", intri4)):
             size, p, d, xi = parse_mei(intri)
+            # rotate=False like cam1/cam2: calib_cam_to_pose extrinsics are
+            # already in the native RDF camera convention
             calib.set_intrinsic_camera(frame, p, size, distort_coeffs=d,
-                                       intri_matrix=p, mirror_coeff=xi)
+                                       intri_matrix=p, mirror_coeff=xi,
+                                       rotate=False)
 
         for frame, key in (("cam1", "image_00"), ("cam2", "image_01"),
                            ("cam3", "image_02"), ("cam4", "image_03")):
@@ -353,6 +353,10 @@ class KITTI360Loader(TrackingDatasetBase):
         self._preload_poses(seq_id)
         pt = self._poses_t[seq_id][frame_idx]
 
+        if self.inzip:
+            raise NotImplementedError(
+                "semantic_window_points reads the unzipped "
+                "data_3d_semantics layout; extract the windows first")
         kind = "dynamic" if dynamic else "static"
         folder = self.base_path / "data_3d_semantics" / seq_id / kind
         windows = []
@@ -394,8 +398,14 @@ class KITTI360Loader(TrackingDatasetBase):
                                             dtype=self._semantic_dtypes[k])
         else:
             for k, v in fnames.items():
-                data[k] = np.fromfile(self.base_path / v,
-                                      dtype=self._semantic_dtypes[k])
+                try:
+                    data[k] = np.fromfile(self.base_path / v,
+                                          dtype=self._semantic_dtypes[k])
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"{v}: frame not covered by any aggregated "
+                        "semantic window (labels exist only inside the "
+                        "windows' expanded frame ranges)") from None
         data.rgb = data.rgb.reshape(-1, 3)
         data.visible = np.unpackbits(data.visible,
                                      count=npoints).astype(bool)
@@ -518,10 +528,16 @@ class KITTI360Loader(TrackingDatasetBase):
                 (result_path / sensor / k).mkdir(parents=True, exist_ok=True)
 
         def flush(fidx):
-            for sensor, sidx in frame_children.pop(fidx, ()):
+            for sensor, sidx, npts in frame_children.pop(fidx, ()):
                 a = accum.pop((sensor, sidx), None)
                 if a is None:
-                    continue
+                    # loaded but matched no window points (e.g. beyond the
+                    # crop radius): write zero-filled defaults so reads
+                    # never FileNotFoundError behind the complete marker
+                    a = EDict(rgb=np.zeros((npts, 3), "u1"),
+                              semantic=np.zeros(npts, "u1"),
+                              instance=np.zeros(npts, "u2"),
+                              visible=np.zeros(npts, bool))
                 out = result_path / sensor
                 a.rgb.tofile(out / "rgb" / ("%010d.bin" % sidx))
                 a.semantic.tofile(out / "semantic" / ("%010d.bin" % sidx))
@@ -568,7 +584,7 @@ class KITTI360Loader(TrackingDatasetBase):
                     frame_clouds[fidx] = list(
                         self._iter_frame_clouds(seq_id, fidx))
                     frame_children[fidx] = [
-                        (s, i) for s, i, _ in frame_clouds[fidx]]
+                        (s, i, len(c)) for s, i, c in frame_clouds[fidx]]
                 for sensor, sidx, cloud in frame_clouds[fidx]:
                     update(sensor, sidx, cloud, wxyz, wfields)
             # frames below every remaining window's range are final

@@ -217,44 +217,12 @@ class SECOND(nn.Module):
 
 def make_train_step(model, optimizer, cfg: SECONDConfig, anchors,
                     riou_weight=0.0, remat=False, external_targets=False):
-    """Same contract as pointpillars.make_train_step; batch carries
-    features/coords/valid from :func:`second_voxelize` (batched) plus
-    padded gt_boxes/gt_labels/gt_mask. With ``external_targets`` the batch
-    carries ``targets`` from ``pointpillars.prepare_targets`` (built on
-    this model's ``head_config`` anchors)."""
-    hcfg = head_config(cfg)
+    """Same contract as pointpillars.make_train_step (to which this
+    delegates — the head config carries the anchor/loss settings); batch
+    carries features/coords/valid from :func:`second_voxelize` (batched)
+    plus padded gt_boxes/gt_labels/gt_mask."""
+    from .pointpillars import make_train_step as _pp_make_train_step
 
-    def forward(params, batch_stats, batch):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["features"], batch["coords"], batch["valid"],
-            train=True, mutable=["batch_stats"],
-        )
-
-    if remat:
-        forward = jax.checkpoint(
-            forward,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-
-    def loss_fn(params, batch_stats, batch):
-        outputs, updates = forward(params, batch_stats, batch)
-        if external_targets:
-            targets = jax.lax.stop_gradient(batch["targets"])
-        else:
-            targets = jax.vmap(
-                lambda b, l, m: assign_targets(anchors, b, l, m,
-                                               cfg.pos_iou, cfg.neg_iou)
-            )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
-        loss, aux = detection_loss(outputs, targets, hcfg, anchors,
-                                   riou_weight)
-        return loss, (updates["batch_stats"], aux)
-
-    def train_step(params, batch_stats, opt_state, batch):
-        (loss, (new_bs, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
-        aux = dict(aux, total=loss)
-        return params, new_bs, opt_state, aux
-
-    return train_step
+    return _pp_make_train_step(model, optimizer, head_config(cfg), anchors,
+                               riou_weight=riou_weight, remat=remat,
+                               external_targets=external_targets)

@@ -35,7 +35,10 @@ def make_mesh(n_devices=None, dp=None, tp=None, devices=None):
             devices = devices[:n_devices]
     n = len(devices)
     if tp is None:
-        tp = 2 if n % 2 == 0 and n > 1 else 1
+        # an explicit dp fixes tp = n // dp (a tp=2 default would make
+        # make_mesh(dp=n) impossible); otherwise default tp to 2 when even
+        tp = n // dp if dp is not None \
+            else (2 if n % 2 == 0 and n > 1 else 1)
     if dp is None:
         dp = n // tp
     assert dp * tp == n, "dp * tp must equal the device count"
@@ -124,16 +127,26 @@ def shard_train_step(train_step, mesh, donate=True, check_tp=True):
 
     jitted = jax.jit(wrapped, donate_argnums=(0, 2) if donate else ())
     repl = NamedSharding(mesh, P())
+    spec_cache = {}
+
+    def cached_spec(tree, key):
+        # the sharding trees are static per pytree structure: build once,
+        # not per training step
+        struct = jax.tree_util.tree_structure(tree)
+        hit = spec_cache.get(key)
+        if hit is None or hit[0] != struct:
+            spec_cache[key] = (struct, spec_of(tree))
+        return spec_cache[key][1]
 
     def call(params, batch_stats, opt_state, batch):
         # inputs committed to different device assemblies (fresh init on
         # one device, a separately-jitted prep batch, restored state) can't
         # mix inside one jit — place everything on its mesh sharding first
         # (no-op copies when already there)
-        params = jax.device_put(params, spec_of(params))
+        params = jax.device_put(params, cached_spec(params, "params"))
         batch_stats = jax.device_put(
             batch_stats, jax.tree.map(lambda _: repl, batch_stats))
-        opt_state = jax.device_put(opt_state, spec_of(opt_state))
+        opt_state = jax.device_put(opt_state, cached_spec(opt_state, "opt"))
         batch = jax.device_put(batch, batch_sh)
         return jitted(params, batch_stats, opt_state, batch)
 

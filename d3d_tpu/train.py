@@ -68,6 +68,8 @@ class Trainer:
         it = iter(batches)
         prep = self.prep_fn or (lambda b: b)
         step = start_step
+        if num_steps is not None and num_steps <= 0:
+            return step, params, batch_stats, opt_state
         try:
             nxt = prep(next(it))  # dispatch first prep
         except StopIteration:
