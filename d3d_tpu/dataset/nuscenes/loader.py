@@ -113,12 +113,9 @@ class NuscenesLoader(TrackingDatasetBase):
         return {k: v["nbr_samples"] for k, v in self._metadata.items()}
 
     def _locate_frame(self, idx):
-        idx = self.frames[idx]
-        for k, v in self._metadata.items():
-            if idx < v["nbr_samples"] - self.nframes:
-                return k, idx
-            idx -= v["nbr_samples"] - self.nframes
-        raise ValueError("Index larger than dataset size")
+        from ..base import locate_windowed_frame
+        counts = {k: v["nbr_samples"] for k, v in self._metadata.items()}
+        return locate_windowed_frame(self.frames[idx], counts, self.nframes)
 
     # -- raw file access -------------------------------------------------------
     def _read(self, seq_id, fname):

@@ -18,12 +18,26 @@ def dump_dataset(dataset, out_path, frame_integrity=False, map_size=1 << 40):
         raise ImportError("lmdb is required for this module!") from e
 
     env = lmdb.open(str(out_path), map_size=map_size)
-    with env.begin(write=True) as txn:
-        for i in range(len(dataset)):
-            clouds = dataset.lidar_data(i, dataset.VALID_LIDAR_NAMES)
-            for cloud, name in zip(clouds, dataset.VALID_LIDAR_NAMES):
-                key = f"s{i}/{name}".encode()
-                txn.put(key, cloud.tobytes())
-                if frame_integrity:
-                    assert txn.get(key) == cloud.tobytes()
-    env.close()
+    try:
+        with env.begin(write=True) as txn:
+            for i in range(len(dataset)):
+                # bypass: windowed loaders would return nested per-window
+                # lists here
+                clouds = dataset.lidar_data(i, dataset.VALID_LIDAR_NAMES,
+                                            bypass=True)
+                for cloud, name in zip(clouds, dataset.VALID_LIDAR_NAMES):
+                    key = f"s{i}/{name}".encode()
+                    txn.put(key, cloud.tobytes())
+        if frame_integrity:
+            # verify AFTER the write transaction commits (reading inside
+            # the same txn only sees the buffered write)
+            with env.begin() as txn:
+                for i in range(len(dataset)):
+                    clouds = dataset.lidar_data(
+                        i, dataset.VALID_LIDAR_NAMES, bypass=True)
+                    for cloud, name in zip(clouds,
+                                           dataset.VALID_LIDAR_NAMES):
+                        key = f"s{i}/{name}".encode()
+                        assert txn.get(key) == cloud.tobytes(), key
+    finally:
+        env.close()

@@ -35,13 +35,16 @@ def dump_sequence_dataset(dataset, out_path, sequence, size_limit=None,
     from tf2_msgs.msg import TFMessage
 
     nframes = dataset.sequence_sizes[sequence]
-    calib = dataset.calibration_data((sequence, 0))
+    calib = dataset.calibration_data((sequence, 0), bypass=True)
 
     with rosbag.Bag(str(out_path), "w") as bag:
         # static calibration
         tfm = TFMessage()
         for frame in calib.frames:
-            rt = calib.get_extrinsic(frame_to=frame)
+            # TF child_frame_id semantics: the transform carries CHILD-frame
+            # points into the parent, i.e. frame->base (frame_from), not
+            # base->frame
+            rt = calib.get_extrinsic(frame_from=frame)
             msg = TransformStamped()
             msg.header.frame_id = calib.base_frame
             msg.child_frame_id = frame
@@ -61,7 +64,7 @@ def dump_sequence_dataset(dataset, out_path, sequence, size_limit=None,
         bag.write("/tf_static", tfm)
 
         for fi in range(nframes):
-            ts = dataset.timestamp((sequence, fi))
+            ts = dataset.timestamp((sequence, fi), bypass=True)
             stamp = rospy.Time.from_sec(ts / 1e6)
             header = Header(stamp=stamp)
 
@@ -82,7 +85,9 @@ def dump_sequence_dataset(dataset, out_path, sequence, size_limit=None,
 
             buf = _io.BytesIO()
             objs.dump(buf)
-            arr.data = list(buf.getvalue())
+            # ROS1 byte[] is SIGNED int8: raw values > 127 crash genpy's
+            # struct packing
+            arr.data = [b - 256 if b > 127 else b for b in buf.getvalue()]
             bag.write("/objects", arr, t=stamp)
 
             if size_limit and bag.size > size_limit:

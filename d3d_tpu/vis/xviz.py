@@ -50,10 +50,12 @@ class TrackingDatasetConverter:
         import numpy as np
         from xviz_avs.builder import XVIZBuilder
 
-        builder = XVIZBuilder(metadata=self.get_metadata())
+        if not hasattr(self, "_metadata_cache"):  # build once, reuse
+            self._metadata_cache = self.get_metadata()
+        builder = XVIZBuilder(metadata=self._metadata_cache)
         idx = (self.sequence, frame_idx)
-        ts = self.dataset.timestamp(idx) / 1e6
-        pose = self.dataset.pose(idx)
+        ts = self.dataset.timestamp(idx, bypass=True) / 1e6
+        pose = self.dataset.pose(idx, bypass=True)
         yaw, pitch, roll = pose.orientation.as_euler("ZYX")
         builder.pose(PRIMARY_POSE_STREAM) \
             .timestamp(ts) \
@@ -91,7 +93,10 @@ def serve_dataset(dataset, sequence, host="0.0.0.0", port=8081):
             await socket.send(msg.to_proto().SerializeToString())
             await asyncio.sleep(0.1)
 
-    server = websockets.serve(handler, host, port)
-    loop = asyncio.get_event_loop()
-    loop.run_until_complete(server)
-    loop.run_forever()
+    async def _main():
+        # asyncio.run pattern: get_event_loop() from sync context is
+        # deprecated (3.12) and removed (3.14)
+        async with websockets.serve(handler, host, port):
+            await asyncio.Future()  # run forever
+
+    asyncio.run(_main())

@@ -115,7 +115,7 @@ def test_ros_dump(monkeypatch, tracking_loader, tmp_path):
     calib = tracking_loader.calibration_data((0, 0))
     calib.intrinsics_meta["cam2"].intri_matrix = np.eye(3)
     monkeypatch.setattr(tracking_loader, "calibration_data",
-                        lambda idx: calib)
+                        lambda idx, **kw: calib)
 
     dump_sequence_dataset(tracking_loader, tmp_path / "seq.bag", 0)
 
