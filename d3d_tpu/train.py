@@ -14,12 +14,64 @@ without threads. Everything is pure-functional state threading —
 restart-safe and identical under resume (tested).
 """
 
+import queue
+import threading
 import time
 
 import numpy as np
 import jax
 
-__all__ = ["Trainer"]
+__all__ = ["Trainer", "prefetch", "batch_frames"]
+
+
+def prefetch(iterable, depth=2):
+    """Run an iterator in a background thread with a bounded queue.
+
+    Host-side frame loading / augmentation / pillarization (the
+    ``batch_frames`` pipeline) overlaps device steps this way even though
+    the Trainer's device-side prep already overlaps via async dispatch —
+    disk reads and numpy work would otherwise serialize with the train
+    loop. Exceptions propagate to the consumer; the worker dies with the
+    process (daemon).
+    """
+    q = queue.Queue(maxsize=max(depth, 1))
+    END = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(("item", item))
+        except BaseException as e:  # propagate into the consuming thread
+            q.put(("error", e))
+            return
+        q.put(("end", END))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        kind, payload = q.get()
+        if kind == "error":
+            raise payload
+        if kind == "end":
+            return
+        yield payload
+
+
+def batch_frames(frames, batch_size, collate=None, drop_last=True):
+    """Group per-frame pytrees into stacked batches.
+
+    :param frames: iterable of per-frame dicts of arrays
+    :param collate: leaf-stacking function (default np.stack)
+    """
+    stack = collate or (lambda leaves: np.stack([np.asarray(x)
+                                                 for x in leaves]))
+    buf = []
+    for frame in frames:
+        buf.append(frame)
+        if len(buf) == batch_size:
+            yield jax.tree.map(lambda *xs: stack(xs), *buf)
+            buf = []
+    if buf and not drop_last:
+        yield jax.tree.map(lambda *xs: stack(xs), *buf)
 
 
 class Trainer:

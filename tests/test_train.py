@@ -87,3 +87,48 @@ def test_trainer_end_to_end(tmp_path, rng):
     s2, *_ = tr2.run(p2, b2, o2, _batches(np.random.default_rng(2), 2),
                      start_step=start)
     assert s2 == 10
+
+
+class TestHostPipeline:
+    def test_prefetch_order_and_exceptions(self):
+        from d3d_tpu.train import prefetch
+
+        assert list(prefetch(range(10), depth=3)) == list(range(10))
+
+        def boom():
+            yield 1
+            raise RuntimeError("loader died")
+
+        it = prefetch(boom(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="loader died"):
+            list(it)
+
+    def test_prefetch_overlaps(self):
+        import time as _t
+
+        from d3d_tpu.train import prefetch
+
+        def slow_frames():
+            for i in range(4):
+                _t.sleep(0.05)
+                yield i
+
+        t0 = _t.perf_counter()
+        for _ in prefetch(slow_frames(), depth=2):
+            _t.sleep(0.05)  # consumer work overlapping producer work
+        overlapped = _t.perf_counter() - t0
+        # serial would be ~0.4s; overlap should stay well under
+        assert overlapped < 0.35, overlapped
+
+    def test_batch_frames(self):
+        from d3d_tpu.train import batch_frames
+
+        frames = [dict(a=np.full(3, i), b=i * np.ones((2, 2)))
+                  for i in range(5)]
+        batches = list(batch_frames(frames, 2))
+        assert len(batches) == 2  # drop_last
+        assert batches[0]["a"].shape == (2, 3)
+        np.testing.assert_array_equal(batches[1]["a"][0], np.full(3, 2))
+        batches = list(batch_frames(frames, 2, drop_last=False))
+        assert len(batches) == 3 and batches[2]["a"].shape == (1, 3)
