@@ -71,7 +71,13 @@ def parse_label(label, raw_calib):
 
         score = item[15] if len(item) == 16 else None
         tag = ObjectTag(item[0], KittiObjectClass, scores=score)
-        objects.append(ObjectTarget3D(position, orientation, [l, w, h], tag))
+        # keep the benchmark-relevant 2D fields (the reference discards
+        # them): truncation, occlusion and 2D box height drive the
+        # official easy/moderate/hard strata (d3d_tpu.benchmarks_kitti)
+        aux = dict(truncated=float(item[1]), occluded=int(item[2]),
+                   box_height=float(item[7] - item[5]))
+        objects.append(ObjectTarget3D(position, orientation, [l, w, h], tag,
+                                      aux=aux))
     return objects
 
 

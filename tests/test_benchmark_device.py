@@ -162,3 +162,58 @@ def test_zero_frames_returns_empty_stats():
     assert s.ngt[CAR.value] == 0
     assert s.tp[CAR.value].sum() == 0
     assert device_calc_stats(ev, [], [], merge=False) == []
+
+
+class TestKittiDifficulty:
+    def test_difficulty_thresholds(self):
+        from d3d_tpu.benchmarks_kitti import kitti_difficulty
+
+        assert kitti_difficulty(50, 0, 0.1) == 0      # easy
+        assert kitti_difficulty(30, 0, 0.1) == 1      # height only moderate
+        assert kitti_difficulty(50, 1, 0.1) == 1      # occlusion moderate
+        assert kitti_difficulty(50, 2, 0.1) == 2      # occlusion hard
+        assert kitti_difficulty(50, 0, 0.4) == 2      # truncation hard
+        assert kitti_difficulty(20, 0, 0.0) == -1     # too small: ignored
+
+    def test_evaluate_by_difficulty(self):
+        from d3d_tpu.benchmarks_kitti import evaluate_by_difficulty
+
+        r = Rotation.identity()
+
+        def gt_obj(x, difficulty):
+            return ObjectTarget3D([x, 0, 0], r, [2, 2, 2], ObjectTag(CAR),
+                                  aux=dict(difficulty=difficulty))
+
+        gt = Target3DArray([gt_obj(0, 0), gt_obj(5, 1), gt_obj(10, 2),
+                            gt_obj(15, -1)], frame="t")
+        dt = Target3DArray([
+            ObjectTarget3D([x, 0, 0], r, [2, 2, 2],
+                           ObjectTag(CAR, scores=0.9))
+            for x in (0, 5, 10, 15)], frame="t")
+
+        evs = evaluate_by_difficulty(
+            lambda: DetectionEvaluator([CAR], [0.5], pr_sample_count=6),
+            [gt], [dt])
+        # cumulative strata: easy keeps 1 gt, moderate 2, hard 3
+        assert evs["easy"].gt_count()[CAR.value] == 1
+        assert evs["moderate"].gt_count()[CAR.value] == 2
+        assert evs["hard"].gt_count()[CAR.value] == 3
+        lo = float(evs["hard"].score_thresholds[0])
+        assert evs["hard"].tp(lo)[CAR] == 3
+        # the ignored gt is not counted anywhere
+        assert evs["hard"].gt_count()[CAR.value] == 3
+
+    def test_loader_aux_feeds_difficulty(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tests")
+        import kitti_fixture as fx
+
+        from d3d_tpu.dataset.kitti import KittiObjectLoader
+
+        root = tmp_path / "kitti"
+        fx.build_unzipped(root, nframes=3)
+        loader = KittiObjectLoader(root, inzip=False, trainval_split=1)
+        objs = loader.annotation_3dobject(0)
+        for obj in objs:
+            assert "truncated" in obj.aux and "occluded" in obj.aux
+            assert obj.aux["box_height"] > 0
