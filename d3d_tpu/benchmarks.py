@@ -78,7 +78,8 @@ class DetectionEvaluator:
     """
 
     def __init__(self, classes, min_overlaps, pr_sample_count=40,
-                 min_score=0.0, pr_sample_scale="log10"):
+                 min_score=0.0, pr_sample_scale="log10",
+                 distance_metric=DistanceTypes.RIoU):
         if isinstance(classes, (list, tuple)):
             assert len(classes) > 0
             self._class_type = type(classes[0])
@@ -86,11 +87,20 @@ class DetectionEvaluator:
         else:
             self._class_type = type(classes)
             self._classes = [classes.value]
+        self._distance_metric = distance_metric
+        # RIoU/IoU metrics: thresholds are MIN overlaps (distance = 1-IoU);
+        # Position metric (the nuScenes protocol): thresholds are MAX
+        # center distances in meters, used directly
+        if distance_metric == DistanceTypes.Position:
+            conv = lambda v: float(v)  # noqa: E731
+        else:
+            conv = lambda v: 1 - v  # noqa: E731
         if isinstance(min_overlaps, (list, tuple)):
-            self._max_distance = {classes[i].value: 1 - v
+            self._max_distance = {classes[i].value: conv(v)
                                   for i, v in enumerate(min_overlaps)}
         elif isinstance(min_overlaps, (int, float)):
-            self._max_distance = {c: 1 - min_overlaps for c in self._classes}
+            self._max_distance = {c: conv(min_overlaps)
+                                  for c in self._classes}
         else:
             raise ValueError("min_overlaps should be a list or a single value")
 
@@ -156,7 +166,7 @@ class DetectionEvaluator:
             gt_boxes = calib.transform_objects(gt_boxes, frame_to=dt_boxes.frame)
 
         matcher = ScoreMatcher()
-        matcher.prepare_boxes(dt_boxes, gt_boxes, DistanceTypes.RIoU)
+        matcher.prepare_boxes(dt_boxes, gt_boxes, self._distance_metric)
 
         summary = DetectionEvalStats(self._classes, self._pr_nsamples)
         iou_acc = [dict() for _ in range(self._pr_nsamples)]

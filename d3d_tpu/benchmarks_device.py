@@ -206,16 +206,22 @@ def _greedy_match(dist_ok, rank, dt_label, dt_score, dt_valid,
 
 
 def _matching_tables(dt_box, gt_box, gt_label, gt_valid, max_dist,
-                     max_dist_strict):
+                     max_dist_strict, metric="riou"):
     """Distance matrix + acceptance mask + stable distance ranks shared by
     the detection evaluator and the tracking match helper. Identical
-    computation to ScoreMatcher.prepare_boxes (bit-identical distances)."""
+    computation to ScoreMatcher.prepare_boxes (bit-identical distances for
+    the riou metric; the position metric is euclidean center distance —
+    the nuScenes matching protocol)."""
     from .ops.geometry import box3dr_iou_pair
 
-    b1 = dt_box.at[:, 3:6].set(jnp.clip(dt_box[:, 3:6], -1e3, 1e3))
-    b2 = gt_box.at[:, 3:6].set(jnp.clip(gt_box[:, 3:6], -1e3, 1e3))
-    iou = box3dr_iou_pair(b1[:, None, :], b2[None, :, :])
-    dist = (1.0 - iou).astype(jnp.float32)
+    if metric == "position":
+        delta = dt_box[:, None, 0:3] - gt_box[None, :, 0:3]
+        dist = jnp.sqrt(jnp.sum(delta * delta, -1)).astype(jnp.float32)
+    else:
+        b1 = dt_box.at[:, 3:6].set(jnp.clip(dt_box[:, 3:6], -1e3, 1e3))
+        b2 = gt_box.at[:, 3:6].set(jnp.clip(gt_box[:, 3:6], -1e3, 1e3))
+        iou = box3dr_iou_pair(b1[:, None, :], b2[None, :, :])
+        dist = (1.0 - iou).astype(jnp.float32)
 
     safe_gtl = jnp.where(gt_valid, gt_label, 0)
     md = max_dist[safe_gtl]
@@ -249,9 +255,9 @@ def match_subsets_device(dt_box, dt_label, dt_score, gt_box, gt_label,
     return match, dist
 
 
-@partial(jax.jit, static_argnames=("nclasses",))
+@partial(jax.jit, static_argnames=("nclasses", "metric"))
 def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
-                       nclasses):
+                       nclasses, metric="riou"):
     """Evaluate a batch of frames entirely on device.
 
     :param packed: dict from :func:`pack_frames` (leading frame axis F)
@@ -273,7 +279,7 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
         dv, gv = dtl >= 0, gtl >= 0
 
         dist, dist_ok, rank = _matching_tables(
-            dtb, gtb, gtl, gv, max_dist, max_dist_strict)
+            dtb, gtb, gtl, gv, max_dist, max_dist_strict, metric)
 
         # (D, G) accuracy-value matrices, computed once on the VPU
         d_pos = gtb[None, :, 0:3] - dtb[:, None, 0:3]
@@ -383,11 +389,15 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
                   for k, v in packed.items()}
     else:
         packed = {k: jnp.asarray(v) for k, v in packed.items()}
+    from .tracking.matcher import DistanceTypes
+
+    metric = ("position" if getattr(evaluator, "_distance_metric", None)
+              == DistanceTypes.Position else "riou")
     out = eval_frames_device(
         packed,
         jnp.asarray(evaluator._pr_thresholds, jnp.float32),
         jnp.asarray(md), jnp.asarray(md_strict),
-        nclasses=len(classes))
+        nclasses=len(classes), metric=metric)
     out = {k: np.asarray(v) for k, v in out.items()}
 
     acc_fields = ("acc_iou", "acc_angular", "acc_dist", "acc_box", "acc_var")

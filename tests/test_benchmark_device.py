@@ -217,3 +217,71 @@ class TestKittiDifficulty:
         for obj in objs:
             assert "truncated" in obj.aux and "occluded" in obj.aux
             assert obj.aux["box_height"] > 0
+
+
+class TestPositionMetric:
+    """Center-distance matching (the nuScenes protocol) through both the
+    host evaluator and the batched device path."""
+
+    def _frames(self, rng, n=3):
+        gts, dts = [], []
+        for _ in range(n):
+            gt = _random_frame(rng, 10, [CAR, VAN, PED])
+            gts.append(gt)
+            dts.append(_perturbed(rng, gt))
+        return gts, dts
+
+    def test_host_device_parity(self):
+        from d3d_tpu.tracking.matcher import DistanceTypes
+
+        rng = np.random.default_rng(5)
+        gts, dts = self._frames(rng)
+        mk = lambda: DetectionEvaluator(
+            [CAR, VAN], [2.0, 1.0], pr_sample_count=8,
+            distance_metric=DistanceTypes.Position)
+        host, dev = mk(), mk()
+        for g, d in zip(gts, dts):
+            host.add_stats(host.calc_stats(g, d))
+        dev.add_stats(device_calc_stats(dev, gts, dts))
+        _assert_stats_match(host.get_stats(), dev.get_stats(), [CAR, VAN],
+                            "position metric")
+
+    def test_threshold_is_meters(self):
+        from d3d_tpu.tracking.matcher import DistanceTypes
+
+        r = Rotation.identity()
+        gt = Target3DArray([ObjectTarget3D([0, 0, 0], r, [2, 2, 2],
+                                           ObjectTag(CAR))], frame="t")
+        # detection 1.5 m away, zero IoU
+        dt = Target3DArray([ObjectTarget3D([1.5, 3.0, 0], r, [2, 2, 2],
+                                           ObjectTag(CAR, scores=0.9))],
+                           frame="t")
+        near = DetectionEvaluator([CAR], [4.0], pr_sample_count=4,
+                                  distance_metric=DistanceTypes.Position)
+        far = DetectionEvaluator([CAR], [2.0], pr_sample_count=4,
+                                 distance_metric=DistanceTypes.Position)
+        s4 = device_calc_stats(near, [gt], [dt])
+        s2 = device_calc_stats(far, [gt], [dt])
+        assert s4.tp[CAR.value][0] == 1   # within 4 m
+        assert s2.tp[CAR.value][0] == 0   # beyond 2 m
+
+
+def test_nuscenes_protocol_composite():
+    from d3d_tpu.benchmarks_nuscenes import evaluate_nuscenes_detection
+
+    rng = np.random.default_rng(9)
+    gts, dts = [], []
+    for _ in range(3):
+        gt = _random_frame(rng, 10, [CAR, VAN])
+        gts.append(gt)
+        dts.append(_perturbed(rng, gt))
+    out = evaluate_nuscenes_detection(gts, dts, [CAR, VAN],
+                                      pr_sample_count=8)
+    assert set(out["ap"][CAR]) == {0.5, 1.0, 2.0, 4.0}
+    # looser thresholds admit at least as many matches -> AP monotone
+    for c in (CAR, VAN):
+        aps = [out["ap"][c][t] for t in (0.5, 1.0, 2.0, 4.0)]
+        assert all(b >= a - 1e-9 for a, b in zip(aps, aps[1:])), aps
+    assert 0.0 <= out["mean_ap"] <= 1.0001
+    assert 0.0 <= out["nds"] <= 1.0001
+    assert out["tp_errors"][CAR]["ate"] >= 0
