@@ -338,7 +338,7 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
 # ---------------------------------------------------------------------------
 
 def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
-                      merge=True, mesh=None):
+                      merge=True, mesh=None, packed=None):
     """Evaluate many frames with :func:`eval_frames_device` and return
     either one merged ``DetectionEvalStats`` (``merge=True``) or a list of
     per-frame stats identical to ``evaluator.calc_stats`` outputs.
@@ -352,6 +352,10 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
         frame batch shards over data-parallel chips (frames are padded to a
         multiple of dp with empty frames, which contribute zero counters),
         replacing the reference's multiprocess evaluation fan-out.
+    :param packed: optional precomputed :func:`pack_frames` output for
+        these (gt, dt) lists — packing is threshold-independent, so
+        multi-threshold protocols (KITTI strata, nuScenes distances) pack
+        once and evaluate many times.
     """
     from .benchmarks import DetectionEvalStats
 
@@ -379,7 +383,8 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
 
     classes = evaluator._classes
     nsamples = evaluator._pr_nsamples
-    packed = pack_frames(gt_arrays, dt_arrays, classes)
+    if packed is None:
+        packed = pack_frames(gt_arrays, dt_arrays, classes)
     md, md_strict = max_dist_arrays(evaluator)
     if mesh is not None and merge:
         from jax.sharding import NamedSharding, PartitionSpec as P

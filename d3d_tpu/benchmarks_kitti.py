@@ -69,8 +69,15 @@ def evaluate_by_difficulty(evaluator_factory, gt_arrays, dt_arrays,
         label files)
     :param device: evaluate with the batched device evaluator
     :returns: dict difficulty-name -> evaluator (stats accumulated).
-        Following the official cumulative protocol, stratum ``d`` keeps
-        every GT with difficulty in [0, d].
+        Stratum ``d`` keeps every GT with difficulty in [0, d]
+        (cumulative, like the official protocol).
+
+    .. note:: protocol approximation — the official benchmark treats
+       harder-than-stratum GT (and DontCare regions) as IGNORE: a
+       detection matching one counts neither TP nor FP. Here those GT are
+       simply removed, so such detections count as FP and easy/moderate
+       AP reads lower than the official devkit for detectors that also
+       find hard objects. Matcher-level ignore support is future work.
     """
     if difficulty_fn is None:
         def difficulty_fn(obj):

@@ -8,15 +8,25 @@ devkit shells out to the official ``nuscenes-devkit`` for this
 module evaluates natively — batched on device — using the evaluators'
 ``distance_metric=Position`` mode.
 
-Metric correspondence (documented deviations):
+Metric correspondence — this is a *native approximation* of the official
+protocol, not a bit-exact reimplementation:
 
-  * AP per (class, distance threshold): exact protocol (center-distance
-    greedy matching by descending score);
-  * ATE (translation error, m) = ``acc_dist``: exact;
-  * AOE (orientation error, rad) = ``acc_angular * pi``: exact;
+  * matching: center-distance greedy by descending score, but with the
+    reference ScoreMatcher's candidate-row quirk (matcher.pyx:155-158,
+    replicated framework-wide for parity) — assignments can differ from
+    the official greedy-closest when detections are not score-sorted;
+  * AP: trapezoid over the evaluator's log-spaced SCORE thresholds; the
+    official AP integrates over recall in [0.1, 1] and clips operating
+    points with precision < 10% (no class-range GT filtering here);
+  * ATE (m) = mean ``acc_dist``; AOE (rad) = mean ``acc_angular * pi`` —
+    equal-weight means over score-threshold bins, where the official
+    mATE/mAOE average over recall levels;
   * ASE: the official scale error is ``1 - IoU`` of aligned boxes; here
-    approximated by the dimension-vector L2 error (``acc_box``) squashed
-    via ``err / (1 + err)`` — monotonically equivalent, not identical.
+    approximated by the dimension-vector L2 error squashed via
+    ``err / (1 + err)``.
+
+For exact official numbers, dump a submission and call
+:func:`d3d_tpu.dataset.nuscenes.loader.execute_official_evaluator`.
 """
 
 import numpy as np
@@ -49,14 +59,19 @@ def evaluate_nuscenes_detection(gt_arrays, dt_arrays, classes,
           approximation)
     """
     evaluators = {}
+    packed = None
     for thr in dist_thresholds:
         ev = DetectionEvaluator(classes, [thr] * len(classes),
                                 pr_sample_count=pr_sample_count,
                                 distance_metric=DistanceTypes.Position)
         if device:
-            from .benchmarks_device import device_calc_stats
+            from .benchmarks_device import device_calc_stats, pack_frames
 
-            ev.add_stats(device_calc_stats(ev, gt_arrays, dt_arrays))
+            if packed is None:  # packing is threshold-independent
+                packed = pack_frames(list(gt_arrays), list(dt_arrays),
+                                     ev._classes)
+            ev.add_stats(device_calc_stats(ev, gt_arrays, dt_arrays,
+                                           packed=packed))
         else:
             for g, d in zip(gt_arrays, dt_arrays):
                 ev.add_stats(ev.calc_stats(g, d))

@@ -36,24 +36,41 @@ def prefetch(iterable, depth=2):
     """
     q = queue.Queue(maxsize=max(depth, 1))
     END = object()
+    stop = threading.Event()
+
+    def put(item):
+        # bounded put that aborts when the consumer went away — otherwise
+        # an early `break` leaves the worker blocked forever, pinning the
+        # source iterator (open files, buffers) for the process lifetime
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(("item", item))
+                if not put(("item", item)):
+                    return
         except BaseException as e:  # propagate into the consuming thread
-            q.put(("error", e))
+            put(("error", e))
             return
-        q.put(("end", END))
+        put(("end", END))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        kind, payload = q.get()
-        if kind == "error":
-            raise payload
-        if kind == "end":
-            return
-        yield payload
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "error":
+                raise payload
+            if kind == "end":
+                return
+            yield payload
+    finally:
+        stop.set()
 
 
 def batch_frames(frames, batch_size, collate=None, drop_last=True):
@@ -128,6 +145,7 @@ class Trainer:
             return step, params, batch_stats, opt_state
 
         t0 = time.perf_counter()
+        last_log_step = step
         while num_steps is None or step < start_step + num_steps:
             batch = nxt
             # dispatch the NEXT batch's prep before fetching anything —
@@ -149,7 +167,8 @@ class Trainer:
                 vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                rate = self.log_every / max(dt, 1e-9)
+                rate = (step - last_log_step) / max(dt, 1e-9)
+                last_log_step = step
                 self.history.append(dict(step=step, **vals))
                 self.log_fn(f"step {step}: " + " ".join(
                     f"{k}={v:.4f}" for k, v in sorted(vals.items()))

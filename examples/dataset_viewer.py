@@ -71,7 +71,13 @@ def dataset_visualize_pcl(dataset_path, dataset_type, scene,
         except AttributeError:
             import matplotlib.pyplot as plt
             plt.show()
-        if input(f"frame {idx} — enter to continue, q to quit: ") == "q":
+        key = input(f"frame {idx} — enter to continue, q to quit: ")
+        try:
+            import matplotlib.pyplot as plt
+            plt.close("all")  # the fallback leaks a figure per frame
+        except ImportError:
+            pass
+        if key == "q":
             break
 
 

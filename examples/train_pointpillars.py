@@ -39,8 +39,10 @@ def synthetic_frames(rng, cfg, n, npts=120_000):
             rng.uniform(cfg.bounds[4], cfg.bounds[5], npts),
             rng.uniform(0, 1, npts)], axis=1).astype(np.float32)
         m = int(rng.integers(3, 10))
+        b = cfg.bounds  # sample INSIDE the scene so anchors go positive
         boxes = np.stack([
-            rng.uniform(5, 60, m), rng.uniform(-30, 30, m),
+            rng.uniform(b[0] + 3, b[1] - 3, m),
+            rng.uniform(b[2] + 2, b[3] - 2, m),
             np.full(m, -1.0), np.full(m, 3.9), np.full(m, 1.6),
             np.full(m, 1.56),
             rng.uniform(-np.pi / 2, np.pi / 2, m)], axis=1).astype(np.float32)
@@ -55,7 +57,7 @@ def kitti_frames(path, cfg, split="training"):
         cloud = np.asarray(loader.lidar_data(idx))[:, :4]
         objs = loader.annotation_3dobject(idx)
         boxes = objs.boxes7().astype(np.float32)
-        labels = np.asarray([b.tag.labels[0].value for b in objs])
+        labels = np.asarray([b.tag.labels[0] for b in objs])  # int values
         yield cloud.astype(np.float32), boxes, labels
 
 

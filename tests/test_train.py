@@ -132,3 +132,29 @@ class TestHostPipeline:
         np.testing.assert_array_equal(batches[1]["a"][0], np.full(3, 2))
         batches = list(batch_frames(frames, 2, drop_last=False))
         assert len(batches) == 3 and batches[2]["a"].shape == (1, 3)
+
+    def test_prefetch_early_exit_releases_worker(self):
+        import gc
+        import threading
+        import time as _t
+
+        from d3d_tpu.train import prefetch
+
+        closed = []
+
+        def frames():
+            try:
+                for i in range(1000):
+                    yield i
+            finally:
+                closed.append(True)
+
+        before = threading.active_count()
+        it = prefetch(frames(), depth=1)
+        assert next(it) == 0
+        it.close()  # consumer abandons the stream
+        gc.collect()
+        deadline = _t.time() + 3
+        while threading.active_count() > before and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert threading.active_count() <= before, "worker thread stuck"
