@@ -157,8 +157,15 @@ class DetectionEvaluator:
         return iou, dist, box, ang / np.pi, var
 
     def calc_stats(self, gt_boxes: Target3DArray, dt_boxes: Target3DArray,
-                   calib: TransformSet = None):
-        """Evaluate one frame; returns a mergeable DetectionEvalStats."""
+                   calib: TransformSet = None, gt_ignored=None):
+        """Evaluate one frame; returns a mergeable DetectionEvalStats.
+
+        :param gt_ignored: optional boolean per-GT mask — ignored objects
+            participate in matching (absorbing detections) but count
+            neither TP nor FN, and a detection matched to one is NOT a
+            false positive. This is the KITTI DontCare / harder-stratum
+            IGNORE semantic.
+        """
         if gt_boxes.frame != dt_boxes.frame:
             if calib is None:
                 raise ValueError("Calibration is not provided when dt_boxes "
@@ -175,12 +182,17 @@ class DetectionEvaluator:
         box_acc = [dict() for _ in range(self._pr_nsamples)]
         var_acc = [dict() for _ in range(self._pr_nsamples)]
 
+        if gt_ignored is None:
+            gt_ignored = np.zeros(len(gt_boxes), bool)
+        gt_ignored = np.asarray(gt_ignored, bool)
+
         gt_indices = []
         for gt_idx, gt_box in enumerate(gt_boxes):
             gt_tag = gt_box.tag.labels[0]
             if gt_tag not in self._stats.ngt:
                 continue
-            summary.ngt[gt_tag] += 1
+            if not gt_ignored[gt_idx]:
+                summary.ngt[gt_tag] += 1
             gt_indices.append(gt_idx)
 
         # f32 like the reference's C float score storage (and the device
@@ -201,6 +213,10 @@ class DetectionEvaluator:
             matcher.match(dt_indices, gt_indices, self._max_distance)
 
             for gt_idx in gt_indices:
+                if gt_ignored[gt_idx]:
+                    # ignored gt absorb their matched detection (it will
+                    # not be FP) but contribute no TP/FN/accuracy
+                    continue
                 gt_box = gt_boxes[gt_idx]
                 gt_tag = gt_box.tag.labels[0]
                 dt_idx = matcher.query_dst_match(gt_idx)

@@ -116,13 +116,16 @@ def _pack_one(arr: Target3DArray, class_to_idx, n, want_var):
     return out
 
 
-def pack_frames(gt_arrays, dt_arrays, class_values, pad_dt=None, pad_gt=None):
+def pack_frames(gt_arrays, dt_arrays, class_values, pad_dt=None, pad_gt=None,
+                gt_ignored=None):
     """Pack lists of (gt, dt) Target3DArray pairs into stacked padded numpy
     arrays with a leading frame axis, ready for :func:`eval_frames_device`.
 
     :param class_values: ordered list of class *values* under evaluation
         (``DetectionEvaluator._classes``); labels outside it pack as -1 and
         are ignored, matching the host evaluator's tag filtering.
+    :param gt_ignored: optional per-frame boolean masks (KITTI IGNORE
+        semantics; see ``DetectionEvaluator.calc_stats``)
     """
     assert len(gt_arrays) == len(dt_arrays)
     class_to_idx = {v: i for i, v in enumerate(class_values)}
@@ -140,6 +143,12 @@ def pack_frames(gt_arrays, dt_arrays, class_values, pad_dt=None, pad_gt=None):
         "dt_ori_var": stack(dt, "ori_var"),
         "gt_label": stack(gt, "labels"), "gt_box": stack(gt, "boxes"),
         "gt_quat": stack(gt, "quats"),
+        "gt_ignore": np.stack([
+            np.pad(np.asarray(m, bool), (0, ng - len(m)))
+            if gt_ignored is not None and m is not None
+            else np.zeros(ng, bool)
+            for m in (gt_ignored if gt_ignored is not None
+                      else [None] * len(gt_arrays))]),
     }
 
 
@@ -277,6 +286,9 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
         gtl, gtb = p["gt_label"], p["gt_box"]
         D, G = dtl.shape[0], gtl.shape[0]
         dv, gv = dtl >= 0, gtl >= 0
+        # ignored gt stay matchable (absorbing detections from FP) but are
+        # excluded from every counter and accuracy
+        counted = gv & ~p["gt_ignore"]
 
         dist, dist_ok, rank = _matching_tables(
             dtb, gtb, gtl, gv, max_dist, max_dist_strict, metric)
@@ -312,9 +324,10 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
         ].add(matched.astype(jnp.int32)) > 0  # (S, D)
 
         i32 = lambda x: x.astype(jnp.int32)
-        ngt = i32(oh_gt) @ i32(gv)                                 # (C,)
+        ngt = i32(oh_gt) @ i32(counted)                            # (C,)
         ndt = jnp.einsum("cd,sd->cs", i32(oh_dt), i32(m_all))      # (C, S)
-        tp = jnp.einsum("cg,sg->cs", i32(oh_gt), i32(matched))
+        tp = jnp.einsum("cg,sg->cs", i32(oh_gt),
+                        i32(matched & counted[None, :]))
         fp = jnp.einsum("cd,sd->cs", i32(oh_dt), i32(m_all & ~dt_matched))
         fn = ngt[:, None] - tp
 
@@ -322,7 +335,8 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
         g_idx = jnp.arange(G)[None, :]
 
         def acc(v):
-            vals = jnp.where(matched, v[safe, g_idx], 0.0)  # (S, G)
+            vals = jnp.where(matched & counted[None, :],
+                             v[safe, g_idx], 0.0)  # (S, G)
             return jnp.einsum("cg,sg->cs", oh_gt.astype(v.dtype), vals)
 
         return dict(ngt=ngt, ndt=ndt, tp=tp, fp=fp, fn=fn,
@@ -338,7 +352,7 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
 # ---------------------------------------------------------------------------
 
 def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
-                      merge=True, mesh=None, packed=None):
+                      merge=True, mesh=None, packed=None, gt_ignored=None):
     """Evaluate many frames with :func:`eval_frames_device` and return
     either one merged ``DetectionEvalStats`` (``merge=True``) or a list of
     per-frame stats identical to ``evaluator.calc_stats`` outputs.
@@ -374,6 +388,8 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
                                   if gt_arrays else None)
             gt_arrays += [empty] * pad
             dt_arrays += [empty] * pad
+            if gt_ignored is not None:
+                gt_ignored = list(gt_ignored) + [None] * pad
     for i, (g, d) in enumerate(zip(gt_arrays, dt_arrays)):
         if g.frame != d.frame:
             if calib is None:
@@ -384,7 +400,8 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
     classes = evaluator._classes
     nsamples = evaluator._pr_nsamples
     if packed is None:
-        packed = pack_frames(gt_arrays, dt_arrays, classes)
+        packed = pack_frames(gt_arrays, dt_arrays, classes,
+                             gt_ignored=gt_ignored)
     md, md_strict = max_dist_arrays(evaluator)
     if mesh is not None and merge:
         from jax.sharding import NamedSharding, PartitionSpec as P

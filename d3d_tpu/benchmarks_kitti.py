@@ -69,15 +69,11 @@ def evaluate_by_difficulty(evaluator_factory, gt_arrays, dt_arrays,
         label files)
     :param device: evaluate with the batched device evaluator
     :returns: dict difficulty-name -> evaluator (stats accumulated).
-        Stratum ``d`` keeps every GT with difficulty in [0, d]
-        (cumulative, like the official protocol).
-
-    .. note:: protocol approximation — the official benchmark treats
-       harder-than-stratum GT (and DontCare regions) as IGNORE: a
-       detection matching one counts neither TP nor FP. Here those GT are
-       simply removed, so such detections count as FP and easy/moderate
-       AP reads lower than the official devkit for detectors that also
-       find hard objects. Matcher-level ignore support is future work.
+        Stratum ``d`` counts every GT with difficulty in [0, d]
+        (cumulative); harder and invalid (-1) GT are passed as IGNORE —
+        they stay matchable so a detection on one counts neither TP nor
+        FP, exactly the official protocol. (DontCare 2D regions are not
+        represented: the loader drops boxless DontCare lines.)
     """
     if difficulty_fn is None:
         def difficulty_fn(obj):
@@ -92,17 +88,15 @@ def evaluate_by_difficulty(evaluator_factory, gt_arrays, dt_arrays,
     out = {}
     for level, name in enumerate(DIFFICULTY_NAMES):
         ev = evaluator_factory()
-        kept = []
-        for arr, d in zip(gt_arrays, diffs):
-            sel = [obj for obj, di in zip(arr, d) if 0 <= di <= level]
-            kept.append(Target3DArray(sel, frame=arr.frame,
-                                      timestamp=arr.timestamp))
+        ignored = [~((d >= 0) & (d <= level)) for d in diffs]
         if device:
             from .benchmarks_device import device_calc_stats
 
-            ev.add_stats(device_calc_stats(ev, kept, list(dt_arrays)))
+            ev.add_stats(device_calc_stats(ev, list(gt_arrays),
+                                           list(dt_arrays),
+                                           gt_ignored=ignored))
         else:
-            for g, dt in zip(kept, dt_arrays):
-                ev.add_stats(ev.calc_stats(g, dt))
+            for g, dt, ig in zip(gt_arrays, dt_arrays, ignored):
+                ev.add_stats(ev.calc_stats(g, dt, gt_ignored=ig))
         out[name] = ev
     return out

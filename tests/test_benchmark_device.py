@@ -285,3 +285,77 @@ def test_nuscenes_protocol_composite():
     assert 0.0 <= out["mean_ap"] <= 1.0001
     assert 0.0 <= out["nds"] <= 1.0001
     assert out["tp_errors"][CAR]["ate"] >= 0
+
+
+class TestIgnoreSemantics:
+    def test_ignored_gt_absorbs_detection(self):
+        """Official KITTI IGNORE: a detection matching an ignored gt is
+        neither TP nor FP; the ignored gt is never FN."""
+        r = Rotation.identity()
+        gt = Target3DArray([
+            ObjectTarget3D([0, 0, 0], r, [2, 2, 2], ObjectTag(CAR)),
+            ObjectTarget3D([10, 0, 0], r, [2, 2, 2], ObjectTag(CAR)),
+        ], frame="t")
+        dt = Target3DArray([
+            ObjectTarget3D([0.1, 0, 0], r, [2, 2, 2],
+                           ObjectTag(CAR, scores=0.9)),
+            ObjectTarget3D([10.1, 0, 0], r, [2, 2, 2],
+                           ObjectTag(CAR, scores=0.9)),
+        ], frame="t")
+        ignored = np.array([False, True])
+
+        for use_device in (False, True):
+            ev = DetectionEvaluator([CAR], [0.3], pr_sample_count=4)
+            if use_device:
+                s = device_calc_stats(ev, [gt], [dt], gt_ignored=[ignored])
+            else:
+                s = ev.calc_stats(gt, dt, gt_ignored=ignored)
+            k = CAR.value
+            assert s.ngt[k] == 1
+            assert s.tp[k][0] == 1
+            assert s.fp[k][0] == 0, ("matched-to-ignored must not be FP",
+                                     use_device)
+            assert s.fn[k][0] == 0
+
+    def test_host_device_ignore_parity(self):
+        rng = np.random.default_rng(13)
+        classes = [CAR, VAN]
+        gts, dts, igs = [], [], []
+        for _ in range(3):
+            gt = _random_frame(rng, 10, [CAR, VAN, PED])
+            gts.append(gt)
+            dts.append(_perturbed(rng, gt))
+            igs.append(rng.random(len(gt)) < 0.3)
+        ev_h = DetectionEvaluator(classes, [0.3, 0.5], pr_sample_count=8)
+        ev_d = DetectionEvaluator(classes, [0.3, 0.5], pr_sample_count=8)
+        for g, d, ig in zip(gts, dts, igs):
+            ev_h.add_stats(ev_h.calc_stats(g, d, gt_ignored=ig))
+        ev_d.add_stats(device_calc_stats(ev_d, gts, dts, gt_ignored=igs))
+        _assert_stats_match(ev_h.get_stats(), ev_d.get_stats(), classes,
+                            "ignore parity")
+
+    def test_difficulty_ignore_protocol(self):
+        """A detection on a harder-stratum gt must not be FP in the easier
+        stratum (the official protocol the helper now implements)."""
+        from d3d_tpu.benchmarks_kitti import evaluate_by_difficulty
+
+        r = Rotation.identity()
+        gt = Target3DArray([
+            ObjectTarget3D([0, 0, 0], r, [2, 2, 2], ObjectTag(CAR),
+                           aux=dict(difficulty=0)),
+            ObjectTarget3D([10, 0, 0], r, [2, 2, 2], ObjectTag(CAR),
+                           aux=dict(difficulty=2)),
+        ], frame="t")
+        dt = Target3DArray([
+            ObjectTarget3D([x + 0.1, 0, 0], r, [2, 2, 2],
+                           ObjectTag(CAR, scores=0.9)) for x in (0, 10)],
+            frame="t")
+        evs = evaluate_by_difficulty(
+            lambda: DetectionEvaluator([CAR], [0.3], pr_sample_count=4),
+            [gt], [dt])
+        easy = evs["easy"].get_stats()
+        assert easy.ngt[CAR.value] == 1
+        assert easy.tp[CAR.value][0] == 1
+        assert easy.fp[CAR.value][0] == 0  # hard-gt detection is ignored
+        hard = evs["hard"].get_stats()
+        assert hard.tp[CAR.value][0] == 2
