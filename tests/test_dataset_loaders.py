@@ -344,3 +344,70 @@ class TestKitti360CacheRobustness:
             shutil.move(str(stash / kind), str(sem / kind))
         seg = loader2.annotation_3dpoints(0)
         assert seg.semantic.shape == (len(loader2.lidar_data(0)),)
+
+
+class TestKitti360MultiWindowMerge:
+    def test_nearest_across_windows_wins(self, tmp_path):
+        """Two overlapping static windows: each scan point must take the
+        label of its globally nearest window point (min-distance merge of
+        the streaming build), verified against a scipy KDTree oracle."""
+        from scipy.spatial import cKDTree
+
+        from d3d_tpu.dataset.kitti360 import KITTI360Loader
+        from d3d_tpu.dataset.kitti360.utils import (Kitti360Class,
+                                                    id2label)
+
+        root = tmp_path / "k360"
+        dfx.build_kitti360(root, nframes=4)
+        sdir = root / "data_3d_semantics" / dfx._K360_SEQ / "static"
+
+        # second overlapping window: a building slab above the road
+        rng = np.random.default_rng(3)
+        slab = rng.uniform([0, -10, 0.9], [20, 10, 1.1], (400, 3))
+        dfx._write_ply(sdir / ("%010d_%010d.ply" % (1, 3)),
+                       slab, np.full(400, 11), np.zeros(400, int),
+                       rng.integers(0, 255, (400, 3)).astype(np.uint8))
+
+        loader = KITTI360Loader(root, inzip=False, phase="training",
+                                trainval_split=1)
+        seg = loader.annotation_3dpoints(1)
+        cloud = loader.lidar_data(1)[:, :3]
+        calib = loader.calibration_data(1)
+        ego = calib.transform_points(cloud, frame_to="pose",
+                                     frame_from="velo")
+        pose = loader.pose(1)
+        world = ego @ pose.orientation.as_matrix().T + pose.position
+
+        # oracle: nearest point over the union of both windows
+        w1 = dfx_load_window(sdir / ("%010d_%010d.ply" % (0, 3)))
+        w2 = dfx_load_window(sdir / ("%010d_%010d.ply" % (1, 3)))
+        # include the dynamic pedestrian window (present at frame 1)
+        ddir = root / "data_3d_semantics" / dfx._K360_SEQ / "dynamic"
+        w3 = dfx_load_window(ddir / ("%010d_%010d.ply" % (0, 3)))
+        all_xyz = np.concatenate([w1[0], w2[0], w3[0]])
+        all_sem = np.concatenate([w1[1], w2[1], w3[1]])
+        d, nn = cKDTree(all_xyz).query(world)
+        idmap = np.zeros(max(id2label.keys()) + 1, dtype=np.uint8)
+        for i, lab in id2label.items():
+            if i >= 0:
+                idmap[i] = lab.name.value
+        expect = idmap[all_sem[nn]]
+
+        # require agreement wherever the nearest point is unambiguous
+        # (second-nearest of a DIFFERENT label at least 1 mm farther)
+        d2, nn2 = cKDTree(all_xyz).query(world, k=2)
+        clear = (np.abs(d2[:, 1] - d2[:, 0]) > 1e-3) \
+            | (all_sem[nn2[:, 0]] == all_sem[nn2[:, 1]])
+        agree = (seg.semantic[clear] == expect[clear]).mean()
+        assert agree > 0.999, agree
+        # both labels actually occur (the slab really relabeled something)
+        assert (seg.semantic == int(Kitti360Class.building)).any()
+        assert (seg.semantic == int(Kitti360Class.road)).any()
+
+
+def dfx_load_window(path):
+    from d3d_tpu.dataset.kitti360.utils import load_ply
+
+    data = load_ply(path.parent, path.name)
+    xyz = np.stack([data["x"], data["y"], data["z"]], 1)
+    return xyz, data["semantic"].astype(np.int64)
