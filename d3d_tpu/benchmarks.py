@@ -350,6 +350,40 @@ class DetectionEvaluator:
         si = self._get_score_idx(score)
         return {self._class_type(k): v[si] for k, v in self._stats.acc_angular.items()}
 
+    def metrics_dict(self, score=None):
+        """Headline metrics as a plain JSON-serializable dict (per class:
+        ap, precision, recall, fscore, counts, TP accuracies) — structured
+        export for logging/metrics systems (the reference only prints
+        human summaries)."""
+        def _f(x):
+            x = float(x)
+            return x if np.isfinite(x) else None
+
+        out = {}
+        ap = self.ap()
+        for k in self._classes:
+            c = self._class_type(k)
+            out[getattr(c, "name", str(c))] = dict(
+                ap=_f(ap[c]),
+                precision=_f(self.precision(score)[c]),
+                recall=_f(self.recall(score)[c]),
+                fscore=_f(self.fscore(score)[c]),
+                gt=int(self.gt_count()[k]),
+                tp=int(self.tp(score)[c]),
+                fp=int(self.fp(score)[c]),
+                fn=int(self.fn(score)[c]),
+                acc_iou=_f(self.acc_iou(score)[c]),
+                acc_dist=_f(self.acc_dist(score)[c]),
+                acc_box=_f(self.acc_box(score)[c]),
+                acc_angular=_f(self.acc_angular(score)[c]),
+            )
+        out["mAP"] = _f(np.mean([v for v in
+                                 (d["ap"] for d in out.values()
+                                  if isinstance(d, dict))
+                                 if v is not None])) \
+            if any(isinstance(d, dict) for d in out.values()) else None
+        return out
+
     def summary(self, score_thres=0.8, verbose=False):
         """Human-readable report (format per reference benchmarks.pyx:410-446)."""
         si = self._get_score_idx(score_thres)

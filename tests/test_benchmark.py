@@ -291,3 +291,20 @@ class TestTrackingDeviceMatch:
             np.testing.assert_array_equal(
                 getattr(ev_h.get_stats(), fld)[k],
                 getattr(ev_d.get_stats(), fld)[k], err_msg=fld)
+
+
+def test_metrics_dict_export():
+    import json
+
+    ev = DetectionEvaluator([CAR, VAN], [0.1, 0.2])
+    r = Rotation.from_euler("Z", 0)
+    dt = Target3DArray([
+        ObjectTarget3D([0, 0, 0], r, [2, 2, 2], ObjectTag(CAR, scores=0.8)),
+        ObjectTarget3D([5, 0, 0], r, [2, 2, 2], ObjectTag(VAN, scores=0.7)),
+    ], frame="t")
+    ev.add_stats(ev.calc_stats(dt, dt))
+    m = ev.metrics_dict()
+    json.dumps(m)  # fully serializable
+    assert m["Car"]["gt"] == 1 and m["Car"]["tp"] >= 0
+    assert 0 <= m["mAP"] <= 1.0001
+    assert set(m["Van"]) >= {"ap", "precision", "recall", "acc_iou"}
