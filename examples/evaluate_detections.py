@@ -50,6 +50,9 @@ def main():
     # one batched device call replaces the per-frame host loop
     ev.add_stats(device_calc_stats(ev, list(gts), list(dts)))
     print(ev.summary(verbose=True))
+    import json
+
+    print(json.dumps(ev.metrics_dict(), indent=2))  # structured export
 
 
 if __name__ == "__main__":
