@@ -81,3 +81,41 @@ def test_outputs_close_and_detector_works(setup):
     assert len(out) <= 8
     for obj in out:
         assert np.all(np.isfinite(obj.position))
+
+
+def test_second_quantized_inference(rng):
+    """Weight-only int8 also covers the sparse family's (K, C, C')
+    kernels (per-output-channel scales on the last axis)."""
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+    from d3d_tpu.models import (SECOND, SECONDConfig, make_second_detector,
+                                second_voxelize)
+    from d3d_tpu.models.pointpillars import make_anchors
+    from d3d_tpu.models.second import head_config
+
+    cfg = SECONDConfig(
+        bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32, 8),
+        max_voxels=512, stage_channels=(8, 16, 32),
+        stage_sites=(512, 256, 128), subm_per_stage=1, head_channels=16)
+    pts = np.stack([rng.random(2048) * 16, rng.random(2048) * 16 - 8,
+                    rng.random(2048) * 4 - 3, rng.random(2048)],
+                   axis=1).astype(np.float32)
+    model = SECOND(cfg)
+    f, c, v = second_voxelize(jnp.asarray(pts), cfg)
+    var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+    q = quantize_params(var["params"])
+    assert quantized_bytes(q) < 0.5 * quantized_bytes(var["params"])
+    dq = dequantize_params(q)
+
+    full = model.apply(var, f[None], c[None], v[None])
+    quant = model.apply({"params": dq, "batch_stats": var["batch_stats"]},
+                        f[None], c[None], v[None])
+    for a, b in zip(full, quant):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-3) < 0.15
+
+    det = make_second_detector(
+        model, {"params": dq, "batch_stats": var["batch_stats"]}, cfg,
+        make_anchors(head_config(cfg)), (KittiObjectClass.Car,),
+        score_threshold=0.0, top_k=8)
+    out = det(pts)
+    assert len(out) <= 8
