@@ -104,16 +104,23 @@ class Trainer:
     :param log_every: fetch + record metrics every N steps (fetching
         blocks on the device, so this sets the sync cadence)
     :param ckpt_every: save every N steps (async)
+    :param eval_fn: optional ``(step, params, batch_stats) -> dict`` run
+        every ``eval_every`` steps (e.g. a validation mAP via
+        ``benchmarks_device``); results append to ``history`` under
+        ``eval`` and go through ``log_fn``
     """
 
     def __init__(self, step_fn, prep_fn=None, checkpointer=None,
-                 log_every=50, ckpt_every=1000, log_fn=print):
+                 log_every=50, ckpt_every=1000, log_fn=print,
+                 eval_fn=None, eval_every=0):
         self.step_fn = step_fn
         self.prep_fn = prep_fn
         self.ckpt = checkpointer
         self.log_every = log_every
         self.ckpt_every = ckpt_every
         self.log_fn = log_fn
+        self.eval_fn = eval_fn
+        self.eval_every = eval_every
         self.history = []
 
     def restore_or(self, params, batch_stats, opt_state):
@@ -173,6 +180,11 @@ class Trainer:
                 self.log_fn(f"step {step}: " + " ".join(
                     f"{k}={v:.4f}" for k, v in sorted(vals.items()))
                     + f" ({rate:.2f} steps/s)")
+            if (self.eval_fn is not None and self.eval_every
+                    and step % self.eval_every == 0):
+                result = self.eval_fn(step, params, batch_stats)
+                self.history.append(dict(step=step, eval=result))
+                self.log_fn(f"eval @ {step}: {result}")
             if (self.ckpt is not None and self.ckpt_every
                     and step % self.ckpt_every == 0):
                 self.ckpt.save(step, params, batch_stats, opt_state)

@@ -158,3 +158,23 @@ class TestHostPipeline:
         while threading.active_count() > before and _t.time() < deadline:
             _t.sleep(0.05)
         assert threading.active_count() <= before, "worker thread stuck"
+
+
+def test_trainer_eval_hook(rng):
+    from d3d_tpu.train import Trainer
+
+    def step(p, bs, o, batch):
+        return p, bs, o, {"total": np.float32(1.0)}
+
+    evals = []
+
+    def eval_fn(step_n, params, bs):
+        evals.append(step_n)
+        return {"metric": 0.5}
+
+    tr = Trainer(step, log_every=0, eval_fn=eval_fn, eval_every=2)
+    batches = iter([{"x": np.zeros(1)}] * 5)
+    s, *_ = tr.run({}, {}, {}, batches)
+    assert s == 5
+    assert evals == [2, 4]
+    assert any("eval" in h for h in tr.history)
