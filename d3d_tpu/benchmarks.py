@@ -723,6 +723,29 @@ class TrackingEvaluator(DetectionEvaluator):
             if self._stats.ngt[k] else float("nan")
             for k in self._classes}
 
+    def metrics_dict(self, score=None):
+        """Detection export + CLEAR-MOT fields per class."""
+        out = super().metrics_dict(score)
+
+        def _f(x):
+            x = float(x)
+            return x if np.isfinite(x) else None
+
+        mota = self.mota(score)
+        ids = self.id_switches(score)
+        frags = self.fragments(score)
+        tracked = self.tracked_ratio(score)
+        lost = self.lost_ratio(score)
+        for k in self._classes:
+            c = self._class_type(k)
+            name = getattr(c, "name", str(c))
+            if name in out and isinstance(out[name], dict):
+                out[name].update(mota=_f(mota[c]), id_switches=int(ids[c]),
+                                 fragments=int(frags[c]),
+                                 tracked_ratio=_f(tracked[c]),
+                                 lost_ratio=_f(lost[c]))
+        return out
+
     def summary(self, score_thres=0.8, tracked_ratio_thres=0.8,
                 lost_ratio_thres=0.2, note=None, verbose=False):
         si = self._get_score_idx(score_thres)
@@ -974,6 +997,27 @@ class SegmentationEvaluator:
         """Panoptic quality = SQ * RQ."""
         sq, rq = self.sq(), self.rq()
         return {k: sq[k] * rq[k] for k in sq}
+
+    def metrics_dict(self):
+        """Semantic + panoptic metrics as a JSON-serializable dict."""
+        def _f(x):
+            x = float(x)
+            return x if np.isfinite(x) else None
+
+        iou = self.iou()
+        sq, rq, pq = self.sq(), self.rq(), self.pq()
+        out = {}
+        for k in self._classes:
+            c = k if self._class_type is None else self._class_type(k)
+            name = getattr(c, "name", str(c))
+            out[name] = dict(iou=_f(iou[c]), sq=_f(sq[c]), rq=_f(rq[c]),
+                             pq=_f(pq[c]),
+                             tp=int(self._stats.tp[k]),
+                             fp=int(self._stats.fp[k]),
+                             fn=int(self._stats.fn[k]))
+        vals = [v["iou"] for v in out.values() if v["iou"] is not None]
+        out["mIoU"] = _f(np.mean(vals)) if vals else None
+        return out
 
     def summary(self):
         def mean_wo_nan(values):

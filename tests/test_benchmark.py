@@ -308,3 +308,26 @@ def test_metrics_dict_export():
     assert m["Car"]["gt"] == 1 and m["Car"]["tp"] >= 0
     assert 0 <= m["mAP"] <= 1.0001
     assert set(m["Van"]) >= {"ap", "precision", "recall", "acc_iou"}
+
+
+def test_tracking_and_segmentation_metrics_dict():
+    import json
+
+    ev = TrackingEvaluator([CAR], [0.5])
+    traj = [_track(p, 7, 0.9) for p in ([0, 0, 0], [1, 0, 0])]
+    gts = [_gt(p, 42) for p in ([0, 0, 0], [1, 0, 0])]
+    for d, g in zip(traj, gts):
+        ev.add_stats(ev.calc_stats(Target3DArray([g], frame="t"),
+                                   Target3DArray([d], frame="t")))
+    m = ev.metrics_dict()
+    json.dumps(m)
+    assert m["Car"]["mota"] == 1.0 and m["Car"]["id_switches"] == 0
+
+    sev = SegmentationEvaluator([1, 2], background=0)
+    gt = np.array([1, 1, 2, 2, 0, 0], dtype=np.uint8)
+    pred = np.array([1, 2, 2, 2, 0, 1], dtype=np.uint8)
+    sev.add_stats(sev.calc_stats(gt, pred))
+    sm = sev.metrics_dict()
+    json.dumps(sm)
+    assert np.isclose(sm["1"]["iou"], 1 / 3)
+    assert sm["mIoU"] is not None
