@@ -114,9 +114,13 @@ class ObjectTag:
                     self.mapping = type(lab)
                 labels[i] = lab.value
 
-        order = list(reversed(np.argsort(scores, kind="stable")))
-        self.labels = [labels[i] for i in order]
-        self.scores = [scores[i] for i in order]
+        if len(scores) == 1:  # fast path: nothing to sort
+            self.labels = labels
+            self.scores = scores
+        else:
+            order = list(reversed(np.argsort(scores, kind="stable")))
+            self.labels = [labels[i] for i in order]
+            self.scores = [scores[i] for i in order]
 
     def __str__(self):
         return "<ObjectTag, top class: %s>" % self.mapping(self.labels[0]).name
@@ -168,6 +172,15 @@ def _quat2yaw(q):
     return float(np.arctan2(siny_cosp, cosy_cosp))
 
 
+def _quat2yaw_vec(q):
+    """Vectorized :func:`_quat2yaw` over an (N, 4) f32 quaternion column —
+    elementwise the same f32 IEEE operations, so bitwise identical to the
+    scalar path."""
+    siny_cosp = 2 * (q[:, 3] * q[:, 2] + q[:, 0] * q[:, 1])
+    cosy_cosp = 1 - 2 * (q[:, 1] * q[:, 1] + q[:, 2] * q[:, 2])
+    return np.arctan2(siny_cosp, cosy_cosp)
+
+
 def _pack_ull(value):
     out = []
     while value > 0:
@@ -201,23 +214,27 @@ class ObjectTarget3D:
         self._dimension_var = _mat33(dimension_var)
         self.orientation_var = 0 if orientation_var is None else orientation_var
 
+    # setters write IN PLACE so that column-backed storage
+    # (Target3DArray.columns) stays coherent: after an array builds its
+    # struct-of-arrays cache, each object's vectors are row views into the
+    # column arrays, and every public mutation lands in the columns too.
     position = property(
         lambda self: self._position,
-        lambda self, v: setattr(self, "_position", _vec3(v)),
+        lambda self, v: self._position.__setitem__(..., _vec3(v)),
         doc="Position of the (center of) target",
     )
     dimension = property(
         lambda self: self._dimension,
-        lambda self, v: setattr(self, "_dimension", _vec3(v)),
+        lambda self, v: self._dimension.__setitem__(..., _vec3(v)),
         doc="Dimension of the target",
     )
     position_var = property(
         lambda self: self._position_var,
-        lambda self, v: setattr(self, "_position_var", _mat33(v)),
+        lambda self, v: self._position_var.__setitem__(..., _mat33(v)),
     )
     dimension_var = property(
         lambda self: self._dimension_var,
-        lambda self, v: setattr(self, "_dimension_var", _mat33(v)),
+        lambda self, v: self._dimension_var.__setitem__(..., _mat33(v)),
     )
 
     @property
@@ -226,7 +243,7 @@ class ObjectTarget3D:
 
     @orientation.setter
     def orientation(self, value):
-        self._orientation = _parse_rotation(value)
+        self._orientation[...] = _parse_rotation(value)
 
     @property
     def tag_top(self):
@@ -353,21 +370,22 @@ class TrackingTarget3D(ObjectTarget3D):
         self._angular_velocity_var = _mat33(angular_velocity_var)
         self.history = float("nan") if history is None else history
 
+    # in-place for column-backing, like the ObjectTarget3D setters
     velocity = property(
         lambda self: self._velocity,
-        lambda self, v: setattr(self, "_velocity", _vec3(v)),
+        lambda self, v: self._velocity.__setitem__(..., _vec3(v)),
     )
     angular_velocity = property(
         lambda self: self._angular_velocity,
-        lambda self, v: setattr(self, "_angular_velocity", _vec3(v)),
+        lambda self, v: self._angular_velocity.__setitem__(..., _vec3(v)),
     )
     velocity_var = property(
         lambda self: self._velocity_var,
-        lambda self, v: setattr(self, "_velocity_var", _mat33(v)),
+        lambda self, v: self._velocity_var.__setitem__(..., _mat33(v)),
     )
     angular_velocity_var = property(
         lambda self: self._angular_velocity_var,
-        lambda self, v: setattr(self, "_angular_velocity_var", _mat33(v)),
+        lambda self, v: self._angular_velocity_var.__setitem__(..., _mat33(v)),
     )
 
     def to_numpy(self, box_type="ground"):
@@ -414,20 +432,231 @@ class TrackingTarget3D(ObjectTarget3D):
 
 class Target3DArray(list):
     """Typed list of targets bound to a sensor frame + timestamp
-    (reference abstraction.pyx:475-687)."""
+    (reference abstraction.pyx:475-687).
+
+    TPU-first redesign: the list API is preserved, but the array keeps a
+    cached struct-of-arrays backing (:meth:`columns`). After the first
+    build, every element's vectors are row views into the column arrays,
+    so ``to_numpy``/``boxes7``/evaluator packing are vectorized column
+    reads instead of per-object Python loops (the reference's
+    ``to_numpy`` walks objects one by one, abstraction.pyx:503-518).
+    :meth:`from_columns` constructs an array straight from dense model
+    outputs without ever parsing per object."""
 
     def __init__(self, iterable=(), frame=None, timestamp=0):
         super().__init__(iterable)
         self.frame = frame
         self.timestamp = timestamp
+        self._ccache = None  # (row views, column dict) SoA backing
         if isinstance(iterable, Target3DArray) and not frame:
             self.frame = iterable.frame
             self.timestamp = iterable.timestamp
 
+    # -- list mutations drop the column cache -------------------------------
+    def _invalidate(self):
+        self._ccache = None
+
+    def append(self, *a):
+        self._invalidate()
+        return list.append(self, *a)
+
+    def extend(self, *a):
+        self._invalidate()
+        return list.extend(self, *a)
+
+    def insert(self, *a):
+        self._invalidate()
+        return list.insert(self, *a)
+
+    def remove(self, *a):
+        self._invalidate()
+        return list.remove(self, *a)
+
+    def pop(self, *a):
+        self._invalidate()
+        return list.pop(self, *a)
+
+    def clear(self):
+        self._invalidate()
+        return list.clear(self)
+
+    def sort(self, *a, **k):
+        self._invalidate()
+        return list.sort(self, *a, **k)
+
+    def reverse(self):
+        self._invalidate()
+        return list.reverse(self)
+
+    def __setitem__(self, *a):
+        self._invalidate()
+        return list.__setitem__(self, *a)
+
+    def __delitem__(self, *a):
+        self._invalidate()
+        return list.__delitem__(self, *a)
+
+    def __iadd__(self, other):
+        self._invalidate()
+        return list.__iadd__(self, other)
+
+    def __imul__(self, other):
+        self._invalidate()
+        return list.__imul__(self, other)
+
+    # -- struct-of-arrays backing -------------------------------------------
+    def columns(self):
+        """Struct-of-arrays layout of this array (SURVEY.md §7:
+        "Target3DArray -> struct-of-arrays").
+
+        Returns a dict of dense numpy arrays: ``position`` (N, 3) f32,
+        ``dimension`` (N, 3) f32, ``quat`` (N, 4) f32 xyzw,
+        ``position_var``/``dimension_var`` (N, 3, 3) f32, plus — for
+        TrackingTarget3D elements — ``velocity``/``angular_velocity``
+        (N, 3) and their (N, 3, 3) covariances; and freshly-extracted
+        ``yaw`` (N,) f32, ``label`` (N,) i64, ``score`` (N,) f32,
+        ``tid`` (N,) u64, ``orientation_var`` (N,) f32 (+ ``history``).
+
+        The vector/matrix columns are cached AND share memory with the
+        element objects (each object's vectors become row views into the
+        columns), so in-place element mutation and the property setters
+        write straight into the columns; scalar Python-level fields and
+        the derived yaw are re-extracted per call — cheap comprehensions.
+        """
+        n = len(self)
+        tracking = n > 0 and isinstance(self[0], TrackingTarget3D)
+        cache = self._ccache
+        if (cache is None or len(cache[0]) != n
+                or any(o._position is not r for o, r in zip(self, cache[0]))):
+            cols = {
+                "position": np.empty((n, 3), np.float32),
+                "dimension": np.empty((n, 3), np.float32),
+                "quat": np.empty((n, 4), np.float32),
+                "position_var": np.empty((n, 3, 3), np.float32),
+                "dimension_var": np.empty((n, 3, 3), np.float32),
+            }
+            if tracking:
+                cols["velocity"] = np.empty((n, 3), np.float32)
+                cols["angular_velocity"] = np.empty((n, 3), np.float32)
+                cols["velocity_var"] = np.empty((n, 3, 3), np.float32)
+                cols["angular_velocity_var"] = np.empty((n, 3, 3), np.float32)
+            attr_of = {"position": "_position", "dimension": "_dimension",
+                       "quat": "_orientation", "position_var": "_position_var",
+                       "dimension_var": "_dimension_var",
+                       "velocity": "_velocity",
+                       "angular_velocity": "_angular_velocity",
+                       "velocity_var": "_velocity_var",
+                       "angular_velocity_var": "_angular_velocity_var"}
+            for key, col in cols.items():
+                attr = attr_of[key]
+                for i, o in enumerate(self):
+                    col[i] = getattr(o, attr)
+                    setattr(o, attr, col[i])  # share: object row = column row
+            self._ccache = ([o._position for o in self], cols)
+
+        out = dict(self._ccache[1])
+        out["yaw"] = _quat2yaw_vec(out["quat"])
+        out["label"] = np.fromiter(
+            (int(o.tag.labels[0]) for o in self), np.int64, count=n)
+        out["score"] = np.fromiter(
+            (o.tag.scores[0] for o in self), np.float32, count=n)
+        out["tid"] = np.fromiter((o.tid for o in self), np.uint64, count=n)
+        out["orientation_var"] = np.fromiter(
+            (o.orientation_var for o in self), np.float32, count=n)
+        if tracking:
+            out["history"] = np.fromiter(
+                (o.history for o in self), np.float32, count=n)
+        return out
+
+    @classmethod
+    def from_columns(cls, positions, dimensions, yaws=None, quats=None,
+                     tags=None, labels=None, scores=None, mapping=None,
+                     tids=None, position_vars=None, dimension_vars=None,
+                     orientation_vars=None, frame=None, timestamp=0):
+        """Build an array directly from dense columns (model decode / NMS
+        outputs) without per-object parsing: the arrays become the SoA
+        backing and the elements are lightweight row views.
+
+        Provide orientation as either ``yaws`` (N,) or ``quats`` (N, 4)
+        xyzw, and classification as either ``tags`` (list of ObjectTag) or
+        ``labels`` (+ optional ``scores``) with a ``mapping`` enum."""
+        pos = np.ascontiguousarray(positions, np.float32).reshape(-1, 3)
+        n = len(pos)
+        dim = np.ascontiguousarray(dimensions, np.float32).reshape(n, 3)
+        if quats is None:
+            y = np.asarray(yaws, np.float64).reshape(n)
+            quats = np.zeros((n, 4), np.float32)
+            quats[:, 2] = np.sin(y / 2)
+            quats[:, 3] = np.cos(y / 2)
+        else:
+            quats = np.ascontiguousarray(quats, np.float32).reshape(n, 4)
+        pv = (np.zeros((n, 3, 3), np.float32) if position_vars is None else
+              np.ascontiguousarray(position_vars, np.float32).reshape(n, 3, 3))
+        dv = (np.zeros((n, 3, 3), np.float32) if dimension_vars is None else
+              np.ascontiguousarray(dimension_vars,
+                                   np.float32).reshape(n, 3, 3))
+        ov = (np.zeros(n, np.float32) if orientation_vars is None else
+              np.asarray(orientation_vars, np.float32).reshape(n))
+        if tags is None:
+            if scores is None:
+                tags = [ObjectTag(int(l), mapping) for l in labels]
+            else:
+                tags = [ObjectTag(int(l), mapping, float(s))
+                        for l, s in zip(labels, scores)]
+
+        cols = dict(position=pos, dimension=dim, quat=quats,
+                    position_var=pv, dimension_var=dv)
+        return cls._from_backed_columns(
+            ObjectTarget3D, cols, tags, ov,
+            tids=None if tids is None else np.asarray(tids),
+            frame=frame, timestamp=timestamp)
+
+    @classmethod
+    def _from_backed_columns(cls, elem_cls, cols, tags, orientation_vars,
+                             tids=None, auxs=None, histories=None,
+                             frame=None, timestamp=0):
+        """Internal: build an array whose elements are row views into the
+        given (already f32, contiguous) column dict."""
+        n = len(cols["position"])
+        tracking = elem_cls is TrackingTarget3D
+        arr = cls(frame=frame, timestamp=timestamp)
+        for i in range(n):
+            o = elem_cls.__new__(elem_cls)
+            o._position = cols["position"][i]
+            o._dimension = cols["dimension"][i]
+            o._orientation = cols["quat"][i]
+            o._position_var = cols["position_var"][i]
+            o._dimension_var = cols["dimension_var"][i]
+            o.orientation_var = float(orientation_vars[i])
+            o.tag = tags[i]
+            o.tid = int(tids[i]) if tids is not None else 0
+            o.aux = auxs[i] if auxs is not None else None
+            if tracking:
+                o._velocity = cols["velocity"][i]
+                o._angular_velocity = cols["angular_velocity"][i]
+                o._velocity_var = cols["velocity_var"][i]
+                o._angular_velocity_var = cols["angular_velocity_var"][i]
+                o.history = (float(histories[i]) if histories is not None
+                             else float("nan"))
+            list.append(arr, o)
+        arr._ccache = ([o._position for o in arr], cols)
+        return arr
+
     def to_numpy(self, box_type="ground"):
         if len(self) == 0:
             return np.empty((0,), dtype=np.float32)
-        return np.stack([box.to_numpy(box_type) for box in self])
+        c = self.columns()
+        tracking = isinstance(self[0], TrackingTarget3D)
+        out = np.empty((len(self), 12 if tracking else 9), np.float32)
+        out[:, 0] = c["label"]
+        out[:, 1] = c["score"]
+        out[:, 2:5] = c["position"]
+        out[:, 5:8] = c["dimension"]
+        out[:, 8] = c["yaw"]
+        if tracking:
+            out[:, 9:11] = c["velocity"][:, 0:2]
+            out[:, 11] = c["angular_velocity"][:, 2]
+        return out
 
     def to_jax(self, box_type="ground"):
         """Struct-of-arrays device array (TPU-idiomatic counterpart of the
@@ -446,7 +675,12 @@ class Target3DArray(list):
         geometry kernels consume."""
         if len(self) == 0:
             return np.empty((0, 7), dtype=np.float64)
-        return self.to_numpy()[:, 2:9].astype(np.float64)
+        c = self.columns()
+        out = np.empty((len(self), 7), dtype=np.float64)
+        out[:, 0:3] = c["position"]
+        out[:, 3:6] = c["dimension"]
+        out[:, 6] = c["yaw"]
+        return out
 
     def serialize(self):
         if len(self) > 0:
@@ -788,39 +1022,42 @@ class TransformSet:
         dynamics."""
         if self._is_same(objects.frame, frame_to):
             return objects
+        if len(objects) == 0:
+            return Target3DArray(frame=frame_to,
+                                 timestamp=objects.timestamp)
         rt = self.get_extrinsic(frame_from=objects.frame, frame_to=frame_to)
         r = Rotation.from_matrix(rt[:3, :3])
         rmat, t = r.as_matrix(), rt[:3, 3]
 
-        def rot_cov(s):
-            return rmat @ np.asarray(s) @ rmat.T
+        # columnar transform: one batched pass over the SoA backing instead
+        # of per-object scipy/numpy calls
+        c = objects.columns()
+        tracking = isinstance(objects[0], TrackingTarget3D)
 
-        new_objs = Target3DArray(frame=frame_to, timestamp=objects.timestamp)
-        for obj in objects:
-            position = rmat.dot(obj.position) + t
-            orientation = r * obj.orientation
-            if isinstance(obj, TrackingTarget3D):
-                new_objs.append(TrackingTarget3D(
-                    position=position, position_var=rot_cov(obj.position_var),
-                    orientation=orientation,
-                    orientation_var=obj.orientation_var,
-                    dimension=obj.dimension, dimension_var=obj.dimension_var,
-                    velocity=rmat.dot(obj.velocity),
-                    velocity_var=rot_cov(obj.velocity_var),
-                    angular_velocity=rmat.dot(obj.angular_velocity),
-                    angular_velocity_var=rot_cov(obj.angular_velocity_var),
-                    tag=obj.tag, tid=obj.tid, history=obj.history,
-                    aux=obj.aux))
-            elif isinstance(obj, ObjectTarget3D):
-                new_objs.append(ObjectTarget3D(
-                    position=position, position_var=rot_cov(obj.position_var),
-                    orientation=orientation,
-                    orientation_var=obj.orientation_var,
-                    dimension=obj.dimension, dimension_var=obj.dimension_var,
-                    tag=obj.tag, tid=obj.tid, aux=obj.aux))
-            else:
-                raise ValueError("Unsupported target type!")
-        return new_objs
+        def rot_cov(s):  # R @ S @ R^T, batched over the leading axis
+            return np.einsum("ij,njk,lk->nil", rmat, s,
+                             rmat).astype(np.float32)
+
+        f32 = np.float32
+        cols = {
+            "position": (c["position"] @ rmat.T + t).astype(f32),
+            "dimension": c["dimension"].copy(),
+            "quat": (r * Rotation.from_quat(c["quat"])).as_quat().astype(f32),
+            "position_var": rot_cov(c["position_var"]),
+            "dimension_var": c["dimension_var"].copy(),
+        }
+        if tracking:
+            cols["velocity"] = (c["velocity"] @ rmat.T).astype(f32)
+            cols["angular_velocity"] = (
+                c["angular_velocity"] @ rmat.T).astype(f32)
+            cols["velocity_var"] = rot_cov(c["velocity_var"])
+            cols["angular_velocity_var"] = rot_cov(c["angular_velocity_var"])
+        return Target3DArray._from_backed_columns(
+            TrackingTarget3D if tracking else ObjectTarget3D, cols,
+            tags=[o.tag for o in objects], orientation_vars=c["orientation_var"],
+            tids=c["tid"], auxs=[o.aux for o in objects],
+            histories=c.get("history"), frame=frame_to,
+            timestamp=objects.timestamp)
 
     def transform_points(self, points, frame_to, frame_from=None):
         """Convert a point cloud between frames (extra feature columns pass

@@ -4,39 +4,346 @@ The official nuScenes benchmark matches detections to ground truth by
 BEV center distance at four thresholds (0.5/1/2/4 m) and composes the
 mean AP with true-positive error metrics into the NDS. The reference
 devkit shells out to the official ``nuscenes-devkit`` for this
-(:func:`d3d_tpu.dataset.nuscenes.loader.execute_official_evaluator`); this
-module evaluates natively — batched on device — using the evaluators'
-``distance_metric=Position`` mode.
+(:func:`d3d_tpu.dataset.nuscenes.loader.execute_official_evaluator`,
+mirroring reference d3d/dataset/nuscenes/loader.py:614+); this module
+evaluates natively, batched on device.
 
-Metric correspondence — this is a *native approximation* of the official
-protocol, not a bit-exact reimplementation:
+Two native paths:
 
-  * matching: center-distance greedy by descending score, but with the
-    reference ScoreMatcher's candidate-row quirk (matcher.pyx:155-158,
-    replicated framework-wide for parity) — assignments can differ from
-    the official greedy-closest when detections are not score-sorted;
-  * AP: trapezoid over the evaluator's log-spaced SCORE thresholds; the
-    official AP integrates over recall in [0.1, 1] and clips operating
-    points with precision < 10% (no class-range GT filtering here);
-  * ATE (m) = mean ``acc_dist``; AOE (rad) = mean ``acc_angular * pi`` —
-    equal-weight means over score-threshold bins, where the official
-    mATE/mAOE average over recall levels;
-  * ASE: the official scale error is ``1 - IoU`` of aligned boxes; here
-    approximated by the dimension-vector L2 error squashed via
-    ``err / (1 + err)``.
-
-For exact official numbers, dump a submission and call
-:func:`d3d_tpu.dataset.nuscenes.loader.execute_official_evaluator`.
+* :func:`evaluate_nuscenes_official` — an EXACT reimplementation of the
+  official algorithm (nuscenes-devkit ``detection/algo.py`` semantics):
+  per-class range filtering of gt AND predictions, greedy closest-center
+  matching in descending global score order with strict ``dist < th``,
+  101-point recall-domain precision interpolation, AP with the 10%
+  min-recall / min-precision clips, cumulative-mean TP error curves
+  (trans/scale/orient, optionally vel/attr) interpolated by confidence,
+  and the official NDS composite. Matching runs as ONE jitted device
+  call over all frames and distance thresholds; only the final curve
+  assembly is host numpy.
+* :func:`evaluate_nuscenes_detection` — the earlier score-threshold
+  approximation built on the framework's own evaluators (kept for
+  mergeable streaming stats; see its docstring for the deltas).
 """
 
+from functools import partial
+
 import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
 
 from .benchmarks import DetectionEvaluator
 from .tracking.matcher import DistanceTypes
 
-__all__ = ["evaluate_nuscenes_detection"]
+__all__ = ["evaluate_nuscenes_detection", "evaluate_nuscenes_official",
+           "NUSC_CLASS_RANGE"]
 
 NUSC_DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+
+# official detection_cvpr_2019 class ranges (meters, BEV distance)
+NUSC_CLASS_RANGE = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
+# official per-metric class exclusions and orientation periods
+NUSC_ATTR_EXCLUDED = ("traffic_cone", "barrier")
+NUSC_VEL_EXCLUDED = ("traffic_cone", "barrier")
+NUSC_ORIENT_EXCLUDED = ("traffic_cone",)
+NUSC_ORIENT_PERIOD = {"barrier": np.pi}
+
+
+# ---------------------------------------------------------------------------
+# official protocol, exact (nuscenes-devkit detection/algo.py semantics)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _nusc_match_frames(dt_pos2, dt_score, dt_label, gt_pos2, gt_label,
+                       dist_ths):
+    """Greedy closest-center matching for every (frame, distance threshold)
+    in one jitted call.
+
+    Official semantics: predictions in descending score order each take
+    the CLOSEST unmatched same-class gt if strictly within the threshold
+    (devkit ``accumulate``); per-class passes are independent, so one
+    interleaved pass over all classes is equivalent.
+
+    :returns: (T, F, D) int32 — matched gt row or -1
+    """
+    def one_frame(dtp, dts, dtl, gtp, gtl):
+        dv, gv = dtl >= 0, gtl >= 0
+        delta = dtp[:, None, :] - gtp[None, :, :]
+        dist = jnp.sqrt(jnp.sum(delta * delta, -1))  # (D, G) BEV distance
+        D, G = dtl.shape[0], gtl.shape[0]
+        order = jnp.argsort(jnp.where(dv, -dts, jnp.inf), stable=True)
+
+        def per_th(th):
+            def body(i, state):
+                taken, match = state
+                src = order[i]
+                cand = gv & (gtl == dtl[src]) & ~taken & (dtl[src] >= 0)
+                d = jnp.where(cand, dist[src], jnp.inf)
+                g = jnp.argmin(d)
+                ok = d[g] < th
+                taken = taken.at[g].set(taken[g] | ok)
+                match = match.at[src].set(
+                    jnp.where(ok, g.astype(jnp.int32), jnp.int32(-1)))
+                return taken, match
+
+            state = (jnp.zeros((G,), bool), jnp.full((D,), -1, jnp.int32))
+            _, match = lax.fori_loop(0, D, body, state)
+            return match
+
+        return jax.vmap(per_th)(dist_ths)
+
+    return jnp.swapaxes(
+        jax.vmap(one_frame)(dt_pos2, dt_score, dt_label, gt_pos2, gt_label),
+        0, 1)
+
+
+def _pack_nusc(arrays, class_to_idx, n):
+    """Stack per-frame columns into (F, n, ...) padded arrays for the
+    official matcher + error gathers."""
+    F = len(arrays)
+    pos = np.zeros((F, n, 3), np.float32)
+    dim = np.ones((F, n, 3), np.float32)
+    yaw = np.zeros((F, n), np.float32)
+    score = np.zeros((F, n), np.float32)
+    label = np.full((F, n), -1, np.int32)
+    vel = np.zeros((F, n, 2), np.float32)
+    raw = np.zeros((F, n), np.int64)
+    has_vel = False
+    for f, arr in enumerate(arrays):
+        m = len(arr)
+        if m == 0:
+            continue
+        c = arr.columns()
+        pos[f, :m] = c["position"]
+        dim[f, :m] = c["dimension"]
+        yaw[f, :m] = c["yaw"]
+        score[f, :m] = c["score"]
+        raw[f, :m] = c["label"]
+        label[f, :m] = [class_to_idx.get(int(v), -1) for v in c["label"]]
+        if "velocity" in c:
+            vel[f, :m] = c["velocity"][:, 0:2]
+            has_vel = True
+    return dict(pos=pos, dim=dim, yaw=yaw, score=score, label=label,
+                vel=vel, raw=raw, has_vel=has_vel)
+
+
+def _angle_diff(x, y, period):
+    """Official ``angle_diff``: smallest absolute difference modulo
+    ``period``."""
+    diff = (x - y + period / 2) % period - period / 2
+    return np.abs(diff)
+
+
+def _scale_err(dim_dt, dim_gt):
+    """Official ``1 - scale_iou``: IoU of aligned (same center & yaw)
+    boxes = prod(min dims) / union."""
+    inter = np.prod(np.minimum(dim_dt, dim_gt), axis=-1)
+    union = (np.prod(dim_dt, axis=-1) + np.prod(dim_gt, axis=-1) - inter)
+    return 1.0 - inter / union
+
+
+def _cummean(x):
+    return np.cumsum(x) / np.arange(1, len(x) + 1)
+
+
+def _calc_ap(precision, min_recall, min_precision):
+    """Official ``calc_ap``: mean clipped precision over the recall domain
+    (101-point curve)."""
+    prec = np.copy(precision)
+    prec = prec[round(100 * min_recall) + 1:]
+    prec -= min_precision
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - min_precision)
+
+
+def _calc_tp(err_curve, confidence, min_recall):
+    """Official ``calc_tp``: mean error over the achieved recall range."""
+    first_ind = round(100 * min_recall) + 1
+    nz = np.nonzero(confidence)[0]
+    last_ind = int(nz[-1]) if len(nz) else 0
+    if last_ind < first_ind:
+        return 1.0
+    return float(np.mean(err_curve[first_ind:last_ind + 1]))
+
+
+def _class_name(c):
+    name = getattr(c, "name", str(c))
+    return str(name).lower()
+
+
+def evaluate_nuscenes_official(gt_arrays, dt_arrays, classes,
+                               dist_thresholds=NUSC_DIST_THRESHOLDS,
+                               dist_th_tp=2.0, min_recall=0.1,
+                               min_precision=0.1, class_range="official",
+                               attr_of=None):
+    """Exact official nuScenes detection metrics, natively.
+
+    Reimplements nuscenes-devkit ``evaluate.py``/``algo.py`` (the code the
+    reference shells out to, d3d/dataset/nuscenes/loader.py:614+) with the
+    matching fan-out on device:
+
+    1. range-filter gt AND predictions per class (strict ``dist < range``,
+       BEV distance from the array frame origin — pass arrays in the ego
+       frame, matching the devkit's ``ego_dist`` filter);
+    2. greedy closest-center matching per (frame, threshold) in one jitted
+       call;
+    3. 101-point recall-interpolated precision / confidence curves, AP with
+       the official min-recall/min-precision clips, cumulative-mean TP
+       error curves (trans / scale / orient, + vel when velocities are
+       present, + attr when ``attr_of`` is given) interpolated via
+       confidence, official per-metric class exclusions, NDS composite.
+
+    :param classes: evaluated class enum members; ranges/periods/exclusions
+        are looked up by lowercase member name (unknown names: no range
+        filter, 2*pi period, no exclusions)
+    :param class_range: "official" = NUSC_CLASS_RANGE by name; or a
+        {class: meters} dict; or None to disable range filtering
+    :param attr_of: optional ``label_value -> attribute id`` callable
+        enabling the official attribute error (e.g.
+        ``lambda v: NuscenesObjectClass(v).attribute``)
+    :returns: dict with ``ap`` {class: {threshold: AP}}, ``mean_ap``,
+        ``tp_errors`` {class: {metric: value}}, ``mean_tp_errors``,
+        ``nds``, and ``tp_metrics`` (the metric names entering the NDS)
+    """
+    gt_arrays, dt_arrays = list(gt_arrays), list(dt_arrays)
+    assert len(gt_arrays) == len(dt_arrays)
+    class_values = [int(getattr(c, "value", c)) for c in classes]
+    class_to_idx = {v: i for i, v in enumerate(class_values)}
+    names = [_class_name(c) for c in classes]
+
+    if class_range == "official":
+        ranges = np.array([NUSC_CLASS_RANGE.get(n, np.inf) for n in names])
+    elif class_range is None:
+        ranges = np.full(len(classes), np.inf)
+    else:
+        ranges = np.array([float(class_range.get(c, np.inf))
+                           for c in classes])
+
+    def keep_mask(arr):
+        if len(arr) == 0:
+            return np.zeros(0, bool)
+        c = arr.columns()
+        idx = np.array([class_to_idx.get(int(v), -1) for v in c["label"]])
+        dist = np.linalg.norm(c["position"][:, 0:2], axis=1)
+        return (idx >= 0) & (dist < ranges[np.maximum(idx, 0)])
+
+    def filtered(arrays):
+        out = []
+        for arr in arrays:
+            m = keep_mask(arr)
+            out.append(arr if m.all() else type(arr)(
+                [o for o, k in zip(arr, m) if k], arr.frame, arr.timestamp))
+        return out
+
+    gt_arrays = filtered(gt_arrays)
+    dt_arrays = filtered(dt_arrays)
+
+    nd = max(max((len(a) for a in dt_arrays), default=1), 1)
+    ng = max(max((len(a) for a in gt_arrays), default=1), 1)
+    dt = _pack_nusc(dt_arrays, class_to_idx, nd)
+    gt = _pack_nusc(gt_arrays, class_to_idx, ng)
+
+    ths = jnp.asarray(dist_thresholds, jnp.float32)
+    match = np.asarray(_nusc_match_frames(
+        jnp.asarray(dt["pos"][:, :, 0:2]), jnp.asarray(dt["score"]),
+        jnp.asarray(dt["label"]), jnp.asarray(gt["pos"][:, :, 0:2]),
+        jnp.asarray(gt["label"]), ths))  # (T, F, D)
+
+    tp_metrics = ["trans_err", "scale_err", "orient_err"]
+    if dt["has_vel"] and gt["has_vel"]:
+        tp_metrics.append("vel_err")
+    if attr_of is not None:
+        tp_metrics.append("attr_err")
+    excluded = {"vel_err": NUSC_VEL_EXCLUDED, "attr_err": NUSC_ATTR_EXCLUDED,
+                "orient_err": NUSC_ORIENT_EXCLUDED}
+
+    rec_interp = np.linspace(0, 1, 101)
+    ap = {c: {} for c in classes}
+    tp_errors = {c: {} for c in classes}
+    tpi = list(dist_thresholds).index(dist_th_tp) \
+        if dist_th_tp in dist_thresholds else None
+
+    for ci, c in enumerate(classes):
+        sel = dt["label"] == ci  # (F, D)
+        frows, drows = np.nonzero(sel)  # (frame, dt-row) of class preds
+        scores = dt["score"][sel]
+        npos = int((gt["label"] == ci).sum())
+        order = np.argsort(-scores, kind="stable")
+        included = [m for m in tp_metrics
+                    if names[ci] not in excluded.get(m, ())]
+        for ti, th in enumerate(dist_thresholds):
+            want_tp = tpi is not None and ti == tpi
+            mt = match[ti][sel][order] if npos else None
+            if npos == 0 or len(scores) == 0 or not (mt >= 0).any():
+                # official no_predictions(): zero curves -> AP 0, errors 1
+                # (excluded class-metric pairs stay NaN, like the devkit)
+                ap[c][th] = 0.0
+                if want_tp:
+                    for m in included:
+                        tp_errors[c][m] = 1.0
+                continue
+            sc = scores[order]
+            tp = (mt >= 0).astype(np.float64)
+            fp = 1.0 - tp
+            tp_cum, fp_cum = np.cumsum(tp), np.cumsum(fp)
+            prec = tp_cum / (tp_cum + fp_cum)
+            rec = tp_cum / npos
+            prec_i = np.interp(rec_interp, rec, prec, right=0)
+            conf_i = np.interp(rec_interp, rec, sc, right=0)
+            ap[c][th] = _calc_ap(prec_i, min_recall, min_precision)
+
+            if not want_tp:
+                continue
+            # TP error curves: per-match errors in sorted order
+            is_tp = mt >= 0
+            d_m = mt[is_tp]
+            conf_m = sc[is_tp]
+            f_m = frows[order][is_tp]
+            drow = drows[order][is_tp]
+            dfrm = f_m
+            gpos = gt["pos"][f_m, d_m]
+            dpos = dt["pos"][dfrm, drow]
+            errs = {
+                "trans_err": np.linalg.norm(
+                    dpos[:, 0:2] - gpos[:, 0:2], axis=1),
+                "scale_err": _scale_err(dt["dim"][dfrm, drow],
+                                        gt["dim"][f_m, d_m]),
+                "orient_err": _angle_diff(
+                    gt["yaw"][f_m, d_m].astype(np.float64),
+                    dt["yaw"][dfrm, drow].astype(np.float64),
+                    NUSC_ORIENT_PERIOD.get(names[ci], 2 * np.pi)),
+            }
+            if "vel_err" in tp_metrics:
+                errs["vel_err"] = np.linalg.norm(
+                    dt["vel"][dfrm, drow] - gt["vel"][f_m, d_m], axis=1)
+            if "attr_err" in tp_metrics:
+                ga = np.array([attr_of(int(v)) for v in gt["raw"][f_m, d_m]])
+                da = np.array([attr_of(int(v))
+                               for v in dt["raw"][dfrm, drow]])
+                errs["attr_err"] = 1.0 - (ga == da).astype(np.float64)
+            for m in included:
+                curve = np.interp(conf_i[::-1], conf_m[::-1],
+                                  _cummean(errs[m])[::-1])[::-1]
+                tp_errors[c][m] = _calc_tp(curve, conf_i, min_recall)
+
+    all_aps = [ap[c][t] for c in classes for t in dist_thresholds]
+    mean_ap = float(np.mean(all_aps))
+    mean_tp_errors = {}
+    for m in tp_metrics:
+        vals = [tp_errors[c][m] for ci, c in enumerate(classes)
+                if m in tp_errors[c]]
+        mean_tp_errors[m] = float(np.mean(vals)) if vals else np.nan
+    nds_terms = [max(1.0 - mean_tp_errors[m], 0.0) for m in tp_metrics
+                 if np.isfinite(mean_tp_errors[m])]
+    nds = float((5.0 * mean_ap + np.sum(nds_terms))
+                / (5.0 + len(nds_terms)))
+    return dict(ap=ap, mean_ap=mean_ap, tp_errors=tp_errors,
+                mean_tp_errors=mean_tp_errors, nds=nds,
+                tp_metrics=tp_metrics)
 
 
 def evaluate_nuscenes_detection(gt_arrays, dt_arrays, classes,

@@ -11,9 +11,7 @@ every shape static); only the final Target3DArray assembly runs on host.
 import numpy as np
 import jax
 import jax.numpy as jnp
-from scipy.spatial.transform import Rotation
-
-from ..abstraction import ObjectTag, ObjectTarget3D, Target3DArray
+from ..abstraction import ObjectTag, Target3DArray
 from ..ops.nms import nms2d
 from .pointpillars import decode_boxes, pillarize
 from .centerpoint import decode_centers
@@ -24,22 +22,19 @@ __all__ = ["make_pointpillars_detector", "make_centerpoint_detector",
 
 def _to_targets(boxes, scores, labels, keep, classes, frame, timestamp,
                 score_threshold):
-    """Host-side assembly of kept detections into a Target3DArray."""
-    out = Target3DArray(frame=frame, timestamp=timestamp)
+    """Host-side assembly of kept detections into a Target3DArray — one
+    vectorized mask + ``Target3DArray.from_columns`` (the dense decode
+    outputs become the array's struct-of-arrays backing directly)."""
     boxes, scores, labels, keep = (np.asarray(a) for a in
                                    (boxes, scores, labels, keep))
-    for b, s, l, k in zip(boxes, scores, labels, keep):
-        if not k or s < score_threshold or not np.all(np.isfinite(b)):
-            continue
-        cls = classes[int(l)]
-        tag = ObjectTag(cls, type(cls), float(s))
-        out.append(ObjectTarget3D(
-            position=b[0:3].astype(float),
-            orientation=Rotation.from_euler("Z", float(b[6])),
-            dimension=b[3:6].astype(float),
-            tag=tag,
-        ))
-    return out
+    sel = (keep & (scores >= score_threshold)
+           & np.all(np.isfinite(boxes), axis=-1))
+    boxes, scores, labels = boxes[sel], scores[sel], labels[sel]
+    tags = [ObjectTag(cls := classes[int(l)], type(cls), float(s))
+            for l, s in zip(labels, scores)]
+    return Target3DArray.from_columns(
+        positions=boxes[:, 0:3], dimensions=boxes[:, 3:6],
+        yaws=boxes[:, 6], tags=tags, frame=frame, timestamp=timestamp)
 
 
 def _bev(boxes):

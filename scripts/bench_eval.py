@@ -63,12 +63,97 @@ def make_frames(rng, nframes, ngt=24, keep=0.75, extra=16):
     return classes, gts, dts
 
 
+def make_tracking_frames(rng, nframes, ntracks=24, extra=10):
+    """Temporally-coherent synthetic sequence: persistent gt tracks with
+    constant velocity; dt = perturbed gt (same tid space, offset) plus
+    noise detections with fresh tids."""
+    from d3d_tpu.abstraction import ObjectTag, TrackingTarget3D, Target3DArray
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+    classes = [KittiObjectClass.Car, KittiObjectClass.Pedestrian,
+               KittiObjectClass.Cyclist]
+    pos = rng.uniform(-40, 40, (ntracks, 3))
+    vel = rng.normal(0, 0.5, (ntracks, 3))
+    dim = rng.uniform(1, 4, (ntracks, 3))
+    yaw = rng.uniform(-np.pi, np.pi, ntracks)
+    cls = rng.choice(len(classes), ntracks)
+    noise_tid = 10_000
+    gts, dts = [], []
+    for f in range(nframes):
+        pos = pos + vel
+        gt = Target3DArray(frame="velo", timestamp=f * 100_000)
+        dt = Target3DArray(frame="velo", timestamp=f * 100_000)
+
+        def mk(p, d, y, c, tid, score):
+            return TrackingTarget3D(
+                p, Rotation.from_euler("Z", y), d, vel[tid % ntracks],
+                [0, 0, 0], ObjectTag(classes[c], scores=float(score)),
+                tid=tid)
+
+        for i in range(ntracks):
+            gt.append(mk(pos[i], dim[i], yaw[i], cls[i], i + 1, 1.0))
+            if rng.random() < 0.85:
+                dt.append(mk(pos[i] + rng.normal(0, 0.2, 3),
+                             dim[i] * rng.uniform(0.95, 1.05, 3),
+                             yaw[i] + rng.normal(0, 0.03), cls[i],
+                             1000 + i + 1, rng.uniform(0.3, 1)))
+        for _ in range(extra):
+            noise_tid += 1
+            dt.append(mk(rng.uniform(-40, 40, 3), rng.uniform(1, 4, 3),
+                         rng.uniform(-np.pi, np.pi),
+                         rng.choice(len(classes)), noise_tid,
+                         rng.uniform(0.1, 1)))
+        gts.append(gt)
+        dts.append(dt)
+    return classes, gts, dts
+
+
+def bench_tracking(args, rng):
+    """TrackingEvaluator throughput: host per-threshold matching loop vs the
+    batched device re-match (calc_stats(device_match=True))."""
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_frames(rng, args.frames)
+    print(f"tracking: frames={args.frames} gt/frame~24 dt/frame~30 "
+          f"classes=3 thresholds=40 device={jax.devices()[0].platform}")
+
+    ev_h = TrackingEvaluator(classes, [0.7, 0.5, 0.5])
+    nh = min(args.host_frames, args.frames)
+    t0 = time.perf_counter()
+    for g, d in zip(gts[:nh], dts[:nh]):
+        ev_h.add_stats(ev_h.calc_stats(g, d))
+    host_s = time.perf_counter() - t0
+    print(f"host loop: {host_s / nh * 1e3:.2f} ms/frame "
+          f"({nh} frames, {host_s:.2f}s)")
+
+    ev_d = TrackingEvaluator(classes, [0.7, 0.5, 0.5])
+    # warmup/compile on the first frame shape
+    ev_d.calc_stats(gts[0], dts[0], device_match=True)
+    ev_d.reset()
+    t0 = time.perf_counter()
+    for g, d in zip(gts, dts):
+        ev_d.add_stats(ev_d.calc_stats(g, d, device_match=True))
+    dev_s = time.perf_counter() - t0
+    print(f"device match: {dev_s / args.frames * 1e3:.3f} ms/frame "
+          f"({args.frames} frames, {dev_s:.3f}s) -> "
+          f"{(host_s / nh) / (dev_s / args.frames):.1f}x host")
+
+    if nh == args.frames:
+        assert ev_h.id_switches() == ev_d.id_switches()
+        assert ev_h.fragments() == ev_d.fragments()
+        for k, v in ev_h.mota().items():
+            assert np.isclose(ev_d.mota()[k], v, atol=1e-6, equal_nan=True)
+        print("tracking metric parity: OK")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--host-frames", type=int, default=32,
                     help="frames to time the host loop on (extrapolated)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tracking", action="store_true",
+                    help="benchmark the TrackingEvaluator instead")
     args = ap.parse_args()
 
     if args.cpu:
@@ -83,6 +168,9 @@ def main():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
+    if args.tracking:
+        bench_tracking(args, rng)
+        return
     classes, gts, dts = make_frames(rng, args.frames)
     print(f"frames={args.frames} gt/frame~24 dt/frame~34 classes=3 "
           f"thresholds=40 device={jax.devices()[0].platform}")
