@@ -74,6 +74,7 @@ def test_ros_dump(monkeypatch, tracking_loader, tmp_path):
 
     sm_msg.PointField = _PointField
     sm_msg.CameraInfo = _Auto
+    sm_msg.Image = _Auto
     sensor_msgs.point_cloud2 = pc2
     sensor_msgs.msg = sm_msg
 
@@ -117,16 +118,32 @@ def test_ros_dump(monkeypatch, tracking_loader, tmp_path):
     monkeypatch.setattr(tracking_loader, "calibration_data",
                         lambda idx, **kw: calib)
 
-    dump_sequence_dataset(tracking_loader, tmp_path / "seq.bag", 0)
+    dump_sequence_dataset(tracking_loader, tmp_path / "seq.bag", 0,
+                          odom_frame="velo")
 
     topics = [r[0] for r in records]
     assert "/tf_static" in topics
     assert any(t.startswith("/calib/cam") for t in topics)
     assert topics.count("/lidar/velo") == 3  # one cloud per frame
     assert topics.count("/objects") == 3
-    # the tf message carries one transform per calibration frame
+    # camera images: one SensorImage per camera per frame with rgb8 payload
+    cam_topics = [t for t in topics if t.startswith("/camera/")]
+    assert len(cam_topics) == 3 * len(tracking_loader.VALID_CAM_NAMES)
+    img_msg = records[topics.index(cam_topics[0])][1]
+    assert img_msg.encoding == "rgb8"
+    assert len(img_msg.data) == img_msg.height * img_msg.step
+    # per-frame ego pose chain rooted on the odom anchor
+    assert topics.count("/tf") == 3
+    tf0 = records[topics.index("/tf")][1].transforms[0]
+    assert tf0.header.frame_id == "odom_pose"
+    assert tf0.child_frame_id == tracking_loader.pose_name
+    # frame 0 pose is the identity (relative to itself)
+    assert abs(tf0.transform.translation.x) < 1e-9
+    assert abs(tf0.transform.rotation.w - 1.0) < 1e-9
+    # the static tf carries one transform per calibration frame + odom
     tfm = records[topics.index("/tf_static")][1]
-    assert len(tfm.transforms) >= 4
+    assert len(tfm.transforms) >= 5
+    assert any(m.child_frame_id == "odom_pose" for m in tfm.transforms)
     # object payloads are msgpack bytes of the Target3DArray dump
     arr = records[topics.index("/objects")][1]
     assert len(arr.data) > 10
