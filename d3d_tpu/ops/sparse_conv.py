@@ -17,6 +17,14 @@ once (3-operand int32 ``lax.sort``), and a match is exactly "an even
 key" — one shifted compare, fully vectorized on the VPU. Keys are unique
 per list (active sites are unique), so no scan is needed.
 
+For moderate grids (the usual case — SECOND-KITTI is 352x400x20 ~ 2.8M
+cells) there is an even more TPU-friendly build: scatter the N active row
+ids into a dense int32 canvas (one unique-index scatter, 4 bytes/cell in
+HBM) and read the whole (N, K) neighbor map back with ONE vectorized
+gather. ``build_neighbor_map`` picks the canvas automatically under
+``_DENSE_CANVAS_MAX_CELLS`` and falls back to the tagged sort join above
+for arbitrarily large grids.
+
 The neighbor maps (N, K) are built ONCE per point cloud (they depend on
 geometry, not parameters) and reused by every layer of a stage; the
 convolution itself is K gathers + one ``einsum('knc,kcd->nd')`` batched
@@ -93,6 +101,63 @@ def match_sorted(ref_keys, ref_valid, query_keys, query_valid):
     return jnp.where(query_valid, val_sorted[:m], -1)
 
 
+# below this grid volume the dense-canvas build is used: an int32 canvas of
+# V cells is 4V bytes (64 MB at the threshold), one unique-index scatter of
+# N rows + ONE (N*K,) gather replaces K tagged sorts entirely
+_DENSE_CANVAS_MAX_CELLS = 1 << 24
+
+
+def _dense_row_canvas(keys, valid, volume):
+    """(V + 1,) int32 canvas holding the active row index at each occupied
+    cell (-1 empty); invalid rows land in the discarded overflow slot."""
+    n = keys.shape[0]
+    idx = jnp.where(valid, keys, jnp.int32(volume))
+    canvas = jnp.full((volume + 1,), -1, jnp.int32)
+    canvas = canvas.at[idx].set(jnp.arange(n, dtype=jnp.int32),
+                                unique_indices=False)
+    # the overflow slot absorbed the invalid rows AND answers every
+    # out-of-bounds / invalid query -> restore its "absent" value
+    return canvas.at[volume].set(jnp.int32(-1))
+
+
+def _neighbor_map_impl(query_coords, query_valid, ref_keys, ref_valid, grid,
+                       kernel_size, stride=1):
+    """Shared neighbor-map core: query site q looks up the input row at
+    ``q * stride + off`` for every kernel offset.
+
+    Two strategies (identical results):
+
+    * dense canvas (default for grids under ``_DENSE_CANVAS_MAX_CELLS``):
+      scatter row ids into a (V,) canvas once, then the whole (N, K) map
+      is ONE vectorized gather — no sorts;
+    * tagged sort join (arbitrarily large grids): per offset, concatenate
+      ``2*ref`` and ``2*query+1`` keys and sort; a query matches iff its
+      predecessor is a ref with the same key (see :func:`match_sorted`).
+    """
+    offs = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)  # (K, 3)
+    gmax = jnp.asarray(grid, jnp.int32)
+    volume = int(np.prod(grid))
+
+    if volume <= _DENSE_CANVAS_MAX_CELLS:
+        canvas = _dense_row_canvas(ref_keys, ref_valid, volume)
+        qc = query_coords[:, None, :] * stride + offs[None, :, :]  # (N, K, 3)
+        inb = jnp.all((qc >= 0) & (qc < gmax[None, None, :]), axis=-1)
+        inb = inb & query_valid[:, None]
+        d0, d1, d2 = grid
+        qk = (qc[..., 0] * (d1 * d2) + qc[..., 1] * d2
+              + qc[..., 2]).astype(jnp.int32)
+        safe = jnp.where(inb, qk, jnp.int32(volume))
+        return canvas[safe]  # (N, K) rows, -1 absent
+
+    def one_offset(off):
+        qc = query_coords * stride + off[None, :]
+        inb = jnp.all((qc >= 0) & (qc < gmax[None, :]), axis=1) & query_valid
+        qk = linearize(qc, grid)
+        return match_sorted(ref_keys, ref_valid, qk, inb)
+
+    return jnp.transpose(jax.vmap(one_offset)(offs))  # (N, K)
+
+
 @partial(jax.jit, static_argnames=("grid", "kernel_size"))
 def build_neighbor_map(coords, valid, grid, kernel_size=3):
     """Neighbor map for a submanifold conv on active sites.
@@ -103,18 +168,8 @@ def build_neighbor_map(coords, valid, grid, kernel_size=3):
     :returns: (N, K) int32 — input row index of each kernel-offset
         neighbor, -1 where absent / out of bounds / invalid.
     """
-    offs = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)  # (K, 3)
     keys = linearize(coords, grid)
-    gmax = jnp.asarray(grid, jnp.int32)
-
-    def one_offset(off):
-        qc = coords + off[None, :]
-        inb = jnp.all((qc >= 0) & (qc < gmax[None, :]), axis=1) & valid
-        qk = linearize(qc, grid)
-        return match_sorted(keys, valid, qk, inb)
-
-    nbr = jax.vmap(one_offset)(offs)  # (K, N)
-    return jnp.transpose(nbr)  # (N, K)
+    return _neighbor_map_impl(coords, valid, keys, valid, grid, kernel_size)
 
 
 @partial(jax.jit, static_argnames=("grid", "stride", "kernel_size"))
@@ -123,18 +178,9 @@ def build_neighbor_map_strided(out_coords, out_valid, in_coords, in_valid,
     """Neighbor map of a strided sparse conv: for each OUTPUT site, the
     input row at ``out * stride + off`` per kernel offset (grid is the
     INPUT grid shape). Returns (M, K) int32, -1 where absent."""
-    offs = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)
     in_keys = linearize(in_coords, grid)
-    gmax = jnp.asarray(grid, jnp.int32)
-
-    def one_offset(off):
-        qc = out_coords * stride + off[None, :]
-        inb = jnp.all((qc >= 0) & (qc < gmax[None, :]), axis=1) & out_valid
-        qk = linearize(qc, grid)
-        return match_sorted(in_keys, in_valid, qk, inb)
-
-    nbr = jax.vmap(one_offset)(offs)
-    return jnp.transpose(nbr)
+    return _neighbor_map_impl(out_coords, out_valid, in_keys, in_valid,
+                              grid, kernel_size, stride=stride)
 
 
 def subm_conv_apply(features, nbr, weights, valid):

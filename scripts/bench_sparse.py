@@ -1,0 +1,102 @@
+"""Sparse-conv (SECOND middle extractor) throughput at realistic shapes.
+
+Times the per-cloud neighbor-map build (the geometry-dependent sort
+machinery) and the per-layer submanifold conv apply (gather + MXU matmul)
+at SECOND-KITTI scale: ~16k active sites, 3^3 kernel, C=16..64.
+
+Methodology per .claude/skills/verify: loop the workload inside one jit
+with a data dependence, fetch a checksum as the barrier, subtract the
+minimum RTT probe (bench.py pattern).
+
+Usage: python scripts/bench_sparse.py [--sites 16384] [--reps 20] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def timed(fn, *args, reps=5):
+    """Median wall time of fn(*args) with a value-fetch barrier."""
+    out = fn(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # compile+barrier
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sites", type=int, default=16384)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from d3d_tpu.ops.sparse_conv import (build_neighbor_map,
+                                         downsample_coords,
+                                         subm_conv_apply)
+
+    grid = (352, 400, 20)  # SECOND-KITTI input grid (model/second.py cfg)
+    n = args.sites
+    rng = np.random.default_rng(0)
+    # unique random active sites
+    flat = rng.choice(grid[0] * grid[1] * grid[2], size=n, replace=False)
+    coords = np.stack([flat // (grid[1] * grid[2]),
+                       (flat // grid[2]) % grid[1],
+                       flat % grid[2]], axis=1).astype(np.int32)
+    valid = np.ones(n, bool)
+    coords_j = jnp.asarray(coords)
+    valid_j = jnp.asarray(valid)
+    print(f"sites={n} grid={grid} kernel=3^3 "
+          f"device={jax.devices()[0].platform}")
+
+    t = timed(lambda c, v: build_neighbor_map(c, v, grid), coords_j, valid_j,
+              reps=args.reps)
+    print(f"build_neighbor_map:        {t * 1e3:8.3f} ms")
+
+    nbr = build_neighbor_map(coords_j, valid_j, grid)
+    frac = float((np.asarray(nbr) >= 0).mean())
+    print(f"  neighbor occupancy: {frac:.3f}")
+
+    t = timed(lambda c, v: downsample_coords(c, v, grid, 2, n), coords_j,
+              valid_j, reps=args.reps)
+    print(f"downsample_coords:         {t * 1e3:8.3f} ms")
+
+    for c_in, c_out in ((16, 16), (32, 32), (64, 64)):
+        feats = jnp.asarray(rng.normal(0, 1, (n, c_in)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.1, (27, c_in, c_out)), jnp.float32)
+
+        @jax.jit
+        def loop(f, nbr, w, v, reps=8):
+            def body(i, x):
+                y = subm_conv_apply(x, nbr, w, v)
+                return y / (jnp.max(jnp.abs(y)) + 1e-6)  # data dependence
+
+            return lax.fori_loop(0, reps, body, f)
+
+        t = timed(loop, feats, nbr, w, valid_j, reps=args.reps)
+        print(f"subm_conv_apply C{c_in:>2}->{c_out:<3}: {t / 8 * 1e3:8.3f} "
+              f"ms/layer")
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,36 @@ class TestDownsample:
         assert np.count_nonzero(dense.sum(-1)) <= 30
 
 
+class TestSortJoinFallback:
+    """The tagged-sort join (used above _DENSE_CANVAS_MAX_CELLS) must agree
+    with the dense-canvas build exactly."""
+
+    def test_strategies_agree(self, rng, monkeypatch):
+        import d3d_tpu.ops.sparse_conv as sc
+
+        coords, valid = _active_sites(rng, 40, 64)
+        keys = linearize(coords, GRID)
+        dense = np.asarray(sc._neighbor_map_impl(
+            coords, valid, keys, valid, GRID, 3))
+        monkeypatch.setattr(sc, "_DENSE_CANVAS_MAX_CELLS", 0)
+        sort_join = np.asarray(sc._neighbor_map_impl(
+            coords, valid, keys, valid, GRID, 3))
+        np.testing.assert_array_equal(dense, sort_join)
+
+    def test_strided_strategies_agree(self, rng, monkeypatch):
+        import d3d_tpu.ops.sparse_conv as sc
+
+        coords, valid = _active_sites(rng, 40, 64)
+        oc, ov = downsample_coords(coords, valid, GRID, stride=2)
+        keys = linearize(coords, GRID)
+        dense = np.asarray(sc._neighbor_map_impl(
+            oc, ov, keys, valid, GRID, 3, stride=2))
+        monkeypatch.setattr(sc, "_DENSE_CANVAS_MAX_CELLS", 0)
+        sort_join = np.asarray(sc._neighbor_map_impl(
+            oc, ov, keys, valid, GRID, 3, stride=2))
+        np.testing.assert_array_equal(dense, sort_join)
+
+
 class TestKernel5:
     def test_k5_neighbor_map_vs_brute_force(self, rng):
         coords, valid = _active_sites(rng, 40, 64)
