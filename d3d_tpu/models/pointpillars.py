@@ -413,7 +413,15 @@ def detection_loss(outputs, targets, cfg: PointPillarsConfig,
                                  dec[..., 6:7]], axis=-1)
         bev_g = jnp.concatenate([gt_dec[..., 0:2], gt_dec[..., 3:5],
                                  gt_dec[..., 6:7]], axis=-1)
-        riou = G.rbox_iou(bev_p, bev_g)
+        # TPU routes through the lane-major SoA kernel (the AoS clip pads
+        # its (24, 2) trailing dims ~64x into the vector lanes); CPU keeps
+        # the AoS path, whose backward compiles in seconds instead of
+        # minutes there. Gradients are identical (tests assert it).
+        if jax.default_backend() == "tpu":
+            from ..ops import geometry_soa as Gs
+            riou = Gs.rbox_iou(bev_p, bev_g)
+        else:
+            riou = G.rbox_iou(bev_p, bev_g)
         riou_loss = jnp.sum(jnp.where(pos, 1.0 - riou, 0.0)) / npos
         total = total + riou_weight * riou_loss
         aux["riou"] = riou_loss

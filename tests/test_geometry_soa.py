@@ -46,6 +46,39 @@ def test_grad_matches_aos(rng):
     assert np.allclose(np.asarray(g_aos), np.asarray(g_soa), atol=1e-9)
 
 
+def test_riou_loss_grad_parity(rng):
+    """The training rIoU loss (decode -> BEV -> 1-IoU, the exact shape
+    detection_loss builds) must produce identical values and gradients
+    wrt the raw box predictions through the AoS and SoA kernels — the
+    loss routes to SoA on TPU and AoS on CPU (models/pointpillars.py)."""
+    from d3d_tpu.models.pointpillars import decode_boxes
+
+    n = 48
+    anchors = jnp.asarray(np.stack([
+        rng.uniform(-20, 20, n), rng.uniform(-20, 20, n),
+        np.full(n, -1.0), rng.uniform(1.5, 4, n), rng.uniform(1.5, 4, n),
+        np.full(n, 1.5), rng.uniform(-np.pi, np.pi, n)], axis=1))
+    preds = jnp.asarray(rng.normal(0, 0.2, (n, 7)))
+    tgts = jnp.asarray(rng.normal(0, 0.2, (n, 7)))
+
+    def riou_loss(impl, p):
+        dec = decode_boxes(anchors, p)
+        gt = decode_boxes(anchors, tgts)
+        bev_p = jnp.concatenate([dec[..., 0:2], dec[..., 3:5],
+                                 dec[..., 6:7]], axis=-1)
+        bev_g = jnp.concatenate([gt[..., 0:2], gt[..., 3:5],
+                                 gt[..., 6:7]], axis=-1)
+        return jnp.sum(1.0 - impl(bev_p, bev_g))
+
+    v_aos, g_aos = jax.value_and_grad(
+        lambda p: riou_loss(G.rbox_iou, p))(preds)
+    v_soa, g_soa = jax.value_and_grad(
+        lambda p: riou_loss(S.rbox_iou, p))(preds)
+    assert np.allclose(float(v_aos), float(v_soa), atol=1e-8)
+    assert np.allclose(np.asarray(g_aos), np.asarray(g_soa), atol=1e-8)
+    assert np.isfinite(np.asarray(g_soa)).all()
+
+
 def test_pruned_sort_network(rng):
     # the 132-comparator pruned Batcher network must sort any 24 keys
     for _ in range(500):

@@ -393,3 +393,48 @@ def test_remat_step_matches_plain(rng):
     for l1, l2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=0.05, atol=1e-3)
+
+
+class TestBatchNormFold:
+    def test_fold_preserves_inference(self, rng):
+        """fold_batchnorm must leave train=False outputs unchanged (up to
+        float rounding) while making every BN denominator exactly 1 and
+        rescaling the kernels."""
+        from d3d_tpu.models.fold import fold_batchnorm
+
+        model = PointPillars(TINY)
+        pts = jnp.asarray(_cloud(rng))
+        feats, coords, valid = pillarize(pts, TINY)
+        variables = model.init(jax.random.PRNGKey(0), feats[None],
+                               coords[None], valid[None], train=False)
+        # non-trivial running stats (fresh init has mean 0 / var 1)
+        variables = jax.tree.map(lambda x: x, variables)
+        variables["batch_stats"] = jax.tree.map(
+            lambda x: x + jnp.asarray(
+                np.abs(np.random.default_rng(1).normal(
+                    0.3, 0.2, x.shape)), x.dtype),
+            variables["batch_stats"])
+
+        ref = model.apply(variables, feats[None], coords[None], valid[None],
+                          train=False)
+        folded = fold_batchnorm(variables, eps=1e-3)
+        out = model.apply(folded, feats[None], coords[None], valid[None],
+                          train=False)
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4)
+
+        # every BN in the folded tree is a pure add
+        def check(path, stats):
+            for k, v in stats.items():
+                if isinstance(v, dict):
+                    check(path + (k,), v)
+            if "mean" in stats:
+                assert np.allclose(np.asarray(stats["mean"]), 0)
+                assert np.allclose(np.asarray(stats["var"]) + 1e-3, 1.0)
+
+        check((), folded["batch_stats"])
+        # kernels actually changed (the fold did something)
+        k0 = jax.tree.leaves(variables["params"])[0]
+        k1 = jax.tree.leaves(folded["params"])[0]
+        assert not np.allclose(np.asarray(k0), np.asarray(k1))
