@@ -111,17 +111,54 @@ def pillarize(points, cfg: PointPillarsConfig):
 # network modules
 # ---------------------------------------------------------------------------
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bev_gather(pf, flat, grid):
+    """Gather-formulated BEV densification with gather-only gradients.
+
+    Pillar cells are UNIQUE per frame (they come out of voxelization), so
+    the feature scatter is a permutation: build the (W*H,) inverse index
+    with one SMALL int32 scatter (1 word/pillar instead of F), then read
+    the whole canvas back as a vectorized gather. The custom backward is
+    the mirror gather ``d_pf[p] = d_canvas[flat[p]]`` — no F-wide
+    scatter(-add) appears in either direction, which is what made the
+    XLA scatter version the train step's hottest non-conv op on TPU."""
+    out, _ = _bev_gather_fwd(pf, flat, grid)
+    return out
+
+
+def _bev_gather_fwd(pf, flat, grid):
+    b, p, nf = pf.shape
+    w, h = grid
+    inv = jnp.full((b, w * h + 1), p, jnp.int32)
+    inv = jax.vmap(lambda iv, f: iv.at[f].set(
+        jnp.arange(p, dtype=jnp.int32)))(inv, flat)
+    pf_pad = jnp.concatenate([pf, jnp.zeros((b, 1, nf), pf.dtype)], axis=1)
+    canvas = jnp.take_along_axis(pf_pad, inv[:, :w * h, None], axis=1)
+    return canvas.reshape(b, w, h, nf), flat
+
+
+def _bev_gather_bwd(grid, flat, g):
+    b = g.shape[0]
+    nf = g.shape[-1]
+    w, h = grid
+    g_pad = jnp.concatenate([g.reshape(b, w * h, nf),
+                             jnp.zeros((b, 1, nf), g.dtype)], axis=1)
+    d_pf = jnp.take_along_axis(g_pad, flat[..., None], axis=1)
+    return d_pf, None
+
+
+_bev_gather.defvjp(_bev_gather_fwd, _bev_gather_bwd)
+
+
 def scatter_to_bev(pf, coords, valid, grid):
-    """Scatter per-pillar features (B, P, F) onto the dense BEV canvas
-    (B, W, H, F) via the trash-row trick (invalid pillars land on a
-    discarded extra row). Shared by every pillar-based family."""
-    b, _, nf = pf.shape
+    """Densify per-pillar features (B, P, F) onto the BEV canvas
+    (B, W, H, F); invalid pillars land on a discarded trash row. Pillar
+    coords must be unique per frame (voxelizer output — one pillar per
+    cell). Shared by every pillar-based family."""
     w, h = grid
     flat = coords[..., 0] * h + coords[..., 1]
-    flat = jnp.where(valid, flat, w * h)
-    canvas = jnp.zeros((b, w * h + 1, nf), pf.dtype)
-    canvas = jax.vmap(lambda c, f, v: c.at[f].add(v))(canvas, flat, pf)
-    return canvas[:, :-1].reshape(b, w, h, nf)
+    flat = jnp.where(valid, flat, w * h).astype(jnp.int32)
+    return _bev_gather(pf, flat, (w, h))
 
 
 class _PFN(nn.Module):

@@ -438,3 +438,45 @@ class TestBatchNormFold:
         k0 = jax.tree.leaves(variables["params"])[0]
         k1 = jax.tree.leaves(folded["params"])[0]
         assert not np.allclose(np.asarray(k0), np.asarray(k1))
+
+
+class TestScatterToBev:
+    def test_matches_scatter_add_and_grads(self, rng):
+        """The gather-formulated BEV densify must equal the plain
+        scatter-add on unique coords, with exact gather-mirror grads."""
+        from d3d_tpu.models.pointpillars import scatter_to_bev
+
+        b, p, nf, w, h = 2, 64, 5, 8, 10
+        cells = rng.choice(w * h, size=p, replace=False)
+        coords = np.stack([cells // h, cells % h], 1).astype(np.int32)
+        coords = np.broadcast_to(coords, (b, p, 2))
+        pf = rng.normal(0, 1, (b, p, nf)).astype(np.float32)
+        valid = np.ones((b, p), bool)
+        valid[:, 50:] = False
+
+        out = np.asarray(scatter_to_bev(
+            jnp.asarray(pf), jnp.asarray(coords), jnp.asarray(valid),
+            (w, h)))
+        # oracle: dense scatter-add
+        want = np.zeros((b, w, h, nf), np.float32)
+        for bi in range(b):
+            for pi in range(p):
+                if valid[bi, pi]:
+                    want[bi, coords[bi, pi, 0], coords[bi, pi, 1]] += \
+                        pf[bi, pi]
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+        # gradient: d/dpf of a weighted sum == weight at the pillar's cell
+        wts = rng.normal(0, 1, (b, w, h, nf)).astype(np.float32)
+
+        def loss(x):
+            return jnp.sum(scatter_to_bev(
+                x, jnp.asarray(coords), jnp.asarray(valid), (w, h))
+                * jnp.asarray(wts))
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(pf)))
+        for bi in range(b):
+            for pi in range(p):
+                expect = (wts[bi, coords[bi, pi, 0], coords[bi, pi, 1]]
+                          if valid[bi, pi] else np.zeros(nf))
+                np.testing.assert_allclose(g[bi, pi], expect, atol=1e-6)
