@@ -461,26 +461,44 @@ class TrackingEvaluator(DetectionEvaluator):
             self._last_gt_tags[i].clear()
             self._last_dt_tags[i].clear()
 
-    def _device_match_subsets(self, dt_boxes, gt_boxes, masks):
-        """One batched device call covering every threshold's greedy match
-        (see d3d_tpu.benchmarks_device.match_subsets_device); returns the
-        (S, G) matched-dt-row array."""
+    def _device_tables(self, dt_boxes, gt_boxes, nd):
+        """Pack both arrays and compute (dist, dist_ok, rank) in one device
+        call. The returned context carries everything the later batched
+        match needs; ``dist`` (cropped) doubles as the host distance cache
+        — bit-identical to ScoreMatcher.prepare_boxes, so the rotated-IoU
+        matrix is computed ONCE per frame."""
         import jax.numpy as jnp
 
-        from .benchmarks_device import (_pack_one, match_subsets_device,
+        from .benchmarks_device import (_pack_one, matching_tables_device,
                                         max_dist_arrays)
 
         class_to_idx = {v: i for i, v in enumerate(self._classes)}
-        nd, ng = masks.shape[1], max(len(gt_boxes), 1)
+        ng = max(len(gt_boxes), 1)
         dt = _pack_one(dt_boxes, class_to_idx, nd, want_var=False)
         gt = _pack_one(gt_boxes, class_to_idx, ng, want_var=False)
         md, md_strict = max_dist_arrays(self)
-        match, _ = match_subsets_device(
-            jnp.asarray(dt["boxes"]), jnp.asarray(dt["labels"]),
-            jnp.asarray(dt["scores"]), jnp.asarray(gt["boxes"]),
-            jnp.asarray(gt["labels"]), jnp.asarray(masks),
-            jnp.asarray(md), jnp.asarray(md_strict))
-        return np.asarray(match)
+        dist, dist_ok, rank = matching_tables_device(
+            jnp.asarray(dt["boxes"]), jnp.asarray(gt["boxes"]),
+            jnp.asarray(gt["labels"]), jnp.asarray(md),
+            jnp.asarray(md_strict))
+        ctx = dict(dist_ok=dist_ok, rank=rank,
+                   dt_label=jnp.asarray(dt["labels"]),
+                   dt_score=jnp.asarray(dt["scores"]),
+                   gt_label=jnp.asarray(gt["labels"]))
+        dist_cache = np.asarray(dist)[:max(len(dt_boxes), 1),
+                                      :len(gt_boxes) or 1]
+        return dist_cache, ctx
+
+    def _device_match_subsets(self, ctx, masks):
+        """Batched per-threshold greedy match given precomputed tables;
+        returns the (S, G) matched-dt-row array."""
+        import jax.numpy as jnp
+
+        from .benchmarks_device import match_subsets_with_tables
+
+        return np.asarray(match_subsets_with_tables(
+            ctx["dist_ok"], ctx["rank"], ctx["dt_label"], ctx["dt_score"],
+            ctx["gt_label"], jnp.asarray(masks)))
 
     def calc_stats(self, gt_boxes, dt_boxes, calib=None, device_match=False):
         """Evaluate one frame.
@@ -495,8 +513,17 @@ class TrackingEvaluator(DetectionEvaluator):
                                  "and gt_boxes are in different frames!")
             dt_boxes = calib.transform_objects(dt_boxes, frame_to=gt_boxes.frame)
 
-        matcher = ScoreMatcher()
-        matcher.prepare_boxes(dt_boxes, gt_boxes, DistanceTypes.RIoU)
+        use_device = device_match and len(dt_boxes) > 0 and len(gt_boxes) > 0
+        if use_device:
+            from .benchmarks_device import _bucket
+
+            nd = _bucket(len(dt_boxes))
+            dist_cache, match_ctx = self._device_tables(dt_boxes, gt_boxes,
+                                                        nd)
+        else:
+            matcher = ScoreMatcher()
+            matcher.prepare_boxes(dt_boxes, gt_boxes, DistanceTypes.RIoU)
+            dist_cache = matcher._distance_cache
 
         summary = TrackingEvalStats(self._classes, self._pr_nsamples)
         iou_acc = [dict() for _ in range(self._pr_nsamples)]
@@ -547,7 +574,7 @@ class TrackingEvaluator(DetectionEvaluator):
                     gt_idx = gt_tid_to_idx.get(prev)
                     if gt_idx is None:
                         dt_indices.append(dt_idx)
-                    elif matcher._distance_cache[dt_idx, gt_idx] > \
+                    elif dist_cache[dt_idx, gt_idx] > \
                             self._max_distance[dt_tag]:
                         dt_indices.append(dt_idx)
                     else:
@@ -557,14 +584,11 @@ class TrackingEvaluator(DetectionEvaluator):
                            dt_tid_set))
 
         # matching: one batched device call, or the per-threshold host loop
-        if device_match and len(dt_boxes) > 0 and len(gt_boxes) > 0:
-            from .benchmarks_device import _bucket
-
-            masks = np.zeros((self._pr_nsamples, _bucket(len(dt_boxes))),
-                             bool)
+        if use_device:
+            masks = np.zeros((self._pr_nsamples, nd), bool)
             for si, (_, _, dt_indices, _) in enumerate(per_si):
                 masks[si, dt_indices] = True
-            match_all = self._device_match_subsets(dt_boxes, gt_boxes, masks)
+            match_all = self._device_match_subsets(match_ctx, masks)
             match_of = lambda si, gt_idx: int(match_all[si, gt_idx])
         else:
             host_matches = []
@@ -603,7 +627,7 @@ class TrackingEvaluator(DetectionEvaluator):
                 summary.tp[gt_tag][si] += 1
                 summary.ngt_tracked[gt_tag][si][gt_tid] = 1
 
-                iou = 1 - matcher._distance_cache[dt_idx, gt_idx]
+                iou = 1 - dist_cache[dt_idx, gt_idx]
                 (iou_acc[si][gt_idx], dist_acc[si][gt_idx],
                  box_acc[si][gt_idx], angular_acc[si][gt_idx],
                  var_acc[si][gt_idx]) = self._accuracy_entries(

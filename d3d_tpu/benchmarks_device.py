@@ -42,7 +42,8 @@ from jax import lax
 from .abstraction import Target3DArray
 
 __all__ = ["pack_frames", "eval_frames_device", "device_calc_stats",
-           "match_subsets_device", "max_dist_arrays"]
+           "match_subsets_device", "matching_tables_device",
+           "match_subsets_with_tables", "max_dist_arrays"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 _BIG_RANK = np.int32(2 ** 30)
@@ -244,22 +245,41 @@ def _matching_tables(dt_box, gt_box, gt_label, gt_valid, max_dist,
 
 
 @jax.jit
-def match_subsets_device(dt_box, dt_label, dt_score, gt_box, gt_label,
-                         subset_masks, max_dist, max_dist_strict):
-    """Greedy-match every per-threshold dt subset against the valid gt in
-    one device call (the TrackingEvaluator's per-threshold re-matching,
-    with its preservation-filtered subsets supplied as masks).
+def matching_tables_device(dt_box, gt_box, gt_label, max_dist,
+                           max_dist_strict):
+    """Distance matrix + acceptance mask + ranks as one device call; the
+    ``dist`` output doubles as the TrackingEvaluator's host distance
+    cache (bit-identical to ScoreMatcher.prepare_boxes), so the rotated
+    IoU matrix is computed once per frame, not once per consumer."""
+    return _matching_tables(dt_box, gt_box, gt_label, gt_label >= 0,
+                            max_dist, max_dist_strict)
+
+
+@jax.jit
+def match_subsets_with_tables(dist_ok, rank, dt_label, dt_score, gt_label,
+                              subset_masks):
+    """Greedy-match every per-threshold dt subset given precomputed
+    tables from :func:`matching_tables_device`.
 
     :param subset_masks: (S, D) bool — dt rows participating per threshold
-    :returns: (match (S, G) int32 dt row or -1, dist (D, G) f32)
+    :returns: match (S, G) int32 dt row or -1
     """
     gt_valid = gt_label >= 0
-    dist, dist_ok, rank = _matching_tables(
-        dt_box, gt_box, gt_label, gt_valid, max_dist, max_dist_strict)
     _, match = jax.vmap(
         lambda m: _greedy_match_masked(dist_ok, rank, m, dt_label,
                                        dt_score, gt_label, gt_valid)
     )(subset_masks)
+    return match
+
+
+def match_subsets_device(dt_box, dt_label, dt_score, gt_box, gt_label,
+                         subset_masks, max_dist, max_dist_strict):
+    """One-call composition of the two phases above (kept for callers
+    that don't need the distance matrix separately)."""
+    dist, dist_ok, rank = matching_tables_device(
+        dt_box, gt_box, gt_label, max_dist, max_dist_strict)
+    match = match_subsets_with_tables(dist_ok, rank, dt_label, dt_score,
+                                      gt_label, subset_masks)
     return match, dist
 
 
