@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..utils import EDict
 
 __all__ = ["VoxelGenerator", "voxelize_dense_padded", "voxelize_sparse_padded",
-           "voxelize_mean_fm"]
+           "voxelize_mean_fm", "voxelize_mean_fm_exact"]
 
 _INT_SENTINEL = np.iinfo(np.int64).max
 
@@ -287,6 +287,109 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
         out.aggregates = jnp.where(keep_v[:, None],
                                    agg.astype(points.dtype), 0)
     return out
+
+
+@partial(jax.jit, static_argnames=("shape", "max_voxels"))
+def voxelize_mean_fm_exact(points_fm, shape, bounds, max_voxels):
+    """Feature-major mean voxelization at FULL f32 precision.
+
+    Same two-sort structure as :func:`voxelize_mean_fm`, but instead of
+    quantizing columns to fixed point it carries the raw f32 columns as
+    additional sort operands and replaces the int32 cumsum-difference
+    with a SEGMENTED inclusive f32 scan (the running sum resets at every
+    run boundary, so each voxel's features are summed sequentially in
+    f32 like the reference's in-order accumulation — no cross-segment
+    cancellation and no quantization error). The shifted scan rides the
+    boundary-compaction sort: the row opening run v+1 carries the
+    inclusive total of run v, so each voxel total is read directly, no
+    difference needed.
+
+    Cost vs the fixed-point path: the two sorts carry F f32 operands
+    instead of ceil(F/2) packed int32 ones, plus one segmented scan in
+    place of plain cumsums — the exact path for protocols that demand
+    full-precision means under the <1 ms budget.
+
+    Same contract as :func:`voxelize_mean_fm`.
+    """
+    shape = tuple(int(v) for v in shape)
+    f, n = points_fm.shape
+    if n < max_voxels + 1:
+        pad = max_voxels + 1 - n
+        points_fm = jnp.pad(points_fm, ((0, 0), (0, pad)),
+                            constant_values=-1e30)
+        n = max_voxels + 1
+    b = bounds.reshape(3, 2)
+    sh = jnp.asarray(shape, jnp.int32)
+    vsize = (b[:, 1] - b[:, 0]) / sh
+    max_key = shape[0] * shape[1] * shape[2]
+    assert max_key + 2 < (1 << 31), "voxel grid too large for int32 keys"
+
+    scaled = (points_fm[:3] - b[:, 0:1]) / vsize[:, None]
+    idx = jnp.trunc(jnp.clip(scaled, -2e9, 2e9)).astype(jnp.int32)
+    inr = jnp.all((idx >= 0) & (idx < sh[:, None]), axis=0)
+    key = (idx[0] * shape[1] + idx[1]) * shape[2] + idx[2]
+    key = jnp.where(inr, key, max_key + 1).astype(jnp.int32)
+
+    # in-cell offsets keep xyz magnitudes tiny (|frac| < 1) so the
+    # per-run sums stay well-conditioned; extras ride raw
+    frac = scaled - idx.astype(scaled.dtype)
+    cols = jnp.concatenate([frac, points_fm[3:]], axis=0)
+
+    sres1 = jax.lax.sort((key,) + tuple(cols[i] for i in range(f)),
+                         num_keys=1, is_stable=False)
+    k_s = sres1[0]
+    valid_s = k_s <= max_key
+    cols_s = jnp.stack(sres1[1:], axis=0)  # (F, N) sorted by cell key
+
+    newseg = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    kbig = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+
+    # segmented inclusive sums: reset at run starts, masked invalid to 0
+    vals = jnp.where(valid_s[None, :], cols_s, 0.0)
+    flags = jnp.broadcast_to(newseg[None, :], vals.shape)
+    segsum = jax.lax.associative_scan(
+        _segmented_op(jnp.add), (vals, flags), axis=1)[0]
+    # shifted one row: at a boundary row, the value is the PREVIOUS run's
+    # inclusive total; filler rows carry the final row's total, which
+    # closes the last run when no later boundary exists
+    shifted = jnp.concatenate([jnp.zeros((f, 1), segsum.dtype),
+                               segsum[:, :-1]], axis=1)
+
+    ops = [jnp.where(newseg, pos, n), jnp.where(newseg, k_s, kbig)]
+    for i in range(f):
+        ops.append(jnp.where(newseg, shifted[i], segsum[i, -1]))
+    sres = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
+    seg_start, seg_key_s, t_cols = sres[0], sres[1], sres[2:]
+
+    next_start = jnp.concatenate([seg_start[1:], jnp.full(1, n, jnp.int32)])
+    nvalid = jnp.sum(valid_s.astype(jnp.int32))
+    seg_valid = (seg_start < n) & (seg_start < nvalid)
+    npoints_seg = jnp.where(seg_valid, next_start - seg_start, 0)
+    nvoxels = jnp.sum(seg_valid.astype(jnp.int32))
+
+    keep_v = seg_valid[:max_voxels]
+    npoints = jnp.where(keep_v, npoints_seg[:max_voxels], 0)
+    seg_key = jnp.where(keep_v, seg_key_s[:max_voxels], 0)
+
+    c0 = seg_key // (shape[1] * shape[2])
+    rem = seg_key % (shape[1] * shape[2])
+    coords = jnp.stack([c0, rem // shape[2], rem % shape[2]], axis=0)
+
+    inv_np = 1.0 / jnp.maximum(npoints, 1).astype(jnp.float32)
+    # run v's total arrives in slot v+1 of the compaction
+    totals = jnp.stack([t[1:max_voxels + 1] for t in t_cols], axis=0)
+    mean_frac = totals[:3] * inv_np[None, :]
+    agg_xyz = (coords.astype(jnp.float32) + mean_frac) * vsize[:, None] \
+        + b[:, 0:1]
+    if f > 3:
+        agg = jnp.concatenate([agg_xyz, totals[3:] * inv_np[None, :]],
+                              axis=0)
+    else:
+        agg = agg_xyz
+    agg = jnp.where(keep_v[None, :], agg, 0)
+    return EDict(aggregates=agg, coords=coords, voxel_npoints=npoints,
+                 nvoxels=jnp.minimum(nvoxels, max_voxels))
 
 
 @partial(jax.jit, static_argnames=("shape", "max_voxels"))

@@ -126,6 +126,57 @@ class TestDense:
             tol = np.array([1 / 8, 1 / 8, 1 / 2, 1.2]) / 2 ** 12
             assert np.all(np.abs(agg[v] - exact) < tol), (v, agg[v], exact)
 
+    def test_mean_fm_exact_vs_numpy(self, rng):
+        """voxelize_mean_fm_exact matches a float64 numpy groupby to f32
+        rounding (NOT quantization tolerance) and agrees with the sorted
+        dense path on structure."""
+        import jax.numpy as jnp
+        from d3d_tpu.ops.voxel import (voxelize_dense_padded,
+                                       voxelize_mean_fm_exact)
+
+        n, mv = 4000, 50
+        pts = (rng.random((n, 4)) * 1.2 - 0.1).astype(np.float32)
+        shape = (8, 8, 2)
+        bounds = jnp.asarray([0, 1, 0, 1, 0, 1], jnp.float32)
+        ref = voxelize_dense_padded(jnp.asarray(pts), shape, bounds,
+                                    4, mv, "mean", order_mode="sorted")
+        out = voxelize_mean_fm_exact(jnp.asarray(pts.T), shape, bounds, mv)
+
+        assert int(out.nvoxels) == int(ref.nvoxels)
+        np.testing.assert_array_equal(np.asarray(out.coords).T,
+                                      np.asarray(ref.coords))
+        np.testing.assert_array_equal(np.asarray(out.voxel_npoints),
+                                      np.asarray(ref.voxel_npoints))
+
+        cell = np.trunc(pts[:, :3] * np.array([8, 8, 2])).astype(np.int64)
+        valid = np.all((cell >= 0) & (cell < np.array([8, 8, 2])), axis=1)
+        key = (cell[:, 0] * 8 + cell[:, 1]) * 2 + cell[:, 2]
+        agg = np.asarray(out.aggregates).T
+        for v, k in enumerate(np.unique(key[valid])[:mv]):
+            sel = np.where(valid & (key == k))[0]
+            exact = pts[sel].astype(np.float64).mean(axis=0)
+            assert np.all(np.abs(agg[v] - exact) < 2e-6), (v, agg[v], exact)
+
+    def test_mean_fm_exact_padding_and_f3(self, rng):
+        """Padding branch + 3-column input of the exact feature-major path."""
+        import jax.numpy as jnp
+        from d3d_tpu.ops.voxel import voxelize_mean_fm_exact
+
+        pts = (rng.random((30, 3))).astype(np.float32)
+        out = voxelize_mean_fm_exact(
+            jnp.asarray(pts.T), (4, 4, 4),
+            jnp.asarray([0, 1, 0, 1, 0, 1], jnp.float32), 64)
+        nv = int(out.nvoxels)
+        assert 0 < nv <= 30
+        assert int(np.asarray(out.voxel_npoints).sum()) == 30
+        cell = np.trunc(pts * 4).astype(np.int64)
+        key = (cell[:, 0] * 4 + cell[:, 1]) * 4 + cell[:, 2]
+        agg = np.asarray(out.aggregates).T
+        for v, k in enumerate(np.unique(key)[:nv]):
+            sel = key == k
+            exact = pts[sel].astype(np.float64).mean(axis=0)
+            assert np.all(np.abs(agg[v] - exact) < 2e-6)
+
     def test_mean_fm_padding_and_f3(self, rng):
         """N smaller than max_voxels (padding branch) and 3-column points."""
         import jax.numpy as jnp
