@@ -114,8 +114,9 @@ class ObjectTag:
                     self.mapping = type(lab)
                 labels[i] = lab.value
 
-        if len(scores) == 1:  # fast path: nothing to sort
-            self.labels = labels
+        if len(scores) == 1:  # fast path: nothing to sort (like the sort
+            # below, a single score keeps only the first label)
+            self.labels = labels[:1]
             self.scores = scores
         else:
             order = list(reversed(np.argsort(scores, kind="stable")))
@@ -522,9 +523,22 @@ class Target3DArray(list):
         columns), so in-place element mutation and the property setters
         write straight into the columns; scalar Python-level fields and
         the derived yaw are re-extracted per call — cheap comprehensions.
+
+        .. warning:: building the cache REBINDS each element's internal
+           arrays to column rows: an array reference obtained from a
+           property BEFORE the first columnar access (``p = obj.position``)
+           is orphaned by it — re-read the property after calls like
+           ``to_numpy``/``boxes7`` instead of writing through stale
+           references. Likewise, an object shared by two arrays is backed
+           by whichever array built its columns most recently (the other
+           array detects the broken sharing and rebuilds on next access).
         """
         n = len(self)
         tracking = n > 0 and isinstance(self[0], TrackingTarget3D)
+        if n > 0 and any(type(o) is not type(self[0]) for o in self):
+            raise ValueError(
+                "Columnar access requires homogeneous element types "
+                "(all ObjectTarget3D or all TrackingTarget3D)")
         cache = self._ccache
         if (cache is None or len(cache[0]) != n
                 or any(o._position is not r for o, r in zip(self, cache[0]))):
@@ -1022,10 +1036,10 @@ class TransformSet:
         dynamics."""
         if self._is_same(objects.frame, frame_to):
             return objects
-        if len(objects) == 0:
+        rt = self.get_extrinsic(frame_from=objects.frame, frame_to=frame_to)
+        if len(objects) == 0:  # after get_extrinsic: frame typos still raise
             return Target3DArray(frame=frame_to,
                                  timestamp=objects.timestamp)
-        rt = self.get_extrinsic(frame_from=objects.frame, frame_to=frame_to)
         r = Rotation.from_matrix(rt[:3, :3])
         rmat, t = r.as_matrix(), rt[:3, 3]
 

@@ -147,7 +147,16 @@ def _scale_err(dim_dt, dim_gt):
 
 
 def _cummean(x):
-    return np.cumsum(x) / np.arange(1, len(x) + 1)
+    """Official ``cummean``: NaN entries (the devkit's marker for
+    unavailable velocities/attributes) are excluded from both the sum and
+    the count; an all-NaN input yields ones."""
+    x = np.asarray(x, np.float64)
+    valid = ~np.isnan(x)
+    if not valid.any():
+        return np.ones(len(x))
+    count = np.cumsum(valid)
+    return np.divide(np.nancumsum(x), count,
+                     out=np.zeros_like(x), where=count != 0)
 
 
 def _calc_ap(precision, min_recall, min_precision):
@@ -261,11 +270,15 @@ def evaluate_nuscenes_official(gt_arrays, dt_arrays, classes,
     excluded = {"vel_err": NUSC_VEL_EXCLUDED, "attr_err": NUSC_ATTR_EXCLUDED,
                 "orient_err": NUSC_ORIENT_EXCLUDED}
 
+    if dist_th_tp not in dist_thresholds:
+        raise ValueError(
+            f"dist_th_tp={dist_th_tp} must be one of dist_thresholds="
+            f"{tuple(dist_thresholds)} (the official TP metrics are "
+            "computed from that threshold's matches)")
     rec_interp = np.linspace(0, 1, 101)
     ap = {c: {} for c in classes}
     tp_errors = {c: {} for c in classes}
-    tpi = list(dist_thresholds).index(dist_th_tp) \
-        if dist_th_tp in dist_thresholds else None
+    tpi = list(dist_thresholds).index(dist_th_tp)
 
     for ci, c in enumerate(classes):
         sel = dt["label"] == ci  # (F, D)

@@ -92,6 +92,10 @@ def dump_sequence_dataset(dataset, out_path, sequence, size_limit=None,
         # odometry anchor: odom -> odom_pose static transform so external
         # tools can re-root the per-frame pose chain on a sensor frame
         if odom_frame is not None:
+            if pose_name is None:
+                raise ValueError(
+                    "odom_frame requires a dataset with ego poses "
+                    "(pose_name); this dataset exposes none")
             if odom_frame not in calib.frames \
                     and odom_frame != calib.base_frame:
                 raise ValueError("Invalid odom frame name!")

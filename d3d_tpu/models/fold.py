@@ -40,13 +40,16 @@ def _get(tree, path):
     return tree
 
 
-def fold_batchnorm(variables, eps=1e-5, pairs=None):
+def fold_batchnorm(variables, eps=1e-3, pairs=None):
     """Return new ``variables`` with inference BatchNorm multiplies folded
     into the preceding kernels.
 
     :param variables: flax variables dict with ``params`` and
         ``batch_stats`` collections
-    :param eps: the BatchNorm epsilon the model was built with
+    :param eps: the BatchNorm epsilon the model was built with — it MUST
+        match or the fold corrupts outputs. Default 1e-3, the value every
+        model family in this package passes to ``nn.BatchNorm`` (flax's
+        own default is 1e-5; pass that for external models built with it)
     :param pairs: optional explicit list of ``(scope_path, linear_name,
         bn_name)`` tuples overriding the same-index auto-pairing
     :returns: a new variables dict; ``train=False`` outputs are equal to
@@ -93,16 +96,18 @@ def fold_batchnorm(variables, eps=1e-5, pairs=None):
             resid = np.zeros_like(beta)
         else:
             resid = beta - mean * s
-        # rewrite the BN into `z + resid`: mean=0, var=1-eps (so the
-        # denominator is exactly 1), scale=1, bias=resid
+        # rewrite the BN into `z + resid`: the residual rides the running
+        # MEAN (negated), which exists whether or not the BN has a bias
+        # param; var=1-eps makes the denominator exactly 1 and scale
+        # (when present) becomes 1
         dt = np.asarray(st["mean"]).dtype
-        st["mean"] = jnp.zeros_like(jnp.asarray(st["mean"]))
+        st["mean"] = jnp.asarray(-resid, dt)
         st["var"] = jnp.full_like(jnp.asarray(st["var"]),
                                   np.asarray(1.0 - eps, dt))
         if "scale" in bn:
             bn["scale"] = jnp.ones_like(jnp.asarray(bn["scale"]))
         if "bias" in bn:
-            bn["bias"] = jnp.asarray(resid, dt)
+            bn["bias"] = jnp.zeros_like(jnp.asarray(bn["bias"]))
 
     out = dict(variables)
     out["params"] = params

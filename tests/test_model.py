@@ -424,20 +424,50 @@ class TestBatchNormFold:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=2e-4)
 
-        # every BN in the folded tree is a pure add
+        # every BN in the folded tree is a pure add: unit denominator
+        # (var = 1 - eps) with the residual riding the negated mean
         def check(path, stats):
             for k, v in stats.items():
                 if isinstance(v, dict):
                     check(path + (k,), v)
             if "mean" in stats:
-                assert np.allclose(np.asarray(stats["mean"]), 0)
                 assert np.allclose(np.asarray(stats["var"]) + 1e-3, 1.0)
 
         check((), folded["batch_stats"])
         # kernels actually changed (the fold did something)
-        k0 = jax.tree.leaves(variables["params"])[0]
-        k1 = jax.tree.leaves(folded["params"])[0]
+        k0 = variables["params"]["_ConvBlock_0"]["Conv_0"]["kernel"]
+        k1 = folded["params"]["_ConvBlock_0"]["Conv_0"]["kernel"]
         assert not np.allclose(np.asarray(k0), np.asarray(k1))
+
+
+class TestBatchNormFoldNoBias:
+    def test_fold_biasless_bn(self, rng):
+        """A BatchNorm without scale/bias params still folds exactly: the
+        residual rides the negated running mean."""
+        import flax.linen as nn
+        from d3d_tpu.models.fold import fold_batchnorm
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = nn.Dense(8, use_bias=False)(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 use_bias=False, use_scale=False,
+                                 epsilon=1e-3)(x)
+                return x
+
+        m = M()
+        x = jnp.asarray(rng.normal(0, 1, (4, 6)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        v = jax.tree.map(lambda a: a, v)
+        v["batch_stats"] = jax.tree.map(
+            lambda a: a + jnp.asarray(np.abs(np.random.default_rng(2)
+                                             .normal(0.5, 0.2, a.shape)),
+                                      a.dtype), v["batch_stats"])
+        ref = m.apply(v, x)
+        out = m.apply(fold_batchnorm(v, eps=1e-3), x)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   atol=1e-5, rtol=1e-5)
 
 
 class TestScatterToBev:

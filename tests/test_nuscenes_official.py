@@ -82,8 +82,13 @@ def oracle_accumulate(gt_frames, dt_frames, cls, dist_th):
     for key in match_data:
         if key == "conf":
             continue
-        tmp = np.cumsum(match_data[key]) / np.arange(
-            1, len(match_data[key]) + 1)
+        x = np.asarray(match_data[key], float)
+        if np.isnan(x).all():  # devkit cummean: all-NaN -> ones
+            tmp = np.ones(len(x))
+        else:
+            cnt = np.cumsum(~np.isnan(x))
+            tmp = np.divide(np.nancumsum(x), cnt, out=np.zeros_like(x),
+                            where=cnt != 0)
         out[key] = np.interp(conf_i[::-1], match_data["conf"][::-1],
                              tmp[::-1])[::-1]
     return out
@@ -261,6 +266,39 @@ def test_official_closed_form():
     assert res["ap"][cls][1.0] == pytest.approx(35.5 / 81, abs=1e-9)
     assert res["tp_errors"][cls]["trans_err"] == pytest.approx(0.3, abs=1e-6)
     assert res["tp_errors"][cls]["scale_err"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_official_nan_velocity_cummean():
+    """NaN velocities (the devkit's marker for annotations without
+    prev/next frames) are excluded from the TP velocity error, not
+    propagated (official ``cummean`` semantics)."""
+    car = NuscenesDetectionClass.car
+
+    def tt(pos, vel, score):
+        return TrackingTarget3D(
+            pos, Rotation.identity(), [4, 2, 1.5], [vel[0], vel[1], 0],
+            [0, 0, 0], ObjectTag(car, NuscenesDetectionClass, score), tid=1)
+
+    gt = Target3DArray([tt([5, 0, 0], [np.nan, np.nan], 1.0),
+                        tt([-5, 0, 0], [2.0, 0.0], 1.0)], frame="ego")
+    dt = Target3DArray([tt([5, 0.1, 0], [1.0, 0.0], 0.9),
+                        tt([-5, 0.1, 0], [3.0, 0.0], 0.8)], frame="ego")
+    res = evaluate_nuscenes_official([gt], [dt], [car],
+                                     dist_thresholds=(2.0,), dist_th_tp=2.0)
+
+    # independent oracle with the devkit's NaN-aware cummean
+    frames = [[dict(pos=np.array([5.0, 0.0]), dim=np.array([4, 2, 1.5]),
+                    yaw=0.0, vel=np.array([np.nan, np.nan]), cls=car),
+               dict(pos=np.array([-5.0, 0.0]), dim=np.array([4, 2, 1.5]),
+                    yaw=0.0, vel=np.array([2.0, 0.0]), cls=car)]]
+    dts = [[dict(pos=np.array([5.0, 0.1]), dim=np.array([4, 2, 1.5]),
+                 yaw=0.0, vel=np.array([1.0, 0.0]), cls=car, score=0.9),
+            dict(pos=np.array([-5.0, 0.1]), dim=np.array([4, 2, 1.5]),
+                 yaw=0.0, vel=np.array([3.0, 0.0]), cls=car, score=0.8)]]
+    md = oracle_accumulate(frames, dts, car, 2.0)
+    want = oracle_calc_tp(md, "vel_err")
+    assert res["tp_errors"][car]["vel_err"] == pytest.approx(want, abs=1e-6)
+    assert np.isfinite(res["nds"])
 
 
 def test_official_range_filter_and_empty():
