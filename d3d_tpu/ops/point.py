@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["aligned_scatter", "nearest_neighbor"]
+__all__ = ["aligned_scatter", "nearest_neighbor",
+           "farthest_point_sampling"]
 
 
 def _neighbor_lattice(coords, spatial_shape):
@@ -189,3 +190,51 @@ def nearest_neighbor(query, ref, q_chunk=1024, r_chunk=4096, center=True):
     d, i = _nn_padded(jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(rvalid),
                       q_chunk, r_chunk)
     return np.asarray(d)[:n], np.asarray(i)[:n]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def farthest_point_sampling(xyz, k, valid=None):
+    """Greedy farthest-point sampling over the LAST-but-one axis.
+
+    Starts from the first valid point, then repeatedly picks the point
+    maximizing the distance to the already-selected set — the standard
+    PointNet++-style downsampler, static-shape and vmappable (the
+    reference declares but never implements this filter,
+    d3d/voxel/voxelize.cpp:469-471).
+
+    :param xyz: (..., K, 3) coordinates
+    :param k: static number of samples
+    :param valid: optional (..., K) mask; invalid slots are never picked
+    :returns: (..., k) int32 indices into the K axis, -1 beyond the valid
+        count
+    """
+    kk = xyz.shape[-2]
+    if valid is None:
+        valid = jnp.ones(xyz.shape[:-1], bool)
+    xyz = xyz.astype(jnp.float32)
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+
+    def one(pts, v, nv):
+        first = jnp.argmax(v).astype(jnp.int32)  # first valid slot
+        d0 = jnp.sum((pts - pts[first]) ** 2, axis=-1)
+        # selected slots drop to -inf so exact-duplicate points can never
+        # be picked twice
+        mind = jnp.where(v, d0, -jnp.inf).at[first].set(-jnp.inf)
+
+        def body(i, state):
+            mind, out = state
+            nxt = jnp.argmax(mind).astype(jnp.int32)
+            d = jnp.sum((pts - pts[nxt]) ** 2, axis=-1)
+            mind = jnp.minimum(mind, jnp.where(v, d, -jnp.inf))
+            mind = mind.at[nxt].set(-jnp.inf)
+            return mind, out.at[i].set(nxt)
+
+        out = jnp.full((k,), -1, jnp.int32).at[0].set(first)
+        _, out = jax.lax.fori_loop(1, k, body, (mind, out))
+        return jnp.where(jnp.arange(k) < nv, out, -1)
+
+    batch = xyz.shape[:-2]
+    flat = xyz.reshape((-1, kk, 3))
+    vflat = valid.reshape((-1, kk))
+    res = jax.vmap(one)(flat, vflat, nvalid.reshape((-1,)))
+    return res.reshape(batch + (k,))

@@ -560,13 +560,14 @@ def voxelize_sparse_padded(points, voxel_size):
     jax.jit,
     static_argnames=(
         "min_points", "max_points", "max_voxels",
-        "max_points_filter", "max_voxels_filter", "use_bounds",
+        "max_points_filter", "max_voxels_filter", "use_bounds", "fps_pool",
     ),
 )
 def voxelize_filter_padded(
     points_mapping, coords, voxel_npoints, nvoxels, coords_bound,
     min_points, max_points, max_voxels,
     max_points_filter, max_voxels_filter, use_bounds,
+    points_xyz=None, fps_pool=128,
 ):
     """Voxel/point filtering core (voxelize.cpp:337-484 semantics).
 
@@ -576,7 +577,10 @@ def voxelize_filter_padded(
       * ``descending``: keep the max_voxels most populated (new ids in
         descending-npoints order, like the reference's argsort loop)
     Point filter ``trim`` drops points beyond max_points per kept voxel in
-    original point order.
+    original point order; ``farthest_sampling`` keeps a farthest-point
+    subset instead (greedy FPS over each voxel's first ``fps_pool``
+    encounter-ordered points — requires ``points_xyz``; the reference
+    declares this filter but left it unimplemented).
 
     :return: EDict(points_mapping (N,) with -1 for dropped, coords (V,3)
         padded, voxel_npoints (V,), nvoxels_filtered)
@@ -613,7 +617,7 @@ def voxelize_filter_padded(
 
     # ---- remap points
     pm_new = jnp.where(points_mapping >= 0, new_id[points_mapping], -1)
-    if max_points_filter == "trim":
+    if max_points_filter in ("trim", "farthest_sampling"):
         # rank of each point within its (kept) voxel, in original point order
         key = jnp.where(pm_new >= 0, pm_new, v)
         order = jnp.argsort(key, stable=True)
@@ -624,7 +628,31 @@ def voxelize_filter_padded(
         start = jax.ops.segment_min(pos, seg_id_s, num_segments=n)
         slot_s = pos - start[seg_id_s]
         slot = jnp.zeros(n, slot_s.dtype).at[order].set(slot_s)
+    if max_points_filter == "trim":
         pm_new = jnp.where(slot < max_points, pm_new, -1)
+    elif max_points_filter == "farthest_sampling":
+        # FPS over a bounded per-voxel candidate pool (first fps_pool
+        # points in encounter order; the reference declares this filter
+        # but never implemented it, voxelize.cpp:469-471)
+        from .point import farthest_point_sampling
+
+        assert points_xyz is not None, \
+            "farthest_sampling needs the point coordinates"
+        pool = int(fps_pool)
+        inpool = (pm_new >= 0) & (slot < pool)
+        rows = jnp.where(inpool, pm_new, v)
+        cols = jnp.minimum(slot, pool - 1)
+        table = jnp.full((v + 1, pool), -1, jnp.int64).at[rows, cols].set(
+            jnp.where(inpool, jnp.arange(n), -1))[:v]
+        cl_valid = table >= 0
+        cl_xyz = jnp.where(cl_valid[..., None],
+                           points_xyz[jnp.maximum(table, 0), :3], 0.0)
+        sel = farthest_point_sampling(cl_xyz, max_points, cl_valid)
+        keep_tab = jnp.zeros((v, pool), jnp.int32).at[
+            jnp.arange(v)[:, None], jnp.maximum(sel, 0)
+        ].add((sel >= 0).astype(jnp.int32)) > 0
+        pt_keep = inpool & keep_tab[jnp.where(pm_new >= 0, pm_new, 0), cols]
+        pm_new = jnp.where(pt_keep, pm_new, -1)
 
     # ---- new per-voxel point counts + coords in new id order
     counts = jax.ops.segment_sum(
@@ -685,8 +713,6 @@ class VoxelGenerator:
         self._max_points_filter = (max_points_filter or "none").lower()
         if self._max_points_filter not in ("none", "trim", "farthest_sampling"):
             raise ValueError("Unsupported maximum points filter in VoxelGenerator!")
-        if self._max_points_filter == "farthest_sampling":
-            raise NotImplementedError("Farthest Sampling not implemented!")
         self._max_voxels_filter = (max_voxels_filter or "none").lower()
         if self._max_voxels_filter not in ("none", "trim", "descending"):
             raise ValueError("Unsupported maximum voxels filter in VoxelGenerator!")
@@ -733,6 +759,9 @@ class VoxelGenerator:
             sparse.nvoxels, jnp.asarray(self._vbounds),
             self._min_points, self._max_points, self._max_voxels,
             self._max_points_filter, self._max_voxels_filter, True,
+            points_xyz=(jnp.asarray(points[:, :3])
+                        if self._max_points_filter == "farthest_sampling"
+                        else None),
         )
         pm = np.asarray(filt.points_mapping)
         nv = int(filt.nvoxels)

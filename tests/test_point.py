@@ -144,3 +144,58 @@ class TestNearestNeighborWorldScale:
         kd_d, kd_i = cKDTree(ref).query(query)
         np.testing.assert_array_equal(i, kd_i)
         np.testing.assert_allclose(d, kd_d, rtol=1e-4, atol=1e-3)
+
+
+class TestFarthestPointSampling:
+    def _brute(self, pts, k, valid):
+        """Literal greedy FPS: start at first valid, then argmax min-dist;
+        selected points can't repeat."""
+        import numpy as np
+        idx = [int(np.nonzero(valid)[0][0])]
+        mind = np.where(valid, ((pts - pts[idx[0]]) ** 2).sum(1), -np.inf)
+        mind[idx[0]] = -np.inf
+        nv = int(valid.sum())
+        for _ in range(1, min(k, nv)):
+            nxt = int(np.argmax(mind))
+            idx.append(nxt)
+            mind = np.minimum(mind, np.where(
+                valid, ((pts - pts[nxt]) ** 2).sum(1), -np.inf))
+            mind[nxt] = -np.inf
+        return idx + [-1] * (k - len(idx))
+
+    def test_vs_brute_force(self, rng):
+        import jax.numpy as jnp
+        from d3d_tpu.ops.point import farthest_point_sampling
+
+        pts = rng.normal(0, 5, (40, 3)).astype(np.float32)
+        valid = np.ones(40, bool)
+        valid[33:] = False
+        got = np.asarray(farthest_point_sampling(
+            jnp.asarray(pts), 8, jnp.asarray(valid)))
+        want = self._brute(pts.astype(np.float64), 8, valid)
+        np.testing.assert_array_equal(got, want)
+
+    def test_fewer_valid_than_k(self, rng):
+        import jax.numpy as jnp
+        from d3d_tpu.ops.point import farthest_point_sampling
+
+        pts = rng.normal(0, 1, (10, 3)).astype(np.float32)
+        valid = np.zeros(10, bool)
+        valid[2:5] = True
+        got = np.asarray(farthest_point_sampling(
+            jnp.asarray(pts), 6, jnp.asarray(valid)))
+        assert (got[:3] >= 2).all() and (got[:3] <= 4).all()
+        assert len(set(got[:3].tolist())) == 3
+        np.testing.assert_array_equal(got[3:], [-1, -1, -1])
+
+    def test_batched(self, rng):
+        import jax.numpy as jnp
+        from d3d_tpu.ops.point import farthest_point_sampling
+
+        pts = rng.normal(0, 5, (4, 16, 3)).astype(np.float32)
+        got = np.asarray(farthest_point_sampling(jnp.asarray(pts), 5))
+        assert got.shape == (4, 5)
+        for b in range(4):
+            want = self._brute(pts[b].astype(np.float64), 5,
+                               np.ones(16, bool))
+            np.testing.assert_array_equal(got[b], want)

@@ -255,9 +255,10 @@ class TestSparse:
             VoxelGenerator([0.05, 1, 0, 1, 0, 1], [10, 10, 10])  # misaligned
         with pytest.raises(ValueError):
             VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10], reduction="mean")
-        with pytest.raises(NotImplementedError):
-            VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10],
-                           max_points_filter="farthest_sampling")
+        # farthest_sampling is implemented here (the reference raises
+        # NotImplementedError, voxelize.cpp:469-471) — construction succeeds
+        VoxelGenerator([0, 1, 0, 1, 0, 1], [10, 10, 10],
+                       max_points_filter="farthest_sampling")
 
 
 class TestFMFewPoints:
@@ -286,3 +287,53 @@ class TestFMFewPoints:
             (agg[3].min(), agg[3].max())
         # xyz means inside the grid
         assert np.all(agg[0] >= 0) and np.all(agg[0] <= 10)
+
+
+class TestFarthestSamplingFilter:
+    def test_generator_fps(self, rng):
+        """max_points_filter='farthest_sampling': each over-full voxel keeps
+        exactly max_points picked by greedy FPS (the filter the reference
+        declares but never implemented, voxelize.cpp:469-471)."""
+        from d3d_tpu.ops.voxel import VoxelGenerator
+
+        # one crowded cell + scattered singles
+        crowded = rng.random((60, 3)).astype(np.float32) * 0.1  # cell (0,0,0)
+        single = (rng.random((20, 3)).astype(np.float32) * 0.8 + 0.15)
+        pts = np.concatenate([crowded, single])
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [8, 8, 8], max_points=5,
+                             max_voxels=100,
+                             max_points_filter="farthest_sampling")
+        out = gen(pts)
+        assert out.voxel_npoints.max() <= 5
+        # the crowded voxel kept exactly 5, chosen from its members
+        cell = np.floor(pts * 8).astype(int)
+        key = (cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]
+        kept_idx = out.points_mask
+        kept_in_crowded = [i for i in kept_idx if key[i] == 0]
+        assert len(kept_in_crowded) == 5
+        # FPS spreads: kept points pairwise-farther than encounter trim
+        kept = pts[kept_in_crowded]
+        trim = pts[:5]
+
+        def min_pair(a):
+            d = np.linalg.norm(a[:, None] - a[None, :], axis=-1)
+            return d[np.triu_indices(len(a), 1)].min()
+
+        assert min_pair(kept) >= min_pair(trim) * 0.99
+
+    def test_generator_fps_matches_op(self, rng):
+        """The filter's kept set equals farthest_point_sampling run directly
+        on the voxel's members."""
+        import jax.numpy as jnp
+        from d3d_tpu.ops.point import farthest_point_sampling
+        from d3d_tpu.ops.voxel import VoxelGenerator
+
+        crowded = rng.random((40, 3)).astype(np.float32) * 0.1
+        gen = VoxelGenerator([0, 1, 0, 1, 0, 1], [4, 4, 4], max_points=6,
+                             max_voxels=10,
+                             max_points_filter="farthest_sampling")
+        out = gen(crowded)
+        sel = np.asarray(farthest_point_sampling(
+            jnp.asarray(crowded)[None], 6))[0]
+        np.testing.assert_array_equal(np.sort(out.points_mask),
+                                      np.sort(sel))
