@@ -433,8 +433,154 @@ class Pose_3DOF_UKF_CTRA(_PoseUKFBase):
 
 
 class Pose_IMM(PoseFilter):
-    """Interacting-multiple-model pose filter (not implemented, matching the
-    reference filter.py:526-531)."""
+    """Interacting-multiple-model pose filter mixing the non-maneuvering
+    CTRV and maneuvering CTRA yaw-state UKFs (standard Blom/Bar-Shalom
+    IMM: probability-weighted mixing of the model posteriors before each
+    predict, mode probabilities re-weighted by the models' innovation
+    likelihoods after each update).
 
-    def __init__(self):
-        raise NotImplementedError()
+    Implemented here although the reference declares it and leaves it
+    unimplemented (reference filter.py:526-531). Mixing happens in the
+    CTRA state space [x, y, yaw, v, a, w]; the CTRV state embeds with
+    a = 0 carrying ``a_prior_var``, and yaw statistics use wrapped
+    residuals / sin-cos means like the underlying filters.
+
+    :param transition: 2x2 Markov mode-transition matrix (rows: from
+        [CTRV, CTRA])
+    :param initial_prob: initial mode probabilities [CTRV, CTRA]
+    """
+
+    _A = 4  # acceleration slot of the augmented (CTRA) state
+
+    def __init__(self, init, Q_ctrv=np.eye(5), Q_ctra=np.eye(6),
+                 transition=((0.97, 0.03), (0.03, 0.97)),
+                 initial_prob=(0.5, 0.5), a_prior_var=1.0):
+        self._models = [Pose_3DOF_UKF_CTRV(init, Q_ctrv),
+                        Pose_3DOF_UKF_CTRA(init, Q_ctra)]
+        self._pi = np.asarray(transition, float)
+        self._mu = np.asarray(initial_prob, float)
+        self._mu = self._mu / self._mu.sum()
+        self._cbar = self._mu.copy()
+        self._a_var = float(a_prior_var)
+
+    # -- augmented-space plumbing -------------------------------------------
+    def _aug(self, m):
+        f = m._filter
+        if f.dim_x == 6:
+            return f.x.copy(), f.P.copy()
+        x = np.insert(f.x, self._A, 0.0)
+        P = np.insert(np.insert(f.P, self._A, 0.0, axis=0),
+                      self._A, 0.0, axis=1)
+        P[self._A, self._A] = self._a_var
+        return x, P
+
+    def _set(self, m, x, P):
+        f = m._filter
+        if f.dim_x == 6:
+            f.x, f.P = x, P
+        else:
+            f.x = np.delete(x, self._A)
+            f.P = np.delete(np.delete(P, self._A, axis=0),
+                            self._A, axis=1)
+
+    @staticmethod
+    def _wavg(xs, w):
+        """Probability-weighted state mean with sin/cos yaw averaging."""
+        x = np.average(xs, axis=0, weights=w)
+        s = np.average(np.sin(xs[:, 2]), weights=w)
+        c = np.average(np.cos(xs[:, 2]), weights=w)
+        x[2] = np.arctan2(s, c)
+        return x
+
+    @classmethod
+    def _moment_match(cls, xs, Ps, w):
+        x = cls._wavg(xs, w)
+        P = np.zeros_like(Ps[0])
+        for i in range(len(xs)):
+            d = xs[i] - x
+            d[2] = wrap_angle(d[2])
+            P += w[i] * (Ps[i] + np.outer(d, d))
+        return x, P
+
+    # -- IMM cycle -----------------------------------------------------------
+    def predict(self, dt):
+        self._cbar = self._pi.T.dot(self._mu)
+        w = (self._pi * self._mu[:, None]) / np.maximum(
+            self._cbar[None, :], 1e-300)
+        xs, Ps = zip(*(self._aug(m) for m in self._models))
+        xs = np.asarray(xs)
+        mixed = [self._moment_match(xs, Ps, w[:, j])
+                 for j in range(len(self._models))]
+        for m, (x0, P0) in zip(self._models, mixed):
+            self._set(m, x0, P0)
+        for m in self._models:
+            m.predict(dt)
+
+    def update(self, detection):
+        logl = []
+        for m in self._models:
+            m.update(detection)
+            logl.append(m._filter.log_likelihood)
+        lw = np.log(np.maximum(self._cbar, 1e-300)) + np.asarray(logl)
+        lw -= lw.max()
+        mu = np.exp(lw)
+        self._mu = mu / mu.sum()
+
+    @property
+    def model_probabilities(self):
+        """Current mode probabilities [CTRV, CTRA]."""
+        return self._mu.copy()
+
+    def _combined(self):
+        xs, Ps = zip(*(self._aug(m) for m in self._models))
+        return self._moment_match(np.asarray(xs), Ps, self._mu)
+
+    # -- PoseFilter surface (moment-matched across modes) --------------------
+    @property
+    def position(self):
+        x, _ = self._combined()
+        return np.array([x[0], x[1], self._models[1]._save_z])
+
+    @property
+    def position_var(self):
+        _, P = self._combined()
+        cov = np.diag([np.inf, np.inf, self._models[1]._save_z_var])
+        cov[:2, :2] = P[:2, :2]
+        return cov
+
+    @property
+    def orientation(self):
+        x, _ = self._combined()
+        m = self._models[1]
+        return Rotation.from_euler(
+            "ZYX", [x[2], m._save_pitch, m._save_roll])
+
+    @property
+    def orientation_var(self):
+        _, P = self._combined()
+        return P[2, 2]
+
+    @property
+    def velocity(self):
+        x, _ = self._combined()
+        return np.array([x[3] * np.cos(x[2]), x[3] * np.sin(x[2]), 0.0])
+
+    @property
+    def velocity_var(self):
+        x, P = self._combined()
+        v, th = x[3], x[2]
+        A = np.array([[-v * np.sin(th), np.cos(th)],
+                      [v * np.cos(th), np.sin(th)]])
+        cov = np.zeros((3, 3))
+        cov[:2, :2] = A.dot(P[2:4, 2:4]).dot(A.T)
+        return cov
+
+    @property
+    def angular_velocity(self):
+        x, _ = self._combined()
+        return np.array([0, 0, x[5]])
+
+    @property
+    def angular_velocity_var(self):
+        _, P = self._combined()
+        return np.diag([0, 0, P[5, 5]])

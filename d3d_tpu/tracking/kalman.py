@@ -124,6 +124,14 @@ class UnscentedKalmanFilter:
             Pxz += self._wm[i] * np.outer(dx, dz)
 
         K = Pxz.dot(np.linalg.inv(S))
-        self.x = self.x + K.dot(self.residual_z(np.asarray(z, dtype=float), zp))
+        y = self.residual_z(np.asarray(z, dtype=float), zp)
+        self.x = self.x + K.dot(y)
         self.P = self.P - K.dot(S).dot(K.T)
         self._sigmas_f = None
+        # innovation statistics (consumed by the IMM mode-probability step)
+        self.y = y
+        self.S = S
+        sign, logdet = np.linalg.slogdet(S)
+        self.log_likelihood = float(
+            -0.5 * (self.dim_z * np.log(2 * np.pi) + logdet
+                    + y.dot(np.linalg.solve(S, y))))

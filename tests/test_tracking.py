@@ -192,3 +192,66 @@ class TestVanillaTracker:
         tracker.update(self._frame(100_000, [[0, 0, 0], [50, 0, 0]]))
         assert len(tracker.tracked_ids) == 2
         assert sorted(tracker.tracked_ids) == [1, 2]
+
+
+class TestPoseIMM:
+    def _target(self, x, y, yaw, pvar=0.04, ovar=0.04):
+        from scipy.spatial.transform import Rotation
+        from d3d_tpu.abstraction import ObjectTag, ObjectTarget3D
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+        return ObjectTarget3D(
+            [x, y, 0.0], Rotation.from_euler("Z", yaw), [4, 2, 1.5],
+            ObjectTag(KittiObjectClass.Car, scores=1.0),
+            position_var=np.eye(3) * pvar, orientation_var=ovar)
+
+    def _run(self, xs, ys, yaws, dt=0.5):
+        from d3d_tpu.tracking.filter import Pose_IMM
+
+        imm = Pose_IMM(self._target(xs[0], ys[0], yaws[0]),
+                       Q_ctrv=np.eye(5) * 0.01, Q_ctra=np.eye(6) * 0.01)
+        for x, y, w in zip(xs[1:], ys[1:], yaws[1:]):
+            imm.predict(dt)
+            imm.update(self._target(x, y, w))
+        return imm
+
+    def test_maneuver_raises_ctra_probability(self):
+        """A hard-accelerating track favors the maneuvering (CTRA) mode."""
+        t = np.arange(12) * 0.5
+        xs = 0.5 * 3.0 * t ** 2  # a = 3 m/s^2 from rest
+        imm = self._run(xs, np.zeros_like(xs), np.zeros_like(xs))
+        mu = imm.model_probabilities
+        assert mu.shape == (2,) and abs(mu.sum() - 1) < 1e-12
+        assert mu[1] > 0.5  # CTRA dominates
+        # combined estimate tracks the motion
+        assert abs(imm.position[0] - xs[-1]) < 1.0
+        assert np.isfinite(imm.velocity).all()
+        assert imm.velocity[0] > 3.0  # v = a*t ~ 16.5 m/s at the end
+
+    def test_straight_track_stays_balanced_and_accurate(self):
+        """Constant-velocity motion: both models fit; estimates accurate,
+        probabilities remain a proper distribution."""
+        t = np.arange(12) * 0.5
+        xs = 5.0 * t
+        imm = self._run(xs, np.zeros_like(xs), np.zeros_like(xs))
+        mu = imm.model_probabilities
+        assert abs(mu.sum() - 1) < 1e-12 and (mu > 0).all()
+        assert abs(imm.position[0] - xs[-1]) < 0.5
+        assert abs(imm.velocity[0] - 5.0) < 1.0
+        assert abs(imm.angular_velocity[2]) < 0.3
+        # covariance surface is sane
+        assert imm.position_var[0, 0] > 0
+        assert imm.orientation_var > 0
+
+    def test_turning_track(self):
+        """Curved motion (constant turn rate) is tracked through the yaw
+        state with wrapped statistics."""
+        dt, v, w = 0.5, 6.0, 0.35
+        t = np.arange(14) * dt
+        yaws = w * t
+        xs = (v / w) * np.sin(yaws)
+        ys = (v / w) * (1 - np.cos(yaws))
+        imm = self._run(xs, ys, yaws, dt=dt)
+        assert abs(imm.position[0] - xs[-1]) < 1.0
+        assert abs(imm.position[1] - ys[-1]) < 1.0
+        assert abs(imm.angular_velocity[2] - w) < 0.15
