@@ -199,6 +199,19 @@ class DetectionEvaluator:
         # evaluator's packed scores) so threshold ties agree everywhere
         scores = np.asarray([b.tag.scores[0] for b in dt_boxes], np.float32)
         tags = [b.tag.labels[0] for b in dt_boxes]
+
+        # accuracy entries depend only on the (dt, gt) pair, not the
+        # threshold: run the scipy logpdfs once per pair (the reference
+        # recomputes per threshold — its own flagged bottleneck,
+        # benchmarks.pyx:259 FIXME)
+        acc_cache = {}
+
+        def acc_of(dt_idx, gt_idx, gt_box, dt_box, iou):
+            key = (dt_idx, gt_idx)
+            if key not in acc_cache:
+                acc_cache[key] = self._accuracy_entries(gt_box, dt_box, iou)
+            return acc_cache[key]
+
         for si, thres in enumerate(self._pr_thresholds):
             dt_indices = []
             for dt_idx, dt_box in enumerate(dt_boxes):
@@ -228,8 +241,8 @@ class DetectionEvaluator:
                 iou = 1 - matcher._distance_cache[dt_idx, gt_idx]
                 (iou_acc[si][gt_idx], dist_acc[si][gt_idx],
                  box_acc[si][gt_idx], angular_acc[si][gt_idx],
-                 var_acc[si][gt_idx]) = self._accuracy_entries(
-                    gt_box, dt_box, iou)
+                 var_acc[si][gt_idx]) = acc_of(dt_idx, gt_idx,
+                                               gt_box, dt_box, iou)
 
             for dt_idx in dt_indices:
                 if matcher.query_src_match(dt_idx) < 0:
@@ -546,27 +559,41 @@ class TrackingEvaluator(DetectionEvaluator):
 
         gt_tid_to_idx = {gt_boxes[i].tid: i for i in range(len(gt_boxes))}
 
-        # pass 1: per-threshold subsets + preserved assignments (host dicts)
+        # pass 1: per-threshold subsets + preserved assignments (host dicts).
+        # Per-object fields are extracted ONCE; the score/tag admission of
+        # all (threshold, dt) pairs is one vectorized comparison (same f32
+        # score semantics: the f32 value upcasts to f64 against the f64
+        # threshold, exactly like np.float32(score) < thres did per pair).
+        dt_tags_raw = [b.tag.labels[0] for b in dt_boxes]
+        dt_tids = [b.tid for b in dt_boxes]
+        eligible = np.array([t in summary.ngt for t in dt_tags_raw], bool)
+        scores32 = np.fromiter((b.tag.scores[0] for b in dt_boxes),
+                               np.float32, count=len(dt_boxes))
+        thres_col = np.asarray(self._pr_thresholds)[:, None]
+        passing = eligible[None, :] & ~(scores32[None, :] < thres_col)
+        used = passing.any(axis=0)
+        assert all(t > 0 for t, u in zip(dt_tids, used) if u), \
+            "Tracking id should be greater than 0 for a valid object!"
+        for k in self._classes:
+            sel = np.array([t == k for t in dt_tags_raw], bool)
+            if sel.any():
+                summary.ndt[k][:] += passing[:, sel].sum(axis=1)
+
         per_si = []
-        for si, thres in enumerate(self._pr_thresholds):
+        for si in range(self._pr_nsamples):
             gt_assignment_idx = {}  # gt tid -> dt idx
             dt_assignment_idx = {}  # dt tid -> gt idx
             dt_indices = []
             dt_tid_set = set()
-            for dt_idx, dt_box in enumerate(dt_boxes):
-                dt_tag = dt_box.tag.labels[0]
-                if dt_tag not in summary.ngt:
-                    continue
-                if np.float32(dt_box.tag.scores[0]) < thres:
-                    continue
-                dt_tid = dt_box.tid
-                assert dt_tid > 0, ("Tracking id should be greater than 0 "
-                                    "for a valid object!")
+            prev_map = self._last_dt_assignment[si]
+            ndt_ids_si = summary.ndt_ids
+            for dt_idx in np.nonzero(passing[si])[0]:
+                dt_tag = dt_tags_raw[dt_idx]
+                dt_tid = dt_tids[dt_idx]
                 dt_tid_set.add(dt_tid)
-                summary.ndt[dt_tag][si] += 1
-                summary.ndt_ids[dt_tag][si][dt_tid] = 1
+                ndt_ids_si[dt_tag][si][dt_tid] = 1
 
-                prev = self._last_dt_assignment[si].get(dt_tid)
+                prev = prev_map.get(dt_tid)
                 if prev is None:
                     dt_indices.append(dt_idx)
                 else:
@@ -598,7 +625,20 @@ class TrackingEvaluator(DetectionEvaluator):
                 host_matches.append(dict(matcher._dst_assignment))
             match_of = lambda si, gt_idx: host_matches[si].get(gt_idx, -1)
 
-        # pass 2: counters + id bookkeeping from the match results
+        # pass 2: counters + id bookkeeping from the match results.
+        # Accuracy entries are threshold-independent per (dt, gt) pair —
+        # memoized so the scipy logpdfs run once per pair, not once per
+        # (threshold, pair); the reference re-ran them per threshold and
+        # flags them as its own bottleneck (benchmarks.pyx:259 FIXME).
+        acc_cache = {}
+
+        def acc_of(dt_idx, gt_idx, gt_box, dt_box):
+            key = (dt_idx, gt_idx)
+            if key not in acc_cache:
+                acc_cache[key] = self._accuracy_entries(
+                    gt_box, dt_box, 1 - dist_cache[dt_idx, gt_idx])
+            return acc_cache[key]
+
         for si, thres in enumerate(self._pr_thresholds):
             gt_assignment_idx, dt_assignment_idx, dt_indices, dt_tid_set = \
                 per_si[si]
@@ -627,11 +667,10 @@ class TrackingEvaluator(DetectionEvaluator):
                 summary.tp[gt_tag][si] += 1
                 summary.ngt_tracked[gt_tag][si][gt_tid] = 1
 
-                iou = 1 - dist_cache[dt_idx, gt_idx]
                 (iou_acc[si][gt_idx], dist_acc[si][gt_idx],
                  box_acc[si][gt_idx], angular_acc[si][gt_idx],
-                 var_acc[si][gt_idx]) = self._accuracy_entries(
-                    gt_box, dt_box, iou)
+                 var_acc[si][gt_idx]) = acc_of(dt_idx, gt_idx,
+                                               gt_box, dt_box)
 
             for dt_idx in dt_indices:
                 dt_box = dt_boxes[dt_idx]
