@@ -101,9 +101,9 @@ def _pack_one(arr: Target3DArray, class_to_idx, n, want_var):
         boxes[:m, 3:6] = c["dimension"]
         boxes[:m, 6] = c["yaw"]
         scores[:m] = c["score"]
-        lut = np.vectorize(lambda v: class_to_idx.get(v, -1),
-                           otypes=[np.int32])
-        labels[:m] = lut(c["label"])
+        uniq, inv = np.unique(c["label"], return_inverse=True)
+        labels[:m] = np.array([class_to_idx.get(int(u), -1) for u in uniq],
+                              np.int32)[inv]
         quats[:m] = c["quat"]
         if want_var:
             pos_var[:m] = c["position_var"]
