@@ -74,6 +74,7 @@ def _make_anchor_detector(model, variables, cfg, anchors, classes,
         return _to_targets(boxes, scores, labels, keep, classes, frame,
                            timestamp, score_threshold)
 
+    detect.device_fn = device  # exportable pipeline (d3d_tpu.export)
     return detect
 
 
@@ -109,6 +110,7 @@ def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
         return _to_targets(boxes, scores, labels, keep, classes, frame,
                            timestamp, score_threshold)
 
+    detect.device_fn = device  # exportable pipeline (d3d_tpu.export)
     return detect
 
 
