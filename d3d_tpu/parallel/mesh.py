@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "shard_inference",
     "make_mesh", "batch_sharding", "replicate_sharding", "shard_train_step",
     "stats_to_arrays", "arrays_to_stats", "reduce_stats_arrays",
 ]
@@ -149,6 +150,28 @@ def shard_train_step(train_step, mesh, donate=True, check_tp=True):
         opt_state = jax.device_put(opt_state, cached_spec(opt_state, "opt"))
         batch = jax.device_put(batch, batch_sh)
         return jitted(params, batch_stats, opt_state, batch)
+
+    return call
+
+
+def shard_inference(device_fn, mesh):
+    """Data-parallel batched inference over the mesh's ``dp`` axis.
+
+    Wraps a single-cloud device pipeline (a ``detect.device_fn`` from the
+    detector factories, weights closed over) into a callable taking a
+    (B, N, F) cloud batch sharded over dp — the serving-throughput
+    counterpart of :func:`shard_train_step`. B should be a multiple of
+    the dp size; the closed-over weights replicate.
+    """
+    batch_sh = NamedSharding(mesh, P("dp"))
+
+    @jax.jit
+    def run(points_batch):
+        pts = jax.lax.with_sharding_constraint(points_batch, batch_sh)
+        return jax.vmap(device_fn)(pts)
+
+    def call(points_batch):
+        return run(jax.device_put(jnp.asarray(points_batch), batch_sh))
 
     return call
 

@@ -239,3 +239,46 @@ class TestDistributed:
         np.testing.assert_array_equal(np.isnan(h), np.isnan(d))
         np.testing.assert_allclose(d[~np.isnan(h)], h[~np.isnan(h)],
                                    rtol=1e-6)
+
+
+class TestShardInference:
+    def test_dp_batched_detector_matches_single(self, rng):
+        """shard_inference over the 8-device CPU mesh: each batch row's
+        outputs equal the single-cloud pipeline's."""
+        import jax
+        import jax.numpy as jnp
+
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+        from d3d_tpu.models import (PointPillars, PointPillarsConfig,
+                                    make_anchors)
+        from d3d_tpu.models.inference import make_pointpillars_detector
+        from d3d_tpu.models.pointpillars import pillarize
+        from d3d_tpu.parallel import make_mesh
+        from d3d_tpu.parallel.mesh import shard_inference
+
+        cfg = PointPillarsConfig(
+            bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32),
+            max_pillars=256, max_points_per_pillar=16, pfn_features=32,
+            backbone_channels=(32,), backbone_blocks=(1,),
+            upsample_channels=32)
+        model = PointPillars(cfg)
+        pts0 = np.stack([rng.uniform(0, 16, 1024), rng.uniform(-8, 8, 1024),
+                         rng.uniform(-3, 1, 1024), rng.uniform(0, 1, 1024)],
+                        axis=1).astype(np.float32)
+        feats, coords, valid = pillarize(jnp.asarray(pts0), cfg)
+        variables = model.init(jax.random.PRNGKey(0), feats[None],
+                               coords[None], valid[None], train=False)
+        detect = make_pointpillars_detector(
+            model, variables, cfg, make_anchors(cfg),
+            [KittiObjectClass.Car], top_k=16)
+
+        mesh = make_mesh(8, dp=8, tp=1)
+        batched = shard_inference(detect.device_fn, mesh)
+        batch = np.stack([pts0 + np.float32(i) * 0.01 for i in range(8)])
+        bb, bs, bl, bk = batched(batch)
+        assert bb.shape[0] == 8
+        for i in (0, 3, 7):
+            wb, ws, wl, wk = detect.device_fn(jnp.asarray(batch[i]))
+            np.testing.assert_allclose(np.asarray(bb[i]), np.asarray(wb),
+                                       atol=1e-5, rtol=1e-5)
+            np.testing.assert_array_equal(np.asarray(bk[i]), np.asarray(wk))
