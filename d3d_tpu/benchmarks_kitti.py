@@ -18,7 +18,8 @@ import numpy as np
 
 from .abstraction import Target3DArray
 
-__all__ = ["kitti_difficulty", "evaluate_by_difficulty", "DIFFICULTY_NAMES"]
+__all__ = ["kitti_difficulty", "evaluate_by_difficulty",
+           "evaluate_kitti_official", "DIFFICULTY_NAMES"]
 
 DIFFICULTY_NAMES = ("easy", "moderate", "hard")
 
@@ -100,3 +101,266 @@ def evaluate_by_difficulty(evaluator_factory, gt_arrays, dt_arrays,
                 ev.add_stats(ev.calc_stats(g, dt, gt_ignored=ig))
         out[name] = ev
     return out
+
+
+# ---------------------------------------------------------------------------
+# exact official KITTI protocol (devkit eval.cpp semantics, natively)
+# ---------------------------------------------------------------------------
+
+N_SAMPLE_PTS = 41
+# neighboring classes absorbed as "similar" (devkit cleanData): detections
+# on them are neither TP nor FP
+NEIGHBOR_CLASSES = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
+
+
+def _clean_data(gt_arr, dt_arr, current_class, difficulty):
+    """Devkit ``cleanData``: per-gt 0 (counted) / 1 (similar or too hard,
+    absorbs silently) / -1 (other class, invisible); per-det 0 (evaluated)
+    / 1 (2D box too small) / -1 (other class); counted-gt total."""
+    cname = getattr(current_class, "name", str(current_class))
+    neighbors = NEIGHBOR_CLASSES.get(cname, ())
+
+    ignored_gt = []
+    n_gt = 0
+    for obj in gt_arr:
+        aux = obj.aux or {}
+        tname = getattr(obj.tag_top, "name", str(obj.tag.labels[0]))
+        if tname == cname:
+            valid_class = 1
+        elif tname in neighbors:
+            valid_class = 0
+        else:
+            valid_class = -1
+        height = aux.get("box_height", np.inf)
+        ignore = (aux.get("occluded", 0) > _MAX_OCCLUSION[difficulty]
+                  or aux.get("truncated", 0.0) > _MAX_TRUNCATION[difficulty]
+                  or height <= _MIN_HEIGHT[difficulty])
+        if valid_class == 1 and not ignore:
+            ignored_gt.append(0)
+            n_gt += 1
+        elif valid_class == 0 or (ignore and valid_class == 1):
+            ignored_gt.append(1)
+        else:
+            ignored_gt.append(-1)
+
+    ignored_det = []
+    for obj in dt_arr:
+        aux = obj.aux or {}
+        tname = getattr(obj.tag_top, "name", str(obj.tag.labels[0]))
+        bbox = aux.get("bbox")
+        height = (bbox[3] - bbox[1]) if bbox is not None \
+            else aux.get("box_height", np.inf)
+        if height < _MIN_HEIGHT[difficulty]:
+            ignored_det.append(1)
+        elif tname == cname:
+            ignored_det.append(0)
+        else:
+            ignored_det.append(-1)
+    return np.array(ignored_gt, int), np.array(ignored_det, int), n_gt
+
+
+def _overlap_matrix(dt_arr, gt_arr, metric):
+    """(D, G) overlap matrix on device: 3D rotated IoU or BEV rotated
+    IoU (devkit d3DBoxOverlap / groundBoxOverlap, criterion = union)."""
+    import jax.numpy as jnp
+
+    from .ops.geometry import box3dr_iou_pair
+    from .ops.geometry_soa import rbox_iou
+
+    if len(dt_arr) == 0 or len(gt_arr) == 0:
+        return np.zeros((len(dt_arr), len(gt_arr)))
+    d7 = dt_arr.boxes7()
+    g7 = gt_arr.boxes7()
+    if metric == "3d":
+        m = box3dr_iou_pair(jnp.asarray(d7)[:, None, :],
+                            jnp.asarray(g7)[None, :, :])
+    elif metric == "bev":
+        bev = lambda b: np.concatenate([b[:, 0:2], b[:, 3:5], b[:, 6:7]], 1)
+        m = rbox_iou(jnp.asarray(bev(d7))[:, None, :],
+                     jnp.asarray(bev(g7))[None, :, :])
+    else:
+        raise ValueError("metric must be '3d' or 'bev'")
+    return np.asarray(m)
+
+
+def _dc_overlap(det_bbox, dc_box):
+    """Devkit dontcare test: 2D intersection over DET area (criterion 0)."""
+    if det_bbox is None:
+        return 0.0
+    x1 = max(det_bbox[0], dc_box[0])
+    y1 = max(det_bbox[1], dc_box[1])
+    x2 = min(det_bbox[2], dc_box[2])
+    y2 = min(det_bbox[3], dc_box[3])
+    w, h = x2 - x1, y2 - y1
+    if w <= 0 or h <= 0:
+        return 0.0
+    area = (det_bbox[2] - det_bbox[0]) * (det_bbox[3] - det_bbox[1])
+    return w * h / area if area > 0 else 0.0
+
+
+_NO_DETECTION = -1e9
+
+
+def _compute_statistics(overlap, scores, ignored_gt, ignored_det,
+                        det_bboxes, dc_boxes, min_overlap, compute_fp,
+                        thresh):
+    """Devkit ``computeStatistics`` over a precomputed overlap matrix.
+
+    :returns: (tp, fp, fn, tp_scores)
+    """
+    nd = len(scores)
+    assigned = np.zeros(nd, bool)
+    ignored_threshold = np.zeros(nd, bool)
+    if compute_fp:
+        ignored_threshold = scores < thresh
+
+    tp = fp = fn = 0
+    tp_scores = []
+    for i in range(len(ignored_gt)):
+        if ignored_gt[i] == -1:
+            continue
+        det_idx = -1
+        valid_detection = _NO_DETECTION
+        max_overlap = 0.0
+        assigned_ignored_det = False
+        for j in range(nd):
+            if ignored_det[j] == -1 or assigned[j] or ignored_threshold[j]:
+                continue
+            ov = overlap[j, i]
+            if not compute_fp and ov > min_overlap \
+                    and scores[j] > valid_detection:
+                det_idx = j
+                valid_detection = scores[j]
+            elif compute_fp and ov > min_overlap \
+                    and (ov > max_overlap or assigned_ignored_det) \
+                    and ignored_det[j] == 0:
+                max_overlap = ov
+                det_idx = j
+                valid_detection = 1.0
+                assigned_ignored_det = False
+            elif compute_fp and ov > min_overlap \
+                    and valid_detection == _NO_DETECTION \
+                    and ignored_det[j] == 1:
+                det_idx = j
+                valid_detection = 1.0
+                assigned_ignored_det = True
+
+        if valid_detection == _NO_DETECTION and ignored_gt[i] == 0:
+            fn += 1
+        elif valid_detection != _NO_DETECTION \
+                and (ignored_gt[i] == 1 or ignored_det[det_idx] == 1):
+            assigned[det_idx] = True
+        elif valid_detection != _NO_DETECTION:
+            tp += 1
+            tp_scores.append(scores[det_idx])
+            assigned[det_idx] = True
+
+    if compute_fp:
+        for j in range(nd):
+            if not (assigned[j] or ignored_det[j] in (-1, 1)
+                    or ignored_threshold[j]):
+                fp += 1
+        nstuff = 0
+        for dc in dc_boxes:
+            for j in range(nd):
+                if assigned[j] or ignored_det[j] in (-1, 1) \
+                        or ignored_threshold[j]:
+                    continue
+                if _dc_overlap(det_bboxes[j], dc) > min_overlap:
+                    assigned[j] = True
+                    nstuff += 1
+        fp -= nstuff
+    return tp, fp, fn, tp_scores
+
+
+def _get_thresholds(tp_scores, n_gt):
+    """Devkit ``getThresholds``: score thresholds at the 41 recall
+    sample positions."""
+    v = np.sort(np.asarray(tp_scores))[::-1]
+    thresholds = []
+    current_recall = 0.0
+    for i in range(len(v)):
+        l_recall = (i + 1) / n_gt
+        r_recall = (i + 2) / n_gt if i < len(v) - 1 else l_recall
+        if (r_recall - current_recall) < (current_recall - l_recall) \
+                and i < len(v) - 1:
+            continue
+        thresholds.append(v[i])
+        current_recall += 1.0 / (N_SAMPLE_PTS - 1)
+    return thresholds
+
+
+def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
+                            difficulty=1, metric="3d", min_overlap=0.7,
+                            dontcare=None):
+    """Exact official KITTI AP for one class and difficulty.
+
+    Native reimplementation of the devkit ``eval.cpp`` pipeline the
+    reference shells out to (reference object.py:359-397): cleanData
+    class/difficulty gating with neighboring-class and too-hard gt
+    absorbing detections silently, the two-phase greedy matching
+    (max-score pass to collect TP scores, max-overlap pass per
+    threshold), DontCare-region FP suppression on the image plane, the
+    41-point recall-sampled precision curve with right-max
+    monotonization, and both AP_R11 (legacy, every 4th point) and
+    AP_R40 (mean of points 1..40).
+
+    :param gt_arrays: per-frame GT Target3DArray (KITTI loader output:
+        ``aux`` carries bbox/occluded/truncated, ``dontcare`` the 2D
+        ignore regions)
+    :param dt_arrays: per-frame detections; ``aux['bbox']`` (projected
+        2D box) enables the det-height gate and DontCare suppression
+    :param metric: "3d" (rotated 3D IoU) or "bev"
+    :param dontcare: optional per-frame (K, 4) arrays overriding
+        ``gt_arr.dontcare``
+    :returns: dict(ap_r40, ap_r11, precision (41,), thresholds,
+        n_gt, tp/fp/fn arrays per threshold)
+    """
+    frames = []
+    total_tp_scores = []
+    total_n_gt = 0
+    for fi, (gt_arr, dt_arr) in enumerate(zip(gt_arrays, dt_arrays)):
+        ig, idt, n_gt = _clean_data(gt_arr, dt_arr, current_class,
+                                    difficulty)
+        overlap = _overlap_matrix(dt_arr, gt_arr, metric)
+        scores = np.array([float(o.tag.scores[0]) for o in dt_arr])
+        det_bboxes = [(o.aux or {}).get("bbox") for o in dt_arr]
+        if dontcare is not None:
+            dc = np.asarray(dontcare[fi]).reshape(-1, 4)
+        else:
+            dc = np.asarray(getattr(gt_arr, "dontcare",
+                                    np.zeros((0, 4)))).reshape(-1, 4)
+        frames.append((overlap, scores, ig, idt, det_bboxes, dc))
+        total_n_gt += n_gt
+        _, _, _, tps = _compute_statistics(
+            overlap, scores, ig, idt, det_bboxes, dc, min_overlap,
+            compute_fp=False, thresh=0.0)
+        total_tp_scores.extend(tps)
+
+    precision = np.zeros(N_SAMPLE_PTS)
+    tps = np.zeros(N_SAMPLE_PTS, int)
+    fps = np.zeros(N_SAMPLE_PTS, int)
+    fns = np.zeros(N_SAMPLE_PTS, int)
+    thresholds = _get_thresholds(total_tp_scores, total_n_gt) \
+        if total_n_gt > 0 else []
+    for ti, t in enumerate(thresholds):
+        tp = fp = fn = 0
+        for overlap, scores, ig, idt, det_bboxes, dc in frames:
+            a, b, c, _ = _compute_statistics(
+                overlap, scores, ig, idt, det_bboxes, dc, min_overlap,
+                compute_fp=True, thresh=t)
+            tp += a
+            fp += b
+            fn += c
+        tps[ti], fps[ti], fns[ti] = tp, fp, fn
+        precision[ti] = tp / (tp + fp) if tp + fp > 0 else 0.0
+
+    # right-max monotonization (devkit does this for the final curve)
+    for i in range(N_SAMPLE_PTS):
+        precision[i] = precision[i:].max()
+
+    ap_r11 = float(np.mean(precision[0::4]))
+    ap_r40 = float(np.mean(precision[1:]))
+    return dict(ap_r40=ap_r40, ap_r11=ap_r11, precision=precision,
+                thresholds=thresholds, n_gt=total_n_gt,
+                tp=tps, fp=fps, fn=fns)

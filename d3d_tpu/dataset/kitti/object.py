@@ -51,12 +51,20 @@ def _cam_to_velo(raw_calib):
 
 
 def parse_label(label, raw_calib):
-    """Convert parsed label rows to a Target3DArray in the velo frame."""
+    """Convert parsed label rows to a Target3DArray in the velo frame.
+
+    DontCare regions (2D-only label lines) are collected on the returned
+    array as ``objects.dontcare`` — an (K, 4) float array of image-plane
+    [x1, y1, x2, y2] boxes consumed by the official evaluation's
+    false-positive suppression (plain attribute; not serialized by
+    dump/load)."""
     rrect, hr, ht = _cam_to_velo(raw_calib)
     objects = Target3DArray(frame="velo")
+    dontcare = []
 
     for item in label:
         if item[0] == KittiObjectClass.DontCare:
+            dontcare.append([float(v) for v in item[4:8]])
             continue
         h, w, l = item[8:11]
         position = np.asarray(item[11:14], dtype=float)
@@ -75,9 +83,11 @@ def parse_label(label, raw_calib):
         # them): truncation, occlusion and 2D box height drive the
         # official easy/moderate/hard strata (d3d_tpu.benchmarks_kitti)
         aux = dict(truncated=float(item[1]), occluded=int(item[2]),
-                   box_height=float(item[7] - item[5]))
+                   box_height=float(item[7] - item[5]),
+                   bbox=[float(v) for v in item[4:8]])
         objects.append(ObjectTarget3D(position, orientation, [l, w, h], tag,
                                       aux=aux))
+    objects.dontcare = np.asarray(dontcare, dtype=float).reshape(-1, 4)
     return objects
 
 
