@@ -169,6 +169,33 @@ def _overlap_matrix(dt_arr, gt_arr, metric):
 
     if len(dt_arr) == 0 or len(gt_arr) == 0:
         return np.zeros((len(dt_arr), len(gt_arr)))
+    if metric == "2d":
+        # axis-aligned image-plane IoU over the aux 2D boxes (devkit
+        # boxoverlap, criterion union); objects without a bbox overlap 0
+        def boxes2d(arr):
+            out = np.zeros((len(arr), 4))
+            ok = np.zeros(len(arr), bool)
+            for i, o in enumerate(arr):
+                bb = (o.aux or {}).get("bbox")
+                if bb is not None:
+                    out[i] = bb
+                    ok[i] = True
+            return out, ok
+
+        db, dok = boxes2d(dt_arr)
+        gb, gok = boxes2d(gt_arr)
+        x1 = np.maximum(db[:, None, 0], gb[None, :, 0])
+        y1 = np.maximum(db[:, None, 1], gb[None, :, 1])
+        x2 = np.minimum(db[:, None, 2], gb[None, :, 2])
+        y2 = np.minimum(db[:, None, 3], gb[None, :, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        da = (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1])
+        ga = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
+        union = da[:, None] + ga[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            iou = np.where(union > 0, inter / union, 0.0)
+        return np.where(dok[:, None] & gok[None, :], iou, 0.0)
+
     d7 = dt_arr.boxes7()
     g7 = gt_arr.boxes7()
     if metric == "3d":
@@ -179,7 +206,7 @@ def _overlap_matrix(dt_arr, gt_arr, metric):
         m = rbox_iou(jnp.asarray(bev(d7))[:, None, :],
                      jnp.asarray(bev(g7))[None, :, :])
     else:
-        raise ValueError("metric must be '3d' or 'bev'")
+        raise ValueError("metric must be '2d', 'bev' or '3d'")
     return np.asarray(m)
 
 
@@ -203,10 +230,12 @@ _NO_DETECTION = -1e9
 
 def _compute_statistics(overlap, scores, ignored_gt, ignored_det,
                         det_bboxes, dc_boxes, min_overlap, compute_fp,
-                        thresh):
+                        thresh, gt_alphas=None, dt_alphas=None):
     """Devkit ``computeStatistics`` over a precomputed overlap matrix.
 
-    :returns: (tp, fp, fn, tp_scores)
+    :returns: (tp, fp, fn, tp_scores, similarity_sum) — similarity is the
+        AOS numerator sum((1 + cos(alpha_gt - alpha_dt)) / 2) over TPs
+        (NaN-free only when both alpha vectors are supplied)
     """
     nd = len(scores)
     assigned = np.zeros(nd, bool)
@@ -215,6 +244,7 @@ def _compute_statistics(overlap, scores, ignored_gt, ignored_det,
         ignored_threshold = scores < thresh
 
     tp = fp = fn = 0
+    similarity = 0.0
     tp_scores = []
     for i in range(len(ignored_gt)):
         if ignored_gt[i] == -1:
@@ -253,6 +283,9 @@ def _compute_statistics(overlap, scores, ignored_gt, ignored_det,
         elif valid_detection != _NO_DETECTION:
             tp += 1
             tp_scores.append(scores[det_idx])
+            if gt_alphas is not None and dt_alphas is not None:
+                delta = gt_alphas[i] - dt_alphas[det_idx]
+                similarity += (1.0 + np.cos(delta)) / 2.0
             assigned[det_idx] = True
 
     if compute_fp:
@@ -270,7 +303,7 @@ def _compute_statistics(overlap, scores, ignored_gt, ignored_det,
                     assigned[j] = True
                     nstuff += 1
         fp -= nstuff
-    return tp, fp, fn, tp_scores
+    return tp, fp, fn, tp_scores, similarity
 
 
 def _get_thresholds(tp_scores, n_gt):
@@ -292,7 +325,7 @@ def _get_thresholds(tp_scores, n_gt):
 
 def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
                             difficulty=1, metric="3d", min_overlap=0.7,
-                            dontcare=None):
+                            dontcare=None, compute_aos=False):
     """Exact official KITTI AP for one class and difficulty.
 
     Native reimplementation of the devkit ``eval.cpp`` pipeline the
@@ -310,11 +343,15 @@ def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
         ignore regions)
     :param dt_arrays: per-frame detections; ``aux['bbox']`` (projected
         2D box) enables the det-height gate and DontCare suppression
-    :param metric: "3d" (rotated 3D IoU) or "bev"
+    :param metric: "3d" (rotated 3D IoU), "bev", or "2d" (image-plane
+        axis-aligned IoU over ``aux['bbox']`` — the official 2D benchmark)
     :param dontcare: optional per-frame (K, 4) arrays overriding
         ``gt_arr.dontcare``
+    :param compute_aos: also compute average orientation similarity from
+        ``aux['alpha']`` observation angles (officially paired with the
+        2D metric); adds ``aos_r40`` / ``aos_r11`` / ``aos`` outputs
     :returns: dict(ap_r40, ap_r11, precision (41,), thresholds,
-        n_gt, tp/fp/fn arrays per threshold)
+        n_gt, tp/fp/fn arrays per threshold[, aos fields])
     """
     frames = []
     total_tp_scores = []
@@ -330,14 +367,22 @@ def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
         else:
             dc = np.asarray(getattr(gt_arr, "dontcare",
                                     np.zeros((0, 4)))).reshape(-1, 4)
-        frames.append((overlap, scores, ig, idt, det_bboxes, dc))
+        galpha = dalpha = None
+        if compute_aos:
+            galpha = np.array([(o.aux or {}).get("alpha", 0.0)
+                               for o in gt_arr])
+            dalpha = np.array([(o.aux or {}).get("alpha", 0.0)
+                               for o in dt_arr])
+        frames.append((overlap, scores, ig, idt, det_bboxes, dc,
+                       galpha, dalpha))
         total_n_gt += n_gt
-        _, _, _, tps = _compute_statistics(
+        _, _, _, tps, _ = _compute_statistics(
             overlap, scores, ig, idt, det_bboxes, dc, min_overlap,
             compute_fp=False, thresh=0.0)
         total_tp_scores.extend(tps)
 
     precision = np.zeros(N_SAMPLE_PTS)
+    aos = np.zeros(N_SAMPLE_PTS)
     tps = np.zeros(N_SAMPLE_PTS, int)
     fps = np.zeros(N_SAMPLE_PTS, int)
     fns = np.zeros(N_SAMPLE_PTS, int)
@@ -345,22 +390,31 @@ def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
         if total_n_gt > 0 else []
     for ti, t in enumerate(thresholds):
         tp = fp = fn = 0
-        for overlap, scores, ig, idt, det_bboxes, dc in frames:
-            a, b, c, _ = _compute_statistics(
+        sim = 0.0
+        for overlap, scores, ig, idt, det_bboxes, dc, ga, da in frames:
+            a, b, c, _, s_ = _compute_statistics(
                 overlap, scores, ig, idt, det_bboxes, dc, min_overlap,
-                compute_fp=True, thresh=t)
+                compute_fp=True, thresh=t, gt_alphas=ga, dt_alphas=da)
             tp += a
             fp += b
             fn += c
+            sim += s_
         tps[ti], fps[ti], fns[ti] = tp, fp, fn
         precision[ti] = tp / (tp + fp) if tp + fp > 0 else 0.0
+        # devkit: AOS numerator over the same tp+fp denominator
+        aos[ti] = sim / (tp + fp) if tp + fp > 0 else 0.0
 
     # right-max monotonization (devkit does this for the final curve)
     for i in range(N_SAMPLE_PTS):
         precision[i] = precision[i:].max()
+        aos[i] = aos[i:].max()
 
     ap_r11 = float(np.mean(precision[0::4]))
     ap_r40 = float(np.mean(precision[1:]))
-    return dict(ap_r40=ap_r40, ap_r11=ap_r11, precision=precision,
-                thresholds=thresholds, n_gt=total_n_gt,
-                tp=tps, fp=fps, fn=fns)
+    out = dict(ap_r40=ap_r40, ap_r11=ap_r11, precision=precision,
+               thresholds=thresholds, n_gt=total_n_gt,
+               tp=tps, fp=fps, fn=fns)
+    if compute_aos:
+        out.update(aos=aos, aos_r40=float(np.mean(aos[1:])),
+                   aos_r11=float(np.mean(aos[0::4])))
+    return out

@@ -83,6 +83,7 @@ def parse_label(label, raw_calib):
         # them): truncation, occlusion and 2D box height drive the
         # official easy/moderate/hard strata (d3d_tpu.benchmarks_kitti)
         aux = dict(truncated=float(item[1]), occluded=int(item[2]),
+                   alpha=float(item[3]),
                    box_height=float(item[7] - item[5]),
                    bbox=[float(v) for v in item[4:8]])
         objects.append(ObjectTarget3D(position, orientation, [l, w, h], tag,

@@ -288,3 +288,54 @@ def test_dontcare_suppression_and_van_absorption():
     assert res["tp"][0] == 1
     assert res["fp"][0] == 1  # only the genuine FP counts
     assert res["fn"][0] == 0
+
+
+def test_2d_metric_and_aos():
+    """Image-plane 2D AP + average orientation similarity: perfect boxes
+    with perfect alphas give AOS == AP; flipping every detection's alpha
+    by pi drives AOS to ~0 while AP stays."""
+    def frame(alpha_flip):
+        gt = Target3DArray(frame="velo")
+        dt = Target3DArray(frame="velo")
+        rng = np.random.default_rng(11)
+        for i in range(50):
+            x, y = rng.uniform(5, 400), rng.uniform(-200, 200)
+            bb = (10.0 * i, 0.0, 10.0 * i + 8.0, 60.0)
+            a = float(rng.uniform(-np.pi, np.pi))
+            g = _obj(KittiObjectClass.Car, x, y, 0.0, bbox=bb)
+            g.aux["alpha"] = a
+            gt.append(g)
+            d = _obj(KittiObjectClass.Car, x, y, 0.0, bbox=bb,
+                     score=0.2 + 0.01 * i)
+            d.aux["alpha"] = a + (np.pi if alpha_flip else 0.0)
+            dt.append(d)
+        gt.dontcare = np.zeros((0, 4))
+        return gt, dt
+
+    gt, dt = frame(False)
+    res = evaluate_kitti_official([gt], [dt], KittiObjectClass.Car,
+                                  difficulty=1, metric="2d",
+                                  min_overlap=0.7, compute_aos=True)
+    assert res["ap_r40"] > 0.9
+    assert res["aos_r40"] == pytest.approx(res["ap_r40"], abs=1e-9)
+
+    gt2, dt2 = frame(True)
+    res2 = evaluate_kitti_official([gt2], [dt2], KittiObjectClass.Car,
+                                   difficulty=1, metric="2d",
+                                   min_overlap=0.7, compute_aos=True)
+    assert res2["ap_r40"] == pytest.approx(res["ap_r40"], abs=1e-9)
+    assert res2["aos_r40"] < 1e-9  # cos(pi) similarity is exactly 0
+
+
+def test_2d_overlap_matrix_values():
+    """Axis-aligned 2D IoU oracle check."""
+    from d3d_tpu.benchmarks_kitti import _overlap_matrix
+
+    g = _obj(KittiObjectClass.Car, 0, 0, 0, bbox=(0, 0, 10, 10))
+    d1 = _obj(KittiObjectClass.Car, 0, 0, 0, bbox=(0, 0, 10, 10), score=1)
+    d2 = _obj(KittiObjectClass.Car, 0, 0, 0, bbox=(5, 0, 15, 10), score=1)
+    d3 = _obj(KittiObjectClass.Car, 0, 0, 0, score=1)  # no bbox
+    gt = Target3DArray([g], frame="velo")
+    dt = Target3DArray([d1, d2, d3], frame="velo")
+    m = _overlap_matrix(dt, gt, "2d")
+    np.testing.assert_allclose(m[:, 0], [1.0, 50 / 150, 0.0], atol=1e-12)
