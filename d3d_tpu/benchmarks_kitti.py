@@ -19,7 +19,8 @@ import numpy as np
 from .abstraction import Target3DArray
 
 __all__ = ["kitti_difficulty", "evaluate_by_difficulty",
-           "evaluate_kitti_official", "DIFFICULTY_NAMES"]
+           "evaluate_kitti_official", "kitti_official_summary",
+           "DIFFICULTY_NAMES"]
 
 DIFFICULTY_NAMES = ("easy", "moderate", "hard")
 
@@ -418,3 +419,51 @@ def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
         out.update(aos=aos, aos_r40=float(np.mean(aos[1:])),
                    aos_r11=float(np.mean(aos[0::4])))
     return out
+
+
+# per-class official minimum overlaps (devkit: cars 0.7, people/cyclists 0.5)
+OFFICIAL_MIN_OVERLAP = {"Car": 0.7, "Van": 0.7, "Truck": 0.7}
+_DEFAULT_MIN_OVERLAP = 0.5
+
+
+def kitti_official_summary(gt_arrays, dt_arrays, classes,
+                           metrics=("bev", "3d"), compute_aos=False,
+                           min_overlaps=None):
+    """The familiar official results table: AP_R40 per class x metric x
+    difficulty (plus AOS when requested, paired with the 2d metric).
+
+    :param classes: class enum members (e.g. ``[KittiObjectClass.Car]``)
+    :param metrics: any of "2d", "bev", "3d"
+    :param min_overlaps: optional {class-or-name: overlap} overriding the
+        official 0.7 (cars) / 0.5 defaults
+    :returns: (text, results) where results[cls][metric][difficulty] is
+        the :func:`evaluate_kitti_official` dict
+    """
+    results = {}
+    lines = []
+    for cls in classes:
+        cname = getattr(cls, "name", str(cls))
+        mo = _DEFAULT_MIN_OVERLAP
+        mo = OFFICIAL_MIN_OVERLAP.get(cname, mo)
+        if min_overlaps:
+            mo = min_overlaps.get(cls, min_overlaps.get(cname, mo))
+        results[cls] = {}
+        for metric in metrics:
+            per_diff = {}
+            for difficulty in range(3):
+                per_diff[difficulty] = evaluate_kitti_official(
+                    gt_arrays, dt_arrays, cls, difficulty=difficulty,
+                    metric=metric, min_overlap=mo,
+                    compute_aos=compute_aos and metric == "2d")
+            results[cls][metric] = per_diff
+            aps = [per_diff[d]["ap_r40"] * 100 for d in range(3)]
+            lines.append(
+                f"{cname} {metric.upper():>3} AP_R40@{mo:.2f}: "
+                f"{aps[0]:6.2f} {aps[1]:6.2f} {aps[2]:6.2f}")
+            if compute_aos and metric == "2d":
+                aoss = [per_diff[d]["aos_r40"] * 100 for d in range(3)]
+                lines.append(
+                    f"{cname}     AOS_R40@{mo:.2f}: "
+                    f"{aoss[0]:6.2f} {aoss[1]:6.2f} {aoss[2]:6.2f}")
+    header = "class metric           easy    mod   hard"
+    return "\n".join([header] + lines), results

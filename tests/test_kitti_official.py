@@ -339,3 +339,24 @@ def test_2d_overlap_matrix_values():
     dt = Target3DArray([d1, d2, d3], frame="velo")
     m = _overlap_matrix(dt, gt, "2d")
     np.testing.assert_allclose(m[:, 0], [1.0, 50 / 150, 0.0], atol=1e-12)
+
+
+def test_official_summary_table():
+    rng = np.random.default_rng(5)
+    gts, dts = make_scene(rng, nframes=4)
+    from d3d_tpu.benchmarks_kitti import kitti_official_summary
+
+    text, results = kitti_official_summary(
+        gts, dts, [KittiObjectClass.Car, KittiObjectClass.Pedestrian],
+        metrics=("bev", "3d"))
+    assert "Car BEV AP_R40@0.70" in text
+    assert "Pedestrian  3D AP_R40@0.50" in text
+    for cls in results:
+        for metric in ("bev", "3d"):
+            for d in range(3):
+                r = results[cls][metric][d]
+                assert 0.0 <= r["ap_r40"] <= 1.0
+    # bev AP >= 3d AP (bev overlap is never smaller than 3d IoU)
+    car = results[KittiObjectClass.Car]
+    for d in range(3):
+        assert car["bev"][d]["ap_r40"] >= car["3d"][d]["ap_r40"] - 1e-9
