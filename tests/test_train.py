@@ -178,3 +178,28 @@ def test_trainer_eval_hook(rng):
     assert s == 5
     assert evals == [2, 4]
     assert any("eval" in h for h in tr.history)
+
+
+def test_training_converges_on_fixed_batch(rng):
+    """Overfitting one fixed batch must drive the total loss down
+    substantially — the ML sanity check that gradients, target
+    assignment, BEV densification and the optimizer actually cooperate."""
+    model = PointPillars(TINY)
+    batch = next(_batches(np.random.default_rng(7), 1, b=2))
+    variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                           batch["coords"], batch["valid"])
+    anchors = make_anchors(TINY)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(variables["params"])
+    step = make_train_step(model, opt, TINY, anchors, riou_weight=0.2)
+
+    params, bs = variables["params"], variables["batch_stats"]
+    losses = []
+    for _ in range(30):
+        params, bs, opt_state, m = step(params, bs, opt_state, batch)
+        losses.append(float(m["total"]))
+    assert np.isfinite(losses).all()
+    start = np.mean(losses[:3])
+    end = np.mean(losses[-3:])
+    assert end < 0.5 * start, (start, end)
+    assert losses[-1] < losses[0]
