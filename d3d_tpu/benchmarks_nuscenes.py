@@ -25,8 +25,6 @@ Two native paths:
   mergeable streaming stats; see its docstring for the deltas).
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

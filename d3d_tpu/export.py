@@ -13,7 +13,6 @@ torch extensions); this is the TPU-native serving analogue of shipping a
 TorchScript/ONNX bundle.
 """
 
-import io
 import json
 import zipfile
 from pathlib import Path
