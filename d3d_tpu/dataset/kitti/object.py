@@ -25,7 +25,7 @@ from .utils import KittiObjectClass
 
 __all__ = ["KittiObjectLoader", "load_label", "parse_label",
            "dump_detection_output", "create_submission",
-           "execute_official_evaluator"]
+           "execute_official_evaluator", "evaluate_detection_results"]
 
 
 def load_label(basepath, file):
@@ -383,3 +383,57 @@ def parse_detection_output():
         calib = loader.calibration_data(int(txt.stem), raw=True)
         parse_label(boxes, calib).dump(
             output_path / txt.with_suffix(".objs").name)
+
+
+def evaluate_detection_results():
+    """CLI: exact official KITTI metrics for a directory of KITTI-format
+    detection text files (``%06d.txt``, the submission layout) against a
+    dataset split — the native replacement for shelling out to the
+    compiled devkit binary (reference object.py:359-397); registered as
+    the ``d3d_tpu_kitti_eval`` console script."""
+    from argparse import ArgumentParser
+
+    from tqdm import tqdm
+
+    from ...benchmarks_kitti import kitti_official_summary
+
+    parser = ArgumentParser(
+        description="Official KITTI detection metrics, computed natively.")
+    parser.add_argument("dataset", type=str, help="KITTI object root")
+    parser.add_argument("results", type=str,
+                        help="directory of %%06d.txt detection files")
+    parser.add_argument("--classes", default="Car,Pedestrian,Cyclist")
+    parser.add_argument("--metrics", default="bev,3d",
+                        help="comma list from 2d,bev,3d")
+    parser.add_argument("--aos", action="store_true")
+    parser.add_argument("--inzip", action="store_true")
+    parser.add_argument("--phase", default="training")
+    parser.add_argument("--split", type=float, default=0.8,
+                        help="trainval split passed to the loader; the "
+                             "VALIDATION part is evaluated")
+    args = parser.parse_args()
+
+    loader = KittiObjectLoader(args.dataset, inzip=args.inzip,
+                               phase="validation"
+                               if args.phase == "training" else args.phase,
+                               trainval_split=args.split)
+    results = Path(args.results)
+    gts, dts = [], []
+    for i in tqdm(range(len(loader)), unit="frames"):
+        uidx = loader._parse_idx(i)
+        gts.append(loader.annotation_3dobject(i))
+        raw_calib = loader.calibration_data(i, raw=True)
+        fname = results / ("%06d.txt" % uidx)
+        if fname.exists():
+            dts.append(parse_label(load_label(results, fname.name),
+                                   raw_calib))
+        else:
+            arr = Target3DArray(frame="velo")
+            arr.dontcare = np.zeros((0, 4))
+            dts.append(arr)
+
+    classes = [KittiObjectClass[c] for c in args.classes.split(",")]
+    text, _ = kitti_official_summary(
+        gts, dts, classes, metrics=tuple(args.metrics.split(",")),
+        compute_aos=args.aos)
+    print(text)

@@ -360,3 +360,37 @@ def test_official_summary_table():
     car = results[KittiObjectClass.Car]
     for d in range(3):
         assert car["bev"][d]["ap_r40"] >= car["3d"][d]["ap_r40"] - 1e-9
+
+
+def test_eval_cli_on_fixture(tmp_path, monkeypatch, capsys):
+    """d3d_tpu_kitti_eval end-to-end: GT echoed back as detections (with
+    scores) produces a perfect first-threshold precision through the CLI."""
+    import sys
+
+    import kitti_fixture as kfx
+    from d3d_tpu.dataset.kitti.object import (KittiObjectLoader,
+                                              evaluate_detection_results)
+
+    root = tmp_path / "kitti"
+    kfx.build_unzipped(root, nframes=3)
+    # write GT-as-detections result files (label format + score column)
+    results = tmp_path / "results"
+    results.mkdir()
+    loader = KittiObjectLoader(root, inzip=False, phase="validation",
+                               trainval_split=0.0)
+    for i in range(len(loader)):
+        uidx = loader._parse_idx(i)
+        src = root / "training" / "label_2" / ("%06d.txt" % uidx)
+        lines = []
+        for line in src.read_text().splitlines():
+            if line.startswith("DontCare"):
+                continue
+            lines.append(line + " 0.9")
+        (results / ("%06d.txt" % uidx)).write_text("\n".join(lines) + "\n")
+
+    monkeypatch.setattr(sys, "argv", [
+        "d3d_tpu_kitti_eval", str(root), str(results),
+        "--classes", "Car", "--metrics", "3d", "--split", "0.0"])
+    evaluate_detection_results()
+    out = capsys.readouterr().out
+    assert "Car  3D AP_R40@0.70" in out
