@@ -58,6 +58,18 @@ def centerpoint_nuscenes(**overrides):
     return replace(cfg, **overrides)
 
 
+def centerpoint_nuscenes_10sweep(**overrides):
+    """nuScenes 10-sweep temporal CenterPoint: the keyframe cloud plus 9
+    motion-compensated sweeps with an age channel (build the input with
+    :func:`d3d_tpu.models.sweeps.accumulate_sweeps`; the extra dt column
+    flows through pillarize into the PFN automatically). The doubled
+    pillar budget absorbs the ~10x point count."""
+    cfg = CenterPointConfig(
+        bounds=(-51.2, 51.2, -51.2, 51.2, -5.0, 3.0), grid=(512, 512),
+        max_pillars=60000, max_points_per_pillar=20, dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
 def second_kitti(**overrides):
     """KITTI SECOND: 0.2 m voxels, 20 z-layers, sparse middle extractor."""
     cfg = SECONDConfig(

@@ -135,3 +135,22 @@ def test_model_consumes_multisweep(loader, rng):
                       train=False)
     assert all(np.isfinite(np.asarray(v)).all()
                for v in jax.tree.leaves(out))
+
+
+def test_10sweep_preset_consumes_accumulated_cloud(loader):
+    """The 10-sweep CenterPoint preset's pillarization accepts the
+    5-column accumulated cloud (scaled down for the test)."""
+    import jax.numpy as jnp
+
+    from d3d_tpu.models.pointpillars import PointPillarsConfig, pillarize
+    from d3d_tpu.models.presets import centerpoint_nuscenes_10sweep
+
+    cfg = centerpoint_nuscenes_10sweep(grid=(32, 32), max_pillars=256,
+                                       max_points_per_pillar=8)
+    cloud = accumulate_sweeps(loader, 0, nsweeps=10)
+    pcfg = PointPillarsConfig(
+        bounds=cfg.bounds, grid=cfg.grid, max_pillars=cfg.max_pillars,
+        max_points_per_pillar=cfg.max_points_per_pillar)
+    feats, coords, valid = pillarize(jnp.asarray(cloud), pcfg)
+    assert feats.shape[-1] == 10  # 5 raw + 3 centroid + 2 center offsets
+    assert int(valid.sum()) > 0
