@@ -22,7 +22,8 @@ from .pointpillars import PointPillarsConfig
 from .second import SECONDConfig
 
 __all__ = ["pointpillars_kitti", "pointpillars_kitti_3class",
-           "centerpoint_nuscenes", "second_kitti", "bevseg_semantickitti"]
+           "centerpoint_nuscenes", "centerpoint_nuscenes_10sweep",
+           "second_kitti", "bevseg_semantickitti"]
 
 # KITTI car/pedestrian/cyclist anchor sizes (l, w, h) from the
 # PointPillars paper (Lang et al., CVPR 2019, Sec. 4.1)
