@@ -370,8 +370,35 @@ def eval_frames_device(packed, thresholds, max_dist, max_dist_strict,
 # DetectionEvaluator integration
 # ---------------------------------------------------------------------------
 
+def _merge_stats(evaluator, parts):
+    """Combine mergeable partial DetectionEvalStats: counters sum,
+    accuracies tp-weighted mean (NaN where no TPs) — the same semantics
+    as the in-kernel frame merge and evaluator.add_stats."""
+    from .benchmarks import DetectionEvalStats
+
+    classes = evaluator._classes
+    s = DetectionEvalStats(classes, evaluator._pr_nsamples)
+    acc_fields = ("acc_iou", "acc_angular", "acc_dist", "acc_box", "acc_var")
+    for k in classes:
+        s.ngt[k] = int(sum(p.ngt[k] for p in parts))
+        for fld in ("ndt", "tp", "fp", "fn"):
+            getattr(s, fld)[k][:] = np.sum(
+                [getattr(p, fld)[k] for p in parts], axis=0)
+        tp_tot = np.sum([p.tp[k] for p in parts], axis=0)
+        with np.errstate(invalid="ignore"):
+            for fld in acc_fields:
+                num = np.zeros_like(s.acc_iou[k])
+                for p in parts:
+                    v = getattr(p, fld)[k]
+                    num += np.where(p.tp[k] > 0, v * p.tp[k], 0.0)
+                getattr(s, fld)[k][:] = np.where(
+                    tp_tot > 0, num / np.maximum(tp_tot, 1), np.nan)
+    return s
+
+
 def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
-                      merge=True, mesh=None, packed=None, gt_ignored=None):
+                      merge=True, mesh=None, packed=None, gt_ignored=None,
+                      chunk_frames=None):
     """Evaluate many frames with :func:`eval_frames_device` and return
     either one merged ``DetectionEvalStats`` (``merge=True``) or a list of
     per-frame stats identical to ``evaluator.calc_stats`` outputs.
@@ -389,6 +416,11 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
         these (gt, dt) lists — packing is threshold-independent, so
         multi-threshold protocols (KITTI strata, nuScenes distances) pack
         once and evaluate many times.
+    :param chunk_frames: optional chunk size bounding device memory on
+        long streams (the kernel holds F x S x D x G intermediates):
+        chunks are evaluated sequentially and their mergeable stats
+        combined — identical results, bounded peak memory. Requires
+        ``merge=True``; chunks are rounded up to dp multiples on a mesh.
     """
     from .benchmarks import DetectionEvalStats
 
@@ -399,6 +431,20 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
         return ([] if not merge
                 else DetectionEvalStats(evaluator._classes,
                                         evaluator._pr_nsamples))
+    if chunk_frames is not None and nframes > chunk_frames:
+        if not merge:
+            raise ValueError("chunk_frames requires merge=True")
+        if packed is not None:
+            raise ValueError("chunk_frames cannot reuse a prepacked batch")
+        parts = []
+        for lo in range(0, nframes, chunk_frames):
+            hi = min(lo + chunk_frames, nframes)
+            parts.append(device_calc_stats(
+                evaluator, gt_arrays[lo:hi], dt_arrays[lo:hi], calib=calib,
+                merge=True, mesh=mesh,
+                gt_ignored=None if gt_ignored is None
+                else list(gt_ignored)[lo:hi]))
+        return _merge_stats(evaluator, parts)
     if mesh is not None and merge:
         dp = mesh.shape["dp"]
         pad = (-nframes) % dp

@@ -359,3 +359,33 @@ class TestIgnoreSemantics:
         assert easy.fp[CAR.value][0] == 0  # hard-gt detection is ignored
         hard = evs["hard"].get_stats()
         assert hard.tp[CAR.value][0] == 2
+
+
+class TestChunkedEval:
+    def test_chunked_equals_unchunked(self, rng):
+        """chunk_frames slices the stream and merges mergeable stats —
+        identical counters and accuracies to one big call."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        from bench_eval import make_frames
+
+        from d3d_tpu.benchmarks import DetectionEvaluator
+        from d3d_tpu.benchmarks_device import device_calc_stats
+
+        classes, gts, dts = make_frames(np.random.default_rng(3), 13,
+                                        ngt=6, extra=4)
+        ev = DetectionEvaluator(classes, [0.7, 0.5, 0.5])
+        whole = device_calc_stats(ev, gts, dts)
+        chunked = device_calc_stats(ev, gts, dts, chunk_frames=5)
+        for k in ev._classes:
+            assert whole.ngt[k] == chunked.ngt[k]
+            for fld in ("ndt", "tp", "fp", "fn"):
+                np.testing.assert_array_equal(getattr(whole, fld)[k],
+                                              getattr(chunked, fld)[k])
+            for fld in ("acc_iou", "acc_angular", "acc_dist", "acc_box",
+                        "acc_var"):
+                np.testing.assert_allclose(getattr(whole, fld)[k],
+                                           getattr(chunked, fld)[k],
+                                           atol=1e-5, equal_nan=True)
