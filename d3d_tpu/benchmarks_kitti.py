@@ -161,12 +161,15 @@ def _clean_data(gt_arr, dt_arr, current_class, difficulty):
 
 
 def _overlap_matrix(dt_arr, gt_arr, metric):
-    """(D, G) overlap matrix on device: 3D rotated IoU or BEV rotated
-    IoU (devkit d3DBoxOverlap / groundBoxOverlap, criterion = union)."""
+    """(D, G) overlap matrix on device: TRUE VOLUME 3D rotated IoU
+    (devkit ``d3DBoxOverlap``: inter_vol / (v1 + v2 - inter_vol) — NOT
+    the framework's box3dr product of BEV and z IoUs, which understates
+    overlap whenever both the footprint and the z interval partially
+    overlap) or BEV rotated IoU (``groundBoxOverlap``), criterion =
+    union."""
     import jax.numpy as jnp
 
-    from .ops.geometry import box3dr_iou_pair
-    from .ops.geometry_soa import rbox_iou
+    from .ops.geometry_soa import intersect_area, rbox_iou
 
     if len(dt_arr) == 0 or len(gt_arr) == 0:
         return np.zeros((len(dt_arr), len(gt_arr)))
@@ -199,11 +202,22 @@ def _overlap_matrix(dt_arr, gt_arr, metric):
 
     d7 = dt_arr.boxes7()
     g7 = gt_arr.boxes7()
+    bev = lambda b: np.concatenate([b[:, 0:2], b[:, 3:5], b[:, 6:7]], 1)
     if metric == "3d":
-        m = box3dr_iou_pair(jnp.asarray(d7)[:, None, :],
-                            jnp.asarray(g7)[None, :, :])
+        b1 = jnp.asarray(bev(d7))[:, None, :]
+        b2 = jnp.asarray(bev(g7))[None, :, :]
+        inter_area = np.asarray(intersect_area(b1, b2))
+        zlo = np.maximum(d7[:, None, 2] - d7[:, None, 5] / 2,
+                         g7[None, :, 2] - g7[None, :, 5] / 2)
+        zhi = np.minimum(d7[:, None, 2] + d7[:, None, 5] / 2,
+                         g7[None, :, 2] + g7[None, :, 5] / 2)
+        vi = inter_area * np.clip(zhi - zlo, 0, None)
+        v1 = np.prod(d7[:, 3:6], axis=1)
+        v2 = np.prod(g7[:, 3:6], axis=1)
+        union = v1[:, None] + v2[None, :] - vi
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = np.where(union > 0, vi / union, 0.0)
     elif metric == "bev":
-        bev = lambda b: np.concatenate([b[:, 0:2], b[:, 3:5], b[:, 6:7]], 1)
         m = rbox_iou(jnp.asarray(bev(d7))[:, None, :],
                      jnp.asarray(bev(g7))[None, :, :])
     else:
@@ -326,7 +340,8 @@ def _get_thresholds(tp_scores, n_gt):
 
 def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
                             difficulty=1, metric="3d", min_overlap=0.7,
-                            dontcare=None, compute_aos=False):
+                            dontcare=None, compute_aos=False,
+                            overlaps=None):
     """Exact official KITTI AP for one class and difficulty.
 
     Native reimplementation of the devkit ``eval.cpp`` pipeline the
@@ -351,6 +366,9 @@ def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
     :param compute_aos: also compute average orientation similarity from
         ``aux['alpha']`` observation angles (officially paired with the
         2D metric); adds ``aos_r40`` / ``aos_r11`` / ``aos`` outputs
+    :param overlaps: optional per-frame (D, G) overlap matrices — they
+        depend only on the metric, so multi-class/difficulty sweeps
+        (:func:`kitti_official_summary`) compute them once per metric
     :returns: dict(ap_r40, ap_r11, precision (41,), thresholds,
         n_gt, tp/fp/fn arrays per threshold[, aos fields])
     """
@@ -360,7 +378,8 @@ def evaluate_kitti_official(gt_arrays, dt_arrays, current_class,
     for fi, (gt_arr, dt_arr) in enumerate(zip(gt_arrays, dt_arrays)):
         ig, idt, n_gt = _clean_data(gt_arr, dt_arr, current_class,
                                     difficulty)
-        overlap = _overlap_matrix(dt_arr, gt_arr, metric)
+        overlap = (overlaps[fi] if overlaps is not None
+                   else _overlap_matrix(dt_arr, gt_arr, metric))
         scores = np.array([float(o.tag.scores[0]) for o in dt_arr])
         det_bboxes = [(o.aux or {}).get("bbox") for o in dt_arr]
         if dontcare is not None:
@@ -441,6 +460,9 @@ def kitti_official_summary(gt_arrays, dt_arrays, classes,
     """
     results = {}
     lines = []
+    overlap_cache = {}
+    gt_arrays = list(gt_arrays)
+    dt_arrays = list(dt_arrays)
     for cls in classes:
         cname = getattr(cls, "name", str(cls))
         mo = _DEFAULT_MIN_OVERLAP
@@ -449,12 +471,18 @@ def kitti_official_summary(gt_arrays, dt_arrays, classes,
             mo = min_overlaps.get(cls, min_overlaps.get(cname, mo))
         results[cls] = {}
         for metric in metrics:
+            # the overlap matrices depend only on the metric: compute once
+            # and share across the class x difficulty sweep
+            ov = overlap_cache.setdefault(metric, [
+                _overlap_matrix(d, g, metric)
+                for d, g in zip(dt_arrays, gt_arrays)])
             per_diff = {}
             for difficulty in range(3):
                 per_diff[difficulty] = evaluate_kitti_official(
                     gt_arrays, dt_arrays, cls, difficulty=difficulty,
                     metric=metric, min_overlap=mo,
-                    compute_aos=compute_aos and metric == "2d")
+                    compute_aos=compute_aos and metric == "2d",
+                    overlaps=ov)
             results[cls][metric] = per_diff
             aps = [per_diff[d]["ap_r40"] * 100 for d in range(3)]
             lines.append(

@@ -63,8 +63,9 @@ def centerpoint_nuscenes_10sweep(**overrides):
     """nuScenes 10-sweep temporal CenterPoint: the keyframe cloud plus 9
     motion-compensated sweeps with an age channel (build the input with
     :func:`d3d_tpu.models.sweeps.accumulate_sweeps`; the extra dt column
-    flows through pillarize into the PFN automatically). The doubled
-    pillar budget absorbs the ~10x point count."""
+    flows through pillarize into the PFN automatically). The 5x pillar
+    budget (60k vs the base preset's 12k) absorbs the ~10x point count
+    (sweeps mostly densify already-occupied cells)."""
     cfg = CenterPointConfig(
         bounds=(-51.2, 51.2, -51.2, 51.2, -5.0, 3.0), grid=(512, 512),
         max_pillars=60000, max_points_per_pillar=20, dtype="bfloat16")

@@ -638,7 +638,9 @@ def voxelize_filter_padded(
 
         assert points_xyz is not None, \
             "farthest_sampling needs the point coordinates"
-        pool = int(fps_pool)
+        # the candidate pool can never be smaller than the keep count,
+        # else FPS would silently keep fewer points than `trim` would
+        pool = max(int(fps_pool), int(max_points))
         inpool = (pm_new >= 0) & (slot < pool)
         rows = jnp.where(inpool, pm_new, v)
         cols = jnp.minimum(slot, pool - 1)

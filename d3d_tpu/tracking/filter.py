@@ -462,6 +462,7 @@ class Pose_IMM(PoseFilter):
         self._mu = self._mu / self._mu.sum()
         self._cbar = self._mu.copy()
         self._a_var = float(a_prior_var)
+        self._combined_cache = None  # invalidated by predict/update
 
     # -- augmented-space plumbing -------------------------------------------
     def _aug(self, m):
@@ -515,6 +516,7 @@ class Pose_IMM(PoseFilter):
             self._set(m, x0, P0)
         for m in self._models:
             m.predict(dt)
+        self._combined_cache = None
 
     def update(self, detection):
         logl = []
@@ -525,6 +527,7 @@ class Pose_IMM(PoseFilter):
         lw -= lw.max()
         mu = np.exp(lw)
         self._mu = mu / mu.sum()
+        self._combined_cache = None
 
     @property
     def model_probabilities(self):
@@ -532,8 +535,13 @@ class Pose_IMM(PoseFilter):
         return self._mu.copy()
 
     def _combined(self):
-        xs, Ps = zip(*(self._aug(m) for m in self._models))
-        return self._moment_match(np.asarray(xs), Ps, self._mu)
+        # reading the full PoseFilter surface touches this 5-7x per frame;
+        # the mixture only changes at predict/update
+        if self._combined_cache is None:
+            xs, Ps = zip(*(self._aug(m) for m in self._models))
+            self._combined_cache = self._moment_match(
+                np.asarray(xs), Ps, self._mu)
+        return self._combined_cache
 
     # -- PoseFilter surface (moment-matched across modes) --------------------
     @property

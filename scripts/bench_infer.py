@@ -1,15 +1,15 @@
 """Serving-latency benchmark: points -> Target3DArray end-to-end.
 
-Times the full single-chip inference path of the flagship detectors
-(pillarize/voxelize -> network -> top-k decode -> rotated NMS) across
+Times the REAL serving pipeline — ``make_pointpillars_detector(...)``'s
+``device_fn`` (pillarize -> network -> top-k decode -> rotated NMS),
+exactly what ships and what ``d3d_tpu.export`` serializes — across
 serving configurations: f32 vs bf16 weights, BatchNorm folding on/off,
-int8 weight-only quantization. The jitted device program loops REPS times
-with a data dependence (verify-skill methodology: one RTT, no hoisting,
-value-fetch barrier); host assembly (`Target3DArray.from_columns`) is
-timed separately.
+int8 weight-only quantization. The jitted device program loops REPS
+times with a data dependence (verify-skill methodology: one RTT, no
+hoisting, value-fetch barrier); host assembly
+(`Target3DArray.from_columns`) is timed separately.
 
-Usage: python scripts/bench_infer.py [--model pointpillars|centerpoint]
-           [--reps 32] [--cpu] [--quick]
+Usage: python scripts/bench_infer.py [--reps 32] [--cpu] [--quick]
 """
 
 import argparse
@@ -52,10 +52,10 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
                        fold=False, int8=False):
     from dataclasses import replace
 
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
     from d3d_tpu.models import (PointPillars, PointPillarsConfig,
                                 make_anchors, pillarize)
-    from d3d_tpu.models.pointpillars import decode_boxes
-    from d3d_tpu.ops.nms import nms2d
+    from d3d_tpu.models.inference import make_pointpillars_detector
 
     cfg = PointPillarsConfig() if not quick else PointPillarsConfig(
         bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32),
@@ -77,31 +77,20 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
 
         qp = quantize_params(variables["params"])
         variables = dict(variables, params=dequantize_params(qp))
-    anchors = jnp.asarray(make_anchors(cfg))
-    top_k = 100
 
-    def pipeline(points):
-        f, c, v = pillarize(points, cfg)
-        cls_logits, box_preds, dir_logits = model.apply(
-            variables, f[None], c[None], v[None], train=False)
-        scores_all = jax.nn.sigmoid(cls_logits[0])
-        best = jnp.max(scores_all, axis=-1)
-        top_scores, idx = jax.lax.top_k(best, top_k)
-        boxes = decode_boxes(anchors[idx], box_preds[0][idx])
-        flip = jnp.argmax(dir_logits[0][idx], axis=-1).astype(boxes.dtype)
-        boxes = boxes.at[:, 6].add(flip * jnp.pi)
-        bev = jnp.concatenate([boxes[:, 0:2], boxes[:, 3:5], boxes[:, 6:7]],
-                              axis=-1).astype(jnp.float32)
-        keep = ~nms2d(bev, top_scores.astype(jnp.float32),
-                      iou_threshold=0.5, iou_method="rbox")
-        return boxes, top_scores, keep
+    # the REAL serving pipeline (what d3d_tpu.export serializes)
+    detect = make_pointpillars_detector(
+        model, variables, cfg, make_anchors(cfg), [KittiObjectClass.Car],
+        score_threshold=0.3, top_k=100)
+    pipeline = detect.device_fn
 
     @jax.jit
     def looped(points):
         def body(_, carry):
             chk, = carry
-            boxes, scores, keep = pipeline(points + chk * 1e-20)
-            chk = (jnp.sum(boxes[:4, 0]) + jnp.sum(scores[:4])
+            boxes, scores, labels, keep = pipeline(points + chk * 1e-20)
+            chk = (jnp.sum(boxes[:4, 0].astype(jnp.float32))
+                   + jnp.sum(scores[:4].astype(jnp.float32))
                    + jnp.sum(keep[:8])).astype(points.dtype)
             return (chk,)
 
@@ -113,14 +102,13 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
 
     # host assembly cost (from_columns fast path)
     from d3d_tpu.models.inference import _to_targets
-    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
 
-    boxes, scores, keep = pipeline(jnp.asarray(pts))
-    b, s, k = (np.asarray(boxes), np.asarray(scores), np.asarray(~keep))
-    labels = np.zeros(len(b), np.int64)
+    boxes, scores, labels, keep = pipeline(jnp.asarray(pts))
+    b, s, l, k = (np.asarray(boxes), np.asarray(scores),
+                  np.asarray(labels), np.asarray(keep))
     t0 = time.perf_counter()
     for _ in range(20):
-        arr = _to_targets(b, s, labels, k, [KittiObjectClass.Car] * 1,
+        arr = _to_targets(b, s, l, k, [KittiObjectClass.Car],
                           "velo", 0, 0.3)
     host_ms = (time.perf_counter() - t0) / 20 * 1e3
     tag = f"dtype={dtype} fold={int(fold)} int8={int(int8)}"

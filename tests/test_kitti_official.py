@@ -15,12 +15,12 @@ from d3d_tpu.benchmarks_kitti import (evaluate_kitti_official,
 from d3d_tpu.dataset.kitti.utils import KittiObjectClass
 
 
-def _obj(cls, x, y, yaw, l=4.0, w=2.0, h=1.6, score=None, bbox=None,
+def _obj(cls, x, y, yaw, l=4.0, w=2.0, h=1.6, z=0.0, score=None, bbox=None,
          occ=0, trunc=0.0, bh=100.0):
     aux = dict(occluded=occ, truncated=trunc, box_height=bh)
     if bbox is not None:
         aux["bbox"] = list(bbox)
-    return ObjectTarget3D([x, y, 0.0], Rotation.from_euler("Z", yaw),
+    return ObjectTarget3D([x, y, z], Rotation.from_euler("Z", yaw),
                           [l, w, h], ObjectTag(cls, KittiObjectClass,
                                                score), aux=aux)
 
@@ -193,15 +193,22 @@ def make_scene(rng, nframes=6, ngt=8, extra=5):
             cls = [KittiObjectClass.Car, KittiObjectClass.Van,
                    KittiObjectClass.Pedestrian][rng.integers(3)]
             x, y = rng.uniform(5, 60), rng.uniform(-25, 25)
+            z = float(rng.uniform(-1, 1))
+            hh = float(rng.uniform(1.2, 2.2))
             yaw = rng.uniform(-np.pi, np.pi)
             occ = int(rng.integers(0, 3))
             trunc = float(rng.uniform(0, 0.4))
             bh = float(rng.uniform(20, 80))
-            gt.append(_obj(cls, x, y, yaw, occ=occ, trunc=trunc, bh=bh))
+            gt.append(_obj(cls, x, y, yaw, h=hh, z=z, occ=occ, trunc=trunc,
+                           bh=bh))
             if rng.random() < 0.8:
+                # z/h jitter makes the 3D metric sensitive to the VOLUME
+                # IoU formula (a bev-x-z IoU product would differ)
                 dt.append(_obj(cls, x + rng.normal(0, 0.3),
                                y + rng.normal(0, 0.3),
                                yaw + rng.normal(0, 0.05),
+                               h=hh * float(rng.uniform(0.85, 1.15)),
+                               z=z + float(rng.normal(0, 0.2)),
                                score=float(next(score_pool)),
                                bbox=(0, 0, 50, 30 + rng.uniform(0, 60))))
         for _ in range(extra):
