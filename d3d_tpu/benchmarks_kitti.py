@@ -74,8 +74,10 @@ def evaluate_by_difficulty(evaluator_factory, gt_arrays, dt_arrays,
         Stratum ``d`` counts every GT with difficulty in [0, d]
         (cumulative); harder and invalid (-1) GT are passed as IGNORE —
         they stay matchable so a detection on one counts neither TP nor
-        FP, exactly the official protocol. (DontCare 2D regions are not
-        represented: the loader drops boxless DontCare lines.)
+        FP. (For the full devkit protocol including DontCare 2D regions
+        and neighboring-class absorption use
+        :func:`evaluate_kitti_official` — the loader keeps the DontCare
+        boxes on ``arr.dontcare``.)
     """
     if difficulty_fn is None:
         def difficulty_fn(obj):
