@@ -786,6 +786,57 @@ class TrackingEvaluator(DetectionEvaluator):
             if self._stats.ngt[k] else float("nan")
             for k in self._classes}
 
+    def amota(self, min_recall=0.1):
+        """Average MOTA over the evaluator's operating points — the
+        AB3DMOT / nuScenes-style recall-averaged tracking accuracy.
+
+        Per threshold with achieved recall r = TP/ngt, the
+        recall-normalized MOTAR = max(0, 1 - (IDS + FP + FN -
+        (1 - r) * ngt) / (r * ngt)) (Weng et al., AB3DMOT, IROS 2020;
+        the formula the nuScenes tracking benchmark averages). Averaged
+        over this evaluator's SCORE-threshold grid restricted to points
+        with recall >= ``min_recall`` — faithful MOTAR averaging over our
+        operating points, NOT a bit-exact devkit reimplementation (the
+        devkit samples thresholds at fixed recall steps).
+        """
+        out = {}
+        for k in self._classes:
+            ngt = self._stats.ngt[k]
+            if not ngt:
+                out[self._class_type(k)] = float("nan")
+                continue
+            tp = np.asarray(self._stats.tp[k], float)
+            fp = np.asarray(self._stats.fp[k], float)
+            fn = np.asarray(self._stats.fn[k], float)
+            ids = np.asarray(self._stats.id_switches[k], float)
+            r = tp / ngt
+            valid = r >= min_recall
+            if not valid.any():
+                out[self._class_type(k)] = 0.0
+                continue
+            with np.errstate(invalid="ignore", divide="ignore"):
+                motar = 1.0 - (ids + fp + fn - (1.0 - r) * ngt) / (r * ngt)
+            motar = np.clip(np.where(valid, motar, 0.0), 0.0, 1.0)
+            out[self._class_type(k)] = float(np.mean(motar[valid]))
+        return out
+
+    def amotp(self, min_recall=0.1):
+        """Average MOTP: mean TP center distance, averaged over the
+        operating points with recall >= ``min_recall`` (companion of
+        :meth:`amota`; lower is better)."""
+        out = {}
+        for k in self._classes:
+            ngt = self._stats.ngt[k]
+            if not ngt:
+                out[self._class_type(k)] = float("nan")
+                continue
+            tp = np.asarray(self._stats.tp[k], float)
+            dist = np.asarray(self._stats.acc_dist[k], float)
+            valid = (tp / ngt >= min_recall) & np.isfinite(dist)
+            out[self._class_type(k)] = (float(np.mean(dist[valid]))
+                                        if valid.any() else float("nan"))
+        return out
+
     def metrics_dict(self, score=None):
         """Detection export + CLEAR-MOT fields per class."""
         out = super().metrics_dict(score)
