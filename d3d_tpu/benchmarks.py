@@ -850,6 +850,8 @@ class TrackingEvaluator(DetectionEvaluator):
         frags = self.fragments(score)
         tracked = self.tracked_ratio(score)
         lost = self.lost_ratio(score)
+        amota = self.amota()
+        amotp = self.amotp()
         for k in self._classes:
             c = self._class_type(k)
             name = getattr(c, "name", str(c))
@@ -857,7 +859,8 @@ class TrackingEvaluator(DetectionEvaluator):
                 out[name].update(mota=_f(mota[c]), id_switches=int(ids[c]),
                                  fragments=int(frags[c]),
                                  tracked_ratio=_f(tracked[c]),
-                                 lost_ratio=_f(lost[c]))
+                                 lost_ratio=_f(lost[c]),
+                                 amota=_f(amota[c]), amotp=_f(amotp[c]))
         return out
 
     def summary(self, score_thres=0.8, tracked_ratio_thres=0.8,
