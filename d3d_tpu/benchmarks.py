@@ -87,6 +87,7 @@ class DetectionEvaluator:
         else:
             self._class_type = type(classes)
             self._classes = [classes.value]
+        self._class_to_idx = {v: i for i, v in enumerate(self._classes)}
         self._distance_metric = distance_metric
         # RIoU/IoU metrics: thresholds are MIN overlaps (distance = 1-IoU);
         # Position metric (the nuScenes protocol): thresholds are MAX
@@ -126,20 +127,34 @@ class DetectionEvaluator:
         self._stats = DetectionEvalStats(self._classes, self._pr_nsamples)
 
     # -- per-frame statistics -----------------------------------------------
-    def _aggregate_stats(self, acc, gt_tags):
-        """Mean accuracy per (class, threshold); acc is a list (per
-        threshold) of {gt_idx: value} dicts."""
-        out = {k: np.full(self._pr_nsamples, np.nan) for k in self._classes}
-        sums = {k: np.zeros(self._pr_nsamples) for k in self._classes}
-        counts = {k: np.zeros(self._pr_nsamples, int) for k in self._classes}
-        for si in range(self._pr_nsamples):
-            for gt_idx, val in acc[si].items():
-                k = gt_tags[gt_idx]
-                sums[k][si] += val
-                counts[k][si] += 1
-        for k in self._classes:
-            nz = counts[k] > 0
-            out[k][nz] = sums[k][nz] / counts[k][nz]
+    _ACC_NAMES = ("acc_iou", "acc_dist", "acc_box", "acc_angular", "acc_var")
+
+    def _aggregate_stats(self, acc_vals, gt_tags):
+        """Mean accuracy per (class, threshold) for every accuracy metric
+        at once; ``acc_vals`` is an (S, G, 5) array with the
+        :meth:`_accuracy_entries` columns (iou, dist, box, angular, var)
+        and NaN marking absent (non-TP) entries. Returns
+        ``{metric_name: {class: (S,) means}}`` — one masked reduction per
+        class instead of the reference's per-threshold dict scans
+        (benchmarks.pyx:149-174)."""
+        S = self._pr_nsamples
+        out = {n: {k: np.full(S, np.nan) for k in self._classes}
+               for n in self._ACC_NAMES}
+        if acc_vals.shape[1]:
+            # all 5 columns are set together; var may be -inf (propagates
+            # through the sum exactly like the scalar accumulation did)
+            valid = ~np.isnan(acc_vals[:, :, 0])
+            vals = np.where(valid[:, :, None], acc_vals, 0.0)
+            tags = np.array([self._class_to_idx.get(t, -1) for t in gt_tags])
+            for ki, k in enumerate(self._classes):
+                sel = tags == ki
+                if not sel.any():
+                    continue
+                counts = valid[:, sel].sum(axis=1)
+                sums = vals[:, sel, :].sum(axis=1)
+                nz = counts > 0
+                for vi, n in enumerate(self._ACC_NAMES):
+                    out[n][k][nz] = sums[nz, vi] / counts[nz]
         return out
 
     def _accuracy_entries(self, gt_box, dt_box, iou):
@@ -176,11 +191,7 @@ class DetectionEvaluator:
         matcher.prepare_boxes(dt_boxes, gt_boxes, self._distance_metric)
 
         summary = DetectionEvalStats(self._classes, self._pr_nsamples)
-        iou_acc = [dict() for _ in range(self._pr_nsamples)]
-        angular_acc = [dict() for _ in range(self._pr_nsamples)]
-        dist_acc = [dict() for _ in range(self._pr_nsamples)]
-        box_acc = [dict() for _ in range(self._pr_nsamples)]
-        var_acc = [dict() for _ in range(self._pr_nsamples)]
+        acc_vals = np.full((self._pr_nsamples, len(gt_boxes), 5), np.nan)
 
         if gt_ignored is None:
             gt_ignored = np.zeros(len(gt_boxes), bool)
@@ -239,21 +250,17 @@ class DetectionEvaluator:
                 summary.tp[gt_tag][si] += 1
                 dt_box = dt_boxes[dt_idx]
                 iou = 1 - matcher._distance_cache[dt_idx, gt_idx]
-                (iou_acc[si][gt_idx], dist_acc[si][gt_idx],
-                 box_acc[si][gt_idx], angular_acc[si][gt_idx],
-                 var_acc[si][gt_idx]) = acc_of(dt_idx, gt_idx,
-                                               gt_box, dt_box, iou)
+                acc_vals[si, gt_idx] = acc_of(dt_idx, gt_idx,
+                                              gt_box, dt_box, iou)
 
             for dt_idx in dt_indices:
                 if matcher.query_src_match(dt_idx) < 0:
                     summary.fp[tags[dt_idx]][si] += 1
 
         gt_tags = [b.tag.labels[0] for b in gt_boxes]
-        summary.acc_iou = self._aggregate_stats(iou_acc, gt_tags)
-        summary.acc_angular = self._aggregate_stats(angular_acc, gt_tags)
-        summary.acc_dist = self._aggregate_stats(dist_acc, gt_tags)
-        summary.acc_box = self._aggregate_stats(box_acc, gt_tags)
-        summary.acc_var = self._aggregate_stats(var_acc, gt_tags)
+        for name, per_class in self._aggregate_stats(acc_vals,
+                                                     gt_tags).items():
+            setattr(summary, name, per_class)
         return summary
 
     def add_stats(self, stats):
@@ -485,15 +492,17 @@ class TrackingEvaluator(DetectionEvaluator):
         from .benchmarks_device import (_pack_one, matching_tables_device,
                                         max_dist_arrays)
 
-        class_to_idx = {v: i for i, v in enumerate(self._classes)}
+        consts = getattr(self, "_device_consts", None)
+        if consts is None:
+            md, md_strict = max_dist_arrays(self)
+            consts = self._device_consts = (jnp.asarray(md),
+                                            jnp.asarray(md_strict))
         ng = max(len(gt_boxes), 1)
-        dt = _pack_one(dt_boxes, class_to_idx, nd, want_var=False)
-        gt = _pack_one(gt_boxes, class_to_idx, ng, want_var=False)
-        md, md_strict = max_dist_arrays(self)
+        dt = _pack_one(dt_boxes, self._class_to_idx, nd, want_var=False)
+        gt = _pack_one(gt_boxes, self._class_to_idx, ng, want_var=False)
         dist, dist_ok, rank = matching_tables_device(
             jnp.asarray(dt["boxes"]), jnp.asarray(gt["boxes"]),
-            jnp.asarray(gt["labels"]), jnp.asarray(md),
-            jnp.asarray(md_strict))
+            jnp.asarray(gt["labels"]), consts[0], consts[1])
         ctx = dict(dist_ok=dist_ok, rank=rank,
                    dt_label=jnp.asarray(dt["labels"]),
                    dt_score=jnp.asarray(dt["scores"]),
@@ -539,11 +548,7 @@ class TrackingEvaluator(DetectionEvaluator):
             dist_cache = matcher._distance_cache
 
         summary = TrackingEvalStats(self._classes, self._pr_nsamples)
-        iou_acc = [dict() for _ in range(self._pr_nsamples)]
-        angular_acc = [dict() for _ in range(self._pr_nsamples)]
-        dist_acc = [dict() for _ in range(self._pr_nsamples)]
-        box_acc = [dict() for _ in range(self._pr_nsamples)]
-        var_acc = [dict() for _ in range(self._pr_nsamples)]
+        acc_vals = np.full((self._pr_nsamples, len(gt_boxes), 5), np.nan)
 
         gt_indices = []
         gt_tid_set = set()
@@ -667,10 +672,7 @@ class TrackingEvaluator(DetectionEvaluator):
                 summary.tp[gt_tag][si] += 1
                 summary.ngt_tracked[gt_tag][si][gt_tid] = 1
 
-                (iou_acc[si][gt_idx], dist_acc[si][gt_idx],
-                 box_acc[si][gt_idx], angular_acc[si][gt_idx],
-                 var_acc[si][gt_idx]) = acc_of(dt_idx, gt_idx,
-                                               gt_box, dt_box)
+                acc_vals[si, gt_idx] = acc_of(dt_idx, gt_idx, gt_box, dt_box)
 
             for dt_idx in dt_indices:
                 dt_box = dt_boxes[dt_idx]
@@ -710,11 +712,9 @@ class TrackingEvaluator(DetectionEvaluator):
                 self._last_dt_tags[si][dt_box.tid] = dt_box.tag.labels[0]
 
         gt_tags = [b.tag.labels[0] for b in gt_boxes]
-        summary.acc_iou = self._aggregate_stats(iou_acc, gt_tags)
-        summary.acc_angular = self._aggregate_stats(angular_acc, gt_tags)
-        summary.acc_dist = self._aggregate_stats(dist_acc, gt_tags)
-        summary.acc_box = self._aggregate_stats(box_acc, gt_tags)
-        summary.acc_var = self._aggregate_stats(var_acc, gt_tags)
+        for name, per_class in self._aggregate_stats(acc_vals,
+                                                     gt_tags).items():
+            setattr(summary, name, per_class)
         return summary
 
     def add_stats(self, stats):
