@@ -1,0 +1,46 @@
+"""Frozen-oracle regression test for the TrackingEvaluator.
+
+``fixtures/tracking_eval_oracle.npz`` stores every counter and metric the
+evaluator produced on a deterministic 22-frame synthetic sequence (seed 7,
+including empty-gt and empty-dt frames) at the time the fixture was
+recorded. Any rewrite of the evaluator internals must reproduce the
+integer counters identically and the float metrics to 1e-12 — this pins
+the CLEAR-MOT semantics (reference benchmarks.pyx:488-889) across
+refactors much harder than the handcrafted scenario tests alone.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tracking_sequence import evaluator_fingerprint, make_tracking_sequence
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "tracking_eval_oracle.npz")
+
+
+@pytest.mark.parametrize("device_match", [False, True])
+def test_tracking_evaluator_matches_frozen_oracle(device_match):
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_sequence(seed=7, nframes=20)
+    ev = TrackingEvaluator(classes, [0.7, 0.5, 0.5])
+    for g, d in zip(gts, dts):
+        ev.add_stats(ev.calc_stats(g, d, device_match=device_match))
+    got = evaluator_fingerprint(ev)
+
+    want = dict(np.load(FIXTURE))
+    assert set(got) == set(want)
+    # the device path computes the f32 IoU matrix with a different (but
+    # equally valid) op ordering — accuracy aggregates may differ in the
+    # last f32 bits; every integer counter must still match exactly
+    atol = 1e-6 if device_match else 1e-12
+    for key in sorted(want):
+        g, w = got[key], want[key]
+        assert g.shape == w.shape, key
+        if np.issubdtype(w.dtype, np.integer):
+            np.testing.assert_array_equal(g, w, err_msg=key)
+        else:
+            np.testing.assert_allclose(g, w, rtol=0, atol=atol,
+                                       equal_nan=True, err_msg=key)
