@@ -18,7 +18,7 @@ import scipy.stats as sps
 from enum import Enum
 
 from .abstraction import Target3DArray, TransformSet
-from .ops.special import quatdiff, wmean
+from .ops.special import quatdiff
 from .tracking.matcher import DistanceTypes, ScoreMatcher
 
 __all__ = [
@@ -157,6 +157,36 @@ class DetectionEvaluator:
                     out[n][k][nz] = sums[nz, vi] / counts[nz]
         return out
 
+    def _accuracy_table(self, gt_boxes, dt_boxes, dj, g, ious):
+        """(P, 5) accuracy entries for P matched (dt, gt) index pairs in
+        one batch over the columnar storage: the norms and quaternion
+        angles vectorize (same f32 row arithmetic as the object-wise
+        :meth:`_accuracy_entries`); only pairs carrying an orientation
+        variance fall back to the per-pair scipy logpdfs."""
+        gc, dc = gt_boxes.columns(), dt_boxes.columns()
+        dist = np.linalg.norm(gc["position"][g] - dc["position"][dj],
+                              axis=-1).astype(np.float64)
+        box = np.linalg.norm(gc["dimension"][g] - dc["dimension"][dj],
+                             axis=-1).astype(np.float64)
+        gq = gc["quat"][g].astype(np.float64)
+        dq = dc["quat"][dj].astype(np.float64)
+        gq /= np.linalg.norm(gq, axis=-1, keepdims=True)
+        dq /= np.linalg.norm(dq, axis=-1, keepdims=True)
+        ang = np.atleast_1d(quatdiff(gq, dq))
+        var = np.full(len(dj), -np.inf)
+        ovar = dc["orientation_var"][dj]
+        for p in np.nonzero(ovar > 0)[0]:
+            j, gi = dj[p], g[p]
+            v = sps.multivariate_normal.logpdf(
+                gc["position"][gi], dc["position"][j],
+                cov=dc["position_var"][j])
+            v += sps.multivariate_normal.logpdf(
+                gc["dimension"][gi], dc["dimension"][j],
+                cov=dc["dimension_var"][j])
+            var[p] = v + sps.vonmises.logpdf(ang[p], kappa=1 / ovar[p])
+        return np.stack([np.asarray(ious, np.float64), dist, box,
+                         ang / np.pi, var], axis=1)
+
     def _accuracy_entries(self, gt_box, dt_box, iou):
         dist = float(np.linalg.norm(gt_box.position - dt_box.position))
         box = float(np.linalg.norm(gt_box.dimension - dt_box.dimension))
@@ -269,13 +299,20 @@ class DetectionEvaluator:
         s = self._stats
         for k in self._classes:
             s.ngt[k] += stats.ngt[k]
-            for i in range(self._pr_nsamples):
-                otp, ntp = int(s.tp[k][i]), int(stats.tp[k][i])
+            otp = s.tp[k].astype(float)
+            ntp = stats.tp[k].astype(float)
+            with np.errstate(invalid="ignore"):
                 for field in ("acc_angular", "acc_box", "acc_iou",
                               "acc_dist", "acc_var"):
                     old = getattr(s, field)[k]
-                    new = getattr(stats, field)[k]
-                    old[i] = wmean(old[i], otp, new[i], ntp)
+                    new = np.asarray(getattr(stats, field)[k])
+                    # vectorized wmean: zero-weight sides pass through, so
+                    # NaN placeholders never poison the merge
+                    merged = (old * otp + new * ntp) / np.maximum(
+                        otp + ntp, 1.0)
+                    merged = np.where(otp == 0, new, merged)
+                    old[:] = np.where(ntp == 0,
+                                      np.where(otp == 0, new, old), merged)
             s.ndt[k] += stats.ndt[k]
             s.tp[k] += stats.tp[k]
             s.fp[k] += stats.fp[k]
@@ -438,15 +475,92 @@ class DetectionEvaluator:
 
 class TrackingEvalStats(DetectionEvalStats):
     """Adds id-switch / fragment counts and per-trajectory frame counters
-    (reference benchmarks.pyx:448-486)."""
+    (reference benchmarks.pyx:448-486).
+
+    Trajectory counters are stored COLUMNAR: per class a (T,) trajectory-id
+    vector plus dense count matrices — ``gt_frames`` (T,) frames a gt
+    trajectory appears in, ``gt_tracked`` (S, T) frames it was tracked per
+    threshold, ``dt_frames`` (S, T) frames a dt trajectory passed each
+    threshold. The reference's dict-of-dict layout (benchmarks.pyx:468-476)
+    is preserved as read-only views (:attr:`ngt_ids`, :attr:`ngt_tracked`,
+    :attr:`ndt_ids`) so serialization stays wire-compatible, while merges
+    and metric reductions run as vectorized array ops."""
 
     def __init__(self, classes=(), nsamples=0):
         super().__init__(classes, nsamples)
+        self.nsamples = nsamples
         self.id_switches = {k: np.zeros(nsamples, int) for k in classes}
         self.fragments = {k: np.zeros(nsamples, int) for k in classes}
-        self.ngt_ids = {k: {} for k in classes}
-        self.ngt_tracked = {k: [dict() for _ in range(nsamples)] for k in classes}
-        self.ndt_ids = {k: [dict() for _ in range(nsamples)] for k in classes}
+        self.gt_tids = {k: np.zeros(0, np.uint64) for k in classes}
+        self.gt_frames = {k: np.zeros(0, np.int64) for k in classes}
+        self.gt_tracked = {k: np.zeros((nsamples, 0), np.int64)
+                           for k in classes}
+        self.dt_tids = {k: np.zeros(0, np.uint64) for k in classes}
+        self.dt_frames = {k: np.zeros((nsamples, 0), np.int64)
+                          for k in classes}
+        self._gt_rows = {k: {} for k in classes}
+        self._dt_rows = {k: {} for k in classes}
+
+    def _ensure_rows(self, side, k, tids):
+        """Map trajectory ids to dense rows, growing the per-class table
+        for ids seen for the first time; ``tids`` must be unique."""
+        rows_map = self._gt_rows[k] if side == "gt" else self._dt_rows[k]
+        out = np.empty(len(tids), np.intp)
+        fresh = 0
+        for i, t in enumerate(tids):
+            t = int(t)
+            r = rows_map.get(t)
+            if r is None:
+                r = len(rows_map)
+                rows_map[t] = r
+                fresh += 1
+            out[i] = r
+        if fresh:
+            if side == "gt":
+                self.gt_tids[k] = np.concatenate(
+                    [self.gt_tids[k], np.zeros(fresh, np.uint64)])
+                self.gt_frames[k] = np.concatenate(
+                    [self.gt_frames[k], np.zeros(fresh, np.int64)])
+                self.gt_tracked[k] = np.concatenate(
+                    [self.gt_tracked[k],
+                     np.zeros((self.nsamples, fresh), np.int64)], axis=1)
+                tid_vec = self.gt_tids[k]
+            else:
+                self.dt_tids[k] = np.concatenate(
+                    [self.dt_tids[k], np.zeros(fresh, np.uint64)])
+                self.dt_frames[k] = np.concatenate(
+                    [self.dt_frames[k],
+                     np.zeros((self.nsamples, fresh), np.int64)], axis=1)
+                tid_vec = self.dt_tids[k]
+            tid_vec[out] = np.asarray(tids, np.uint64)
+        return out
+
+    # -- reference-layout views (wire format of benchmarks.pyx:468-476) ----
+    @property
+    def ngt_ids(self):
+        return {k: dict(zip((int(t) for t in self.gt_tids[k]),
+                            self.gt_frames[k].tolist()))
+                for k in self.gt_tids}
+
+    @property
+    def ngt_tracked(self):
+        out = {}
+        for k, mat in self.gt_tracked.items():
+            tids = self.gt_tids[k]
+            out[k] = [{int(tids[j]): int(mat[si, j])
+                       for j in np.nonzero(mat[si])[0]}
+                      for si in range(self.nsamples)]
+        return out
+
+    @property
+    def ndt_ids(self):
+        out = {}
+        for k, mat in self.dt_frames.items():
+            tids = self.dt_tids[k]
+            out[k] = [{int(tids[j]): int(mat[si, j])
+                       for j in np.nonzero(mat[si])[0]}
+                      for si in range(self.nsamples)]
+        return out
 
     def as_object(self):
         d = super().as_object()
@@ -466,20 +580,60 @@ class TrackingEvaluator(DetectionEvaluator):
         super().__init__(classes, min_overlaps,
                          pr_sample_count=pr_sample_count, min_score=min_score,
                          pr_sample_scale=pr_sample_scale)
+        self._clear_track_state()
+        self._stats = TrackingEvalStats(self._classes, self._pr_nsamples)
+
+    def _clear_track_state(self):
+        """Cross-frame matching state, matrix-shaped: one global trajectory
+        table per side (tid -> row, with the trajectory's class tag), and
+        an (S, T) last-assignment matrix holding the counterpart's tid at
+        the previous frame (0 = unassigned). Replaces the reference's
+        per-threshold assignment dicts (benchmarks.pyx:500-520) so the
+        per-frame id-switch / fragment bookkeeping is one boolean matrix
+        expression instead of an S x T Python loop."""
         n = self._pr_nsamples
-        self._last_gt_assignment = [dict() for _ in range(n)]
-        self._last_dt_assignment = [dict() for _ in range(n)]
-        self._last_gt_tags = [dict() for _ in range(n)]
-        self._last_dt_tags = [dict() for _ in range(n)]
-        self._stats = TrackingEvalStats(self._classes, n)
+        self._gtrack_rows = {}
+        self._gtrack_tags = []
+        self._dtrack_rows = {}
+        self._dtrack_tags = []
+        self._last_gt_dt = np.zeros((n, 0), np.uint64)
+        self._last_dt_gt = np.zeros((n, 0), np.uint64)
+
+    def _state_rows(self, side, tids, tags):
+        """Rows in the cross-frame trajectory table for unique ``tids``,
+        growing the table (and zero-padding the last-assignment matrix)
+        for first-seen trajectories."""
+        if side == "gt":
+            rows_map, tag_list = self._gtrack_rows, self._gtrack_tags
+        else:
+            rows_map, tag_list = self._dtrack_rows, self._dtrack_tags
+        out = np.empty(len(tids), np.intp)
+        for i, t in enumerate(tids):
+            t = int(t)
+            r = rows_map.get(t)
+            if r is None:
+                r = len(rows_map)
+                rows_map[t] = r
+                tag_list.append(tags[i])
+            out[i] = r
+        grow = len(rows_map)
+        if side == "gt":
+            if self._last_gt_dt.shape[1] < grow:
+                pad = grow - self._last_gt_dt.shape[1]
+                self._last_gt_dt = np.concatenate(
+                    [self._last_gt_dt,
+                     np.zeros((self._pr_nsamples, pad), np.uint64)], axis=1)
+        else:
+            if self._last_dt_gt.shape[1] < grow:
+                pad = grow - self._last_dt_gt.shape[1]
+                self._last_dt_gt = np.concatenate(
+                    [self._last_dt_gt,
+                     np.zeros((self._pr_nsamples, pad), np.uint64)], axis=1)
+        return out
 
     def reset(self):
         self._stats = TrackingEvalStats(self._classes, self._pr_nsamples)
-        for i in range(self._pr_nsamples):
-            self._last_gt_assignment[i].clear()
-            self._last_dt_assignment[i].clear()
-            self._last_gt_tags[i].clear()
-            self._last_dt_tags[i].clear()
+        self._clear_track_state()
 
     def _device_tables(self, dt_boxes, gt_boxes, nd):
         """Pack both arrays and compute (dist, dist_ok, rank) in one device
@@ -548,172 +702,228 @@ class TrackingEvaluator(DetectionEvaluator):
             dist_cache = matcher._distance_cache
 
         summary = TrackingEvalStats(self._classes, self._pr_nsamples)
-        acc_vals = np.full((self._pr_nsamples, len(gt_boxes), 5), np.nan)
+        S = self._pr_nsamples
+        G, D = len(gt_boxes), len(dt_boxes)
+        acc_vals = np.full((S, G, 5), np.nan)
 
-        gt_indices = []
-        gt_tid_set = set()
-        for gt_idx, gt_box in enumerate(gt_boxes):
-            gt_tag = gt_box.tag.labels[0]
-            if gt_tag not in summary.ngt:
-                continue
-            gt_tid = gt_box.tid
-            summary.ngt[gt_tag] += 1
-            summary.ngt_ids[gt_tag][gt_tid] = 1
-            gt_tid_set.add(gt_tid)
-            gt_indices.append(gt_idx)
+        # -- per-object columns, extracted once --------------------------
+        gt_tags_raw = [b.tag.labels[0] for b in gt_boxes]
+        gt_tids = [b.tid for b in gt_boxes]
+        gt_elig = np.array([t in summary.ngt for t in gt_tags_raw], bool) \
+            if G else np.zeros(0, bool)
+        gt_indices = np.nonzero(gt_elig)[0]
+        gt_tid_set = {gt_tids[g] for g in gt_indices}
+        # Eligible classes only: a preserved assignment may only target a
+        # gt the evaluator tracks (the reference resolved prev tids over
+        # ALL gts, but a tid collision with an untracked-class gt would
+        # crash its later switch accounting — excluded up front here).
+        gt_tid_to_idx = {gt_tids[g]: g for g in gt_indices}
+        gtag_id = np.array([self._class_to_idx.get(t, -1)
+                            for t in gt_tags_raw], np.intp) \
+            if G else np.zeros(0, np.intp)
 
-        gt_tid_to_idx = {gt_boxes[i].tid: i for i in range(len(gt_boxes))}
-
-        # pass 1: per-threshold subsets + preserved assignments (host dicts).
-        # Per-object fields are extracted ONCE; the score/tag admission of
-        # all (threshold, dt) pairs is one vectorized comparison (same f32
-        # score semantics: the f32 value upcasts to f64 against the f64
-        # threshold, exactly like np.float32(score) < thres did per pair).
         dt_tags_raw = [b.tag.labels[0] for b in dt_boxes]
         dt_tids = [b.tid for b in dt_boxes]
-        eligible = np.array([t in summary.ngt for t in dt_tags_raw], bool)
+        dtag_id = np.array([self._class_to_idx.get(t, -1)
+                            for t in dt_tags_raw], np.intp) \
+            if D else np.zeros(0, np.intp)
+        eligible = dtag_id >= 0
         scores32 = np.fromiter((b.tag.scores[0] for b in dt_boxes),
-                               np.float32, count=len(dt_boxes))
+                               np.float32, count=D)
+        # Score/tag admission of all (threshold, dt) pairs as one
+        # vectorized comparison (same f32 semantics: the f32 score upcasts
+        # to f64 against the f64 threshold, as np.float32(s) < thres did).
         thres_col = np.asarray(self._pr_thresholds)[:, None]
         passing = eligible[None, :] & ~(scores32[None, :] < thres_col)
         used = passing.any(axis=0)
         assert all(t > 0 for t, u in zip(dt_tids, used) if u), \
             "Tracking id should be greater than 0 for a valid object!"
-        for k in self._classes:
-            sel = np.array([t == k for t in dt_tags_raw], bool)
-            if sel.any():
-                summary.ndt[k][:] += passing[:, sel].sum(axis=1)
 
-        per_si = []
-        for si in range(self._pr_nsamples):
-            gt_assignment_idx = {}  # gt tid -> dt idx
-            dt_assignment_idx = {}  # dt tid -> gt idx
-            dt_indices = []
-            dt_tid_set = set()
-            prev_map = self._last_dt_assignment[si]
-            ndt_ids_si = summary.ndt_ids
-            for dt_idx in np.nonzero(passing[si])[0]:
-                dt_tag = dt_tags_raw[dt_idx]
-                dt_tid = dt_tids[dt_idx]
-                dt_tid_set.add(dt_tid)
-                ndt_ids_si[dt_tag][si][dt_tid] = 1
+        # -- per-class object / trajectory-frame counters ----------------
+        for g in gt_indices:
+            summary.ngt[gt_tags_raw[g]] += 1
+        for ci, k in enumerate(self._classes):
+            cols = np.nonzero(gt_elig & (gtag_id == ci))[0]
+            if len(cols):
+                utids = list(dict.fromkeys(gt_tids[g] for g in cols))
+                rows = summary._ensure_rows("gt", k, utids)
+                summary.gt_frames[k][rows] += 1
+            dsel = dtag_id == ci
+            if dsel.any():
+                summary.ndt[k][:] += passing[:, dsel].sum(axis=1)
+                dcols = np.nonzero(dsel)[0]
+                utids = list(dict.fromkeys(dt_tids[j] for j in dcols))
+                pos = {t: i for i, t in enumerate(utids)}
+                pres = np.zeros((S, len(utids)), np.int64)
+                for j in dcols:
+                    p = pos[dt_tids[j]]
+                    pres[:, p] = np.maximum(pres[:, p], passing[:, j])
+                rows = summary._ensure_rows("dt", k, utids)
+                summary.dt_frames[k][:, rows] += pres
 
-                prev = prev_map.get(dt_tid)
-                if prev is None:
-                    dt_indices.append(dt_idx)
-                else:
-                    # preserve previous assignment while still in range
-                    gt_idx = gt_tid_to_idx.get(prev)
-                    if gt_idx is None:
-                        dt_indices.append(dt_idx)
-                    elif dist_cache[dt_idx, gt_idx] > \
-                            self._max_distance[dt_tag]:
-                        dt_indices.append(dt_idx)
-                    else:
-                        gt_assignment_idx[prev] = dt_idx
-                        dt_assignment_idx[dt_tid] = gt_idx
-            per_si.append((gt_assignment_idx, dt_assignment_idx, dt_indices,
-                           dt_tid_set))
+        # -- pass 1: preserved assignments from the previous frame -------
+        # prev gt (tid+1 code) per (threshold, dt); 0 = no assignment
+        prev_code = np.zeros((S, D), np.uint64)
+        if D and self._last_dt_gt.shape[1]:
+            dt_srow = np.fromiter((self._dtrack_rows.get(int(t), -1)
+                                   for t in dt_tids), np.intp, count=D)
+            have = dt_srow >= 0
+            if have.any():
+                prev_code[:, have] = self._last_dt_gt[:, dt_srow[have]]
+        uniq, inv = np.unique(prev_code, return_inverse=True)
+        lut = np.fromiter((gt_tid_to_idx.get(int(t) - 1, -1) if t else -1
+                           for t in uniq), np.intp, count=len(uniq))
+        prev_gt_idx = lut[inv].reshape(S, D)
 
-        # matching: one batched device call, or the per-threshold host loop
+        maxd = np.array([self._max_distance.get(t, -np.inf)
+                         for t in dt_tags_raw]) if D else np.zeros(0)
+        preserved = np.zeros((S, D), bool)
+        cand = passing & (prev_gt_idx >= 0)
+        if cand.any():
+            si_c, dj_c = np.nonzero(cand)
+            gi_c = prev_gt_idx[si_c, dj_c]
+            ok = ~(np.asarray(dist_cache)[dj_c, gi_c] > maxd[dj_c])
+            preserved[si_c[ok], dj_c[ok]] = True
+        rematch = passing & ~preserved
+        cur_gt = np.full((S, G), -1, np.intp)  # preserved dt idx per gt
+        si_p, dj_p = np.nonzero(preserved)
+        cur_gt[si_p, prev_gt_idx[si_p, dj_p]] = dj_p
+
+        # -- matching: one batched device call, or the host loop ---------
         if use_device:
-            masks = np.zeros((self._pr_nsamples, nd), bool)
-            for si, (_, _, dt_indices, _) in enumerate(per_si):
-                masks[si, dt_indices] = True
-            match_all = self._device_match_subsets(match_ctx, masks)
-            match_of = lambda si, gt_idx: int(match_all[si, gt_idx])
+            masks = np.zeros((S, nd), bool)
+            masks[:, :D] = rematch
+            new_match = np.asarray(
+                self._device_match_subsets(match_ctx, masks))[:, :G]
+            new_match = new_match.astype(np.intp, copy=True)
         else:
-            host_matches = []
-            for si, (_, _, dt_indices, _) in enumerate(per_si):
+            new_match = np.full((S, G), -1, np.intp)
+            gl = [int(g) for g in gt_indices]
+            for si in range(S):
                 matcher.clear_match()
-                matcher.match(dt_indices, gt_indices, self._max_distance)
-                host_matches.append(dict(matcher._dst_assignment))
-            match_of = lambda si, gt_idx: host_matches[si].get(gt_idx, -1)
+                matcher.match(np.nonzero(rematch[si])[0].tolist(), gl,
+                              self._max_distance)
+                for gi, dj in matcher._dst_assignment.items():
+                    new_match[si, gi] = dj
+        if G and (~gt_elig).any():
+            new_match[:, ~gt_elig] = -1
 
-        # pass 2: counters + id bookkeeping from the match results.
-        # Accuracy entries are threshold-independent per (dt, gt) pair —
-        # memoized so the scipy logpdfs run once per pair, not once per
-        # (threshold, pair); the reference re-ran them per threshold and
-        # flags them as its own bottleneck (benchmarks.pyx:259 FIXME).
-        acc_cache = {}
+        # -- pass 2: counters from the (S, G) assignment matrix ----------
+        fp_ks = np.zeros((len(self._classes), S), np.int64)
+        over = (new_match >= 0) & (cur_gt >= 0)
+        if over.any():
+            # overwritten preserved match: counted FP under the NEW dt's
+            # tag, matching the reference's bookkeeping
+            si_o, g_o = np.nonzero(over)
+            np.add.at(fp_ks, (dtag_id[new_match[si_o, g_o]], si_o), 1)
+        final = np.where(new_match >= 0, new_match, cur_gt)
+        tracked = final >= 0
+        si_t, g_t = np.nonzero(tracked)
+        dj_t = final[si_t, g_t]
 
-        def acc_of(dt_idx, gt_idx, gt_box, dt_box):
-            key = (dt_idx, gt_idx)
-            if key not in acc_cache:
-                acc_cache[key] = self._accuracy_entries(
-                    gt_box, dt_box, 1 - dist_cache[dt_idx, gt_idx])
-            return acc_cache[key]
+        for ci, k in enumerate(self._classes):
+            cols = np.nonzero(gt_elig & (gtag_id == ci))[0]
+            if not len(cols):
+                continue
+            tpk = tracked[:, cols].sum(axis=1)
+            summary.tp[k] += tpk
+            summary.fn[k] += len(cols) - tpk
+            utids = list(dict.fromkeys(gt_tids[g] for g in cols))
+            pos = {t: i for i, t in enumerate(utids)}
+            trkpres = np.zeros((S, len(utids)), np.int64)
+            for g in cols:
+                p = pos[gt_tids[g]]
+                trkpres[:, p] = np.maximum(trkpres[:, p], tracked[:, g])
+            rows = summary._ensure_rows("gt", k, utids)
+            summary.gt_tracked[k][:, rows] += trkpres
 
-        for si, thres in enumerate(self._pr_thresholds):
-            gt_assignment_idx, dt_assignment_idx, dt_indices, dt_tid_set = \
-                per_si[si]
+        # accuracy entries once per unique (dt, gt) pair — the reference
+        # re-ran its scipy logpdfs per threshold and flags that as its own
+        # bottleneck (benchmarks.pyx:259 FIXME)
+        if len(si_t):
+            codes = dj_t.astype(np.int64) * max(G, 1) + g_t
+            uniq_c, inv_c = np.unique(codes, return_inverse=True)
+            dj_u, g_u = np.divmod(uniq_c, max(G, 1))
+            table = self._accuracy_table(
+                gt_boxes, dt_boxes, dj_u, g_u,
+                1 - np.asarray(dist_cache)[dj_u, g_u])
+            acc_vals[si_t, g_t] = table[inv_c]
 
-            for gt_idx in gt_indices:
-                gt_box = gt_boxes[gt_idx]
-                gt_tag = gt_box.tag.labels[0]
-                gt_tid = gt_box.tid
+        assigned_dt = np.zeros((S, D), bool)
+        assigned_dt[si_t, dj_t] = True
+        fp_un = rematch & ~assigned_dt
+        if fp_un.any():
+            si_u, dj_u = np.nonzero(fp_un)
+            np.add.at(fp_ks, (dtag_id[dj_u], si_u), 1)
+        for ci, k in enumerate(self._classes):
+            summary.fp[k] += fp_ks[ci]
 
-                dt_idx = match_of(si, gt_idx)
-                if dt_idx >= 0:
-                    dt_box = dt_boxes[dt_idx]
-                    if gt_tid in gt_assignment_idx:
-                        # overwrite the preserved match: old dt becomes a FP
-                        old_dt = dt_boxes[gt_assignment_idx[gt_tid]]
-                        dt_assignment_idx.pop(old_dt.tid, None)
-                        summary.fp[dt_box.tag.labels[0]][si] += 1
-                    gt_assignment_idx[gt_tid] = dt_idx
-                    dt_assignment_idx[dt_box.tid] = gt_idx
+        # -- id switches / fragments as (S, T) matrix expressions --------
+        # Grow the cross-frame tables for trajectories matched at any
+        # threshold, then compare last frame's assignment matrix to this
+        # frame's: switch = was assigned & (reassigned differently, or
+        # unassigned while still present).
+        m_g = np.nonzero(tracked.any(axis=0))[0]
+        g_rows = self._state_rows("gt", [gt_tids[g] for g in m_g],
+                                  [gt_tags_raw[g] for g in m_g])
+        Tg = self._last_gt_dt.shape[1]
+        cur_gd = np.zeros((S, Tg), np.uint64)
+        if len(m_g):
+            row_of_g = np.full(G, -1, np.intp)
+            row_of_g[m_g] = g_rows
+            dtid_arr = np.fromiter((int(t) for t in dt_tids), np.uint64,
+                                   count=D)
+            cur_gd[si_t, row_of_g[g_t]] = dtid_arr[dj_t]
+        last = self._last_gt_dt
+        if Tg:
+            present_g = np.zeros(Tg, bool)
+            for t in gt_tid_set:
+                r = self._gtrack_rows.get(int(t))
+                if r is not None:
+                    present_g[r] = True
+            switch = (last > 0) & np.where(cur_gd > 0, cur_gd != last,
+                                           present_g[None, :])
+            if switch.any():
+                tag_id_g = np.array([self._class_to_idx.get(t, -1)
+                                     for t in self._gtrack_tags], np.intp)
+                for ci, k in enumerate(self._classes):
+                    cm = tag_id_g == ci
+                    if cm.any():
+                        summary.id_switches[k] += switch[:, cm].sum(axis=1)
+        self._last_gt_dt = cur_gd
 
-                if gt_tid not in gt_assignment_idx:
-                    summary.fn[gt_tag][si] += 1
-                    continue
-                dt_idx = gt_assignment_idx[gt_tid]
-                dt_box = dt_boxes[dt_idx]
-                summary.tp[gt_tag][si] += 1
-                summary.ngt_tracked[gt_tag][si][gt_tid] = 1
+        m_d = np.nonzero(assigned_dt.any(axis=0))[0]
+        d_rows = self._state_rows("dt", [dt_tids[j] for j in m_d],
+                                  [dt_tags_raw[j] for j in m_d])
+        Td = self._last_dt_gt.shape[1]
+        cur_dg = np.zeros((S, Td), np.uint64)
+        if len(m_d):
+            row_of_d = np.full(D, -1, np.intp)
+            row_of_d[m_d] = d_rows
+            gtid_code = np.fromiter((int(t) + 1 for t in gt_tids),
+                                    np.uint64, count=G)
+            cur_dg[si_t, row_of_d[dj_t]] = gtid_code[g_t]
+        last = self._last_dt_gt
+        if Td:
+            # dt presence is per-threshold: the tid must have passed at si
+            present_d = np.zeros((S, Td), bool)
+            for j in range(D):
+                r = self._dtrack_rows.get(int(dt_tids[j]))
+                if r is not None:
+                    present_d[:, r] |= passing[:, j]
+            frag = (last > 0) & np.where(cur_dg > 0, cur_dg != last,
+                                         present_d)
+            if frag.any():
+                tag_id_d = np.array([self._class_to_idx.get(t, -1)
+                                     for t in self._dtrack_tags], np.intp)
+                for ci, k in enumerate(self._classes):
+                    cm = tag_id_d == ci
+                    if cm.any():
+                        summary.fragments[k] += frag[:, cm].sum(axis=1)
+        self._last_dt_gt = cur_dg
 
-                acc_vals[si, gt_idx] = acc_of(dt_idx, gt_idx, gt_box, dt_box)
-
-            for dt_idx in dt_indices:
-                dt_box = dt_boxes[dt_idx]
-                if dt_box.tid not in dt_assignment_idx:
-                    summary.fp[dt_box.tag.labels[0]][si] += 1
-
-            # id switches: a previously matched gt got a different dt (or
-            # none while still present); fragments: symmetric for dt
-            for gt_tid, dt_tid in self._last_gt_assignment[si].items():
-                gt_tag = self._last_gt_tags[si][gt_tid]
-                if gt_tid not in gt_assignment_idx:
-                    if gt_tid in gt_tid_set:
-                        summary.id_switches[gt_tag][si] += 1
-                elif dt_boxes[gt_assignment_idx[gt_tid]].tid != dt_tid:
-                    summary.id_switches[gt_tag][si] += 1
-
-            for dt_tid, gt_tid in self._last_dt_assignment[si].items():
-                dt_tag = self._last_dt_tags[si][dt_tid]
-                if dt_tid not in dt_assignment_idx:
-                    if dt_tid in dt_tid_set:
-                        summary.fragments[dt_tag][si] += 1
-                elif gt_boxes[dt_assignment_idx[dt_tid]].tid != gt_tid:
-                    summary.fragments[dt_tag][si] += 1
-
-            # roll the assignment state
-            self._last_gt_assignment[si] = {}
-            self._last_dt_assignment[si] = {}
-            self._last_gt_tags[si] = {}
-            self._last_dt_tags[si] = {}
-            for gt_tid, dt_idx in gt_assignment_idx.items():
-                dt_box = dt_boxes[dt_idx]
-                gt_idx = dt_assignment_idx[dt_box.tid]
-                gt_tag = gt_boxes[gt_idx].tag.labels[0]
-                self._last_gt_assignment[si][gt_tid] = dt_box.tid
-                self._last_dt_assignment[si][dt_box.tid] = gt_tid
-                self._last_gt_tags[si][gt_tid] = gt_tag
-                self._last_dt_tags[si][dt_box.tid] = dt_box.tag.labels[0]
-
-        gt_tags = [b.tag.labels[0] for b in gt_boxes]
         for name, per_class in self._aggregate_stats(acc_vals,
-                                                     gt_tags).items():
+                                                     gt_tags_raw).items():
             setattr(summary, name, per_class)
         return summary
 
@@ -721,15 +931,15 @@ class TrackingEvaluator(DetectionEvaluator):
         super().add_stats(stats)
         s = self._stats
         for k in self._classes:
-            for tid, cnt in stats.ngt_ids[k].items():
-                s.ngt_ids[k][tid] = s.ngt_ids[k].get(tid, 0) + cnt
             s.id_switches[k] += stats.id_switches[k]
             s.fragments[k] += stats.fragments[k]
-            for i in range(self._pr_nsamples):
-                for tid, cnt in stats.ngt_tracked[k][i].items():
-                    s.ngt_tracked[k][i][tid] = s.ngt_tracked[k][i].get(tid, 0) + cnt
-                for tid, cnt in stats.ndt_ids[k][i].items():
-                    s.ndt_ids[k][i][tid] = s.ndt_ids[k][i].get(tid, 0) + cnt
+            if stats.gt_tids[k].size:
+                rows = s._ensure_rows("gt", k, stats.gt_tids[k].tolist())
+                s.gt_frames[k][rows] += stats.gt_frames[k]
+                s.gt_tracked[k][:, rows] += stats.gt_tracked[k]
+            if stats.dt_tids[k].size:
+                rows = s._ensure_rows("dt", k, stats.dt_tids[k].tolist())
+                s.dt_frames[k][:, rows] += stats.dt_frames[k]
 
     # -- tracking metrics ----------------------------------------------------
     def id_switches(self, score=None):
@@ -743,26 +953,32 @@ class TrackingEvaluator(DetectionEvaluator):
                 for k, v in self._stats.fragments.items()}
 
     def gt_traj_count(self):
-        return {self._class_type(k): len(v)
-                for k, v in self._stats.ngt_ids.items()}
+        return {self._class_type(k): int(v.size)
+                for k, v in self._stats.gt_tids.items()}
 
     def _calc_frame_ratio(self, score, thres, high_pass, return_all):
-        def count(k, si):
-            c = 0
-            for tid, tracked in self._stats.ngt_tracked[k][si].items():
-                ratio = tracked / self._stats.ngt_ids[k][tid]
-                if high_pass and ratio > thres:
-                    c += 1
-                if not high_pass and ratio < thres:
-                    c += 1
-            return c / max(len(self._stats.ngt_ids[k]), 1)
+        st = self._stats
+
+        def counts(k):
+            """Per-threshold trajectory-ratio counts, vectorized over the
+            columnar tables. Only trajectories tracked at least one frame
+            enter the comparison (reference semantics: its per-threshold
+            dict held tracked tids only, so never-tracked trajectories are
+            not counted by the low-pass ML ratio either)."""
+            nt = st.gt_frames[k]
+            if not nt.size:
+                return np.zeros(self._pr_nsamples)
+            trk = st.gt_tracked[k]
+            ratio = trk / np.maximum(nt[None, :], 1)
+            cmp = (ratio > thres) if high_pass else (ratio < thres)
+            return (cmp & (trk > 0)).sum(axis=1) / nt.size
 
         if return_all:
-            return {self._class_type(k): [count(k, i)
-                                          for i in range(self._pr_nsamples)]
+            return {self._class_type(k): counts(k).tolist()
                     for k in self._classes}
         si = self._get_score_idx(score)
-        return {self._class_type(k): count(k, si) for k in self._classes}
+        return {self._class_type(k): float(counts(k)[si])
+                for k in self._classes}
 
     def tracked_ratio(self, score=None, frame_ratio_threshold=0.8,
                       return_all=False):
@@ -884,7 +1100,8 @@ class TrackingEvaluator(DetectionEvaluator):
                     self._stats.ngt[k], max(self._stats.ndt[k])))
                 lines.append("\tTotal processed trajectories:\t%d gt tracklets, %d dt tracklets" % (
                     self.gt_traj_count()[tk],
-                    max(len(self._stats.ndt_ids[k][i]) for i in range(self._pr_nsamples))))
+                    int((self._stats.dt_frames[k] > 0).sum(axis=1).max())
+                    if self._stats.dt_frames[k].size else 0))
                 lines.append("\tPrecision (score > %.2f):\t%.3f" % (score_thres, precision[tk]))
                 lines.append("\tRecall (score > %.2f):\t\t%.3f" % (score_thres, recall[tk]))
                 lines.append("\tMax F1:\t\t\t\t%.3f" % max(fscore[tk]))

@@ -109,8 +109,8 @@ def all_hosts_stats(stats, classes, evaluator_cls=None):
     """Merge per-host evaluator stats across every process in the job.
 
     :param stats: this host's DetectionEvalStats (the dense detection
-        fields; TrackingEvalStats' extra per-trajectory dicts are not
-        dense-mergeable and keep the host-side add_stats path)
+        fields; TrackingEvalStats' extra per-trajectory tables are
+        variable-width per host and keep the host-side add_stats path)
     :param classes: the evaluator's class-value list
     :returns: the globally merged stats object (identical on all hosts)
 

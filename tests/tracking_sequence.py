@@ -121,3 +121,32 @@ def evaluator_fingerprint(ev):
         for cls_k, v in metric.items():
             out[f"m_{name}_{cls_k.name}"] = np.asarray(v, float)
     return out
+
+
+def record_oracle(path):
+    """Re-record the frozen oracle fixture from the CURRENT implementation.
+
+    Only do this for an intentional, understood change (and say why in the
+    commit): the test pins integer counters exactly and float metrics to
+    1e-12, so any re-record must be justified against the previous fixture
+    first (integer counters must never change)."""
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_sequence(seed=7, nframes=20)
+    ev = TrackingEvaluator(classes, [0.7, 0.5, 0.5])
+    for g, d in zip(gts, dts):
+        ev.add_stats(ev.calc_stats(g, d))
+    np.savez_compressed(path, **evaluator_fingerprint(ev))
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(__file__), "fixtures", "tracking_eval_oracle.npz")
+    record_oracle(out)
+    print("recorded", out)
