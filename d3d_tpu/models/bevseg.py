@@ -18,7 +18,7 @@ Everything is static-shape and jit/vmap/pjit-friendly: batch shards over
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 import jax
@@ -86,9 +86,13 @@ class _Up(nn.Module):
 
 
 class BEVSeg(nn.Module):
-    """Pillar encoder -> BEV U-Net -> per-point class logits."""
+    """Pillar encoder -> BEV U-Net -> per-point class logits.
+    ``constrain`` is the optional activation-sharding hook
+    (:func:`d3d_tpu.parallel.spatial_constrain`) for running the canvas
+    spatially partitioned over a mesh 'sp' axis."""
 
     cfg: BEVSegConfig
+    constrain: Callable = None
 
     @nn.compact
     def __call__(self, features, coords, valid, point_coords,
@@ -101,6 +105,7 @@ class BEVSeg(nn.Module):
         :return: (B, N, num_classes) f32 per-point logits
         """
         cfg = self.cfg
+        con = self.constrain or (lambda x, kind: x)
         b = features.shape[0]
         dt = jnp.dtype(cfg.dtype)
 
@@ -109,16 +114,18 @@ class BEVSeg(nn.Module):
         pf = pf * valid[..., None].astype(pf.dtype)
 
         from .pointpillars import scatter_to_bev
-        x = scatter_to_bev(pf, coords, valid, cfg.grid)
+        x = con(scatter_to_bev(pf, coords, valid, cfg.grid), "bev")
 
         # U-Net encoder (stride-2 stages) with skip connections
         skips = []
         for i, (ch, nb) in enumerate(zip(cfg.enc_channels, cfg.enc_blocks)):
-            x = _ConvBlock(ch, nb, 2 if i > 0 else 1, cfg.dtype)(x, train)
+            x = con(_ConvBlock(ch, nb, 2 if i > 0 else 1, cfg.dtype)(
+                x, train), "bev")
             skips.append(x)
         for skip in skips[-2::-1]:
-            x = _Up(cfg.dec_channels, cfg.dtype)(x, skip, train)
-        x = _ConvBlock(cfg.dec_channels, 1, 1, cfg.dtype)(x, train)
+            x = con(_Up(cfg.dec_channels, cfg.dtype)(x, skip, train), "bev")
+        x = con(_ConvBlock(cfg.dec_channels, 1, 1, cfg.dtype)(x, train),
+                "bev")
         logits_map = nn.Conv(cfg.num_classes, (1, 1), dtype=dt,
                              name="head_seg")(x)  # (B, W, H, C)
 

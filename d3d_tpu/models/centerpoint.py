@@ -14,7 +14,7 @@ ECCV 2018).
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 import jax
@@ -56,13 +56,17 @@ class CenterPointConfig:
 class CenterPoint(nn.Module):
     """PFN -> BEV scatter -> backbone -> center heads. Input is the batched
     output of :func:`d3d_tpu.models.pointpillars.pillarize` (built with a
-    pillarize-compatible config)."""
+    pillarize-compatible config). ``constrain`` is the optional
+    activation-sharding hook (:func:`d3d_tpu.parallel.spatial_constrain`)
+    for running the canvas spatially partitioned over a mesh 'sp' axis."""
 
     cfg: CenterPointConfig
+    constrain: Callable = None
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
         cfg = self.cfg
+        con = self.constrain or (lambda x, kind: x)
         b = features.shape[0]
         dt = jnp.dtype(cfg.dtype)
 
@@ -71,15 +75,16 @@ class CenterPoint(nn.Module):
         pf = pf * valid[..., None].astype(pf.dtype)
 
         from .pointpillars import scatter_to_bev
-        x = scatter_to_bev(pf, coords, valid, cfg.grid)
+        x = con(scatter_to_bev(pf, coords, valid, cfg.grid), "bev")
 
         ups = []
         for i, (ch, nb) in enumerate(zip(cfg.backbone_channels,
                                          cfg.backbone_blocks)):
-            x = _ConvBlock(ch, nb, 2 if i > 0 else 1, cfg.dtype)(x, train)
+            x = con(_ConvBlock(ch, nb, 2 if i > 0 else 1, cfg.dtype)(
+                x, train), "bev")
             ups.append(_Upsample(cfg.upsample_channels, 2 ** i,
                                  cfg.dtype)(x, train))
-        feat = jnp.concatenate(ups, axis=-1)
+        feat = con(jnp.concatenate(ups, axis=-1), "bev")
 
         def head(n_out, name, bias_init=0.0):
             y = nn.Conv(cfg.head_channels, (3, 3), padding="SAME", dtype=dt,

@@ -20,7 +20,7 @@ from Point Clouds", CVPR 2019 (arXiv:1812.05784).
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -219,13 +219,22 @@ class _Upsample(nn.Module):
 
 class PointPillars(nn.Module):
     """Full network: PFN -> BEV scatter -> multi-scale 2D backbone -> SSD
-    head. Input is the batched output of :func:`pillarize`."""
+    head. Input is the batched output of :func:`pillarize`.
+
+    ``constrain`` is an optional activation-sharding hook ``(x, kind) ->
+    x`` (see :func:`d3d_tpu.parallel.spatial_constrain`): every
+    BEV-shaped activation passes through it with kind="bev", so a mesh
+    with a spatial axis runs the conv backbone spatially partitioned
+    (XLA SPMD inserts the halo exchanges). ``None`` (default) is the
+    single-chip / dp-tp-only path, bit-identical to before."""
 
     cfg: PointPillarsConfig
+    constrain: Callable = None
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
         cfg = self.cfg
+        con = self.constrain or (lambda x, kind: x)
         b = features.shape[0]
         dt = jnp.dtype(cfg.dtype)
 
@@ -235,16 +244,17 @@ class PointPillars(nn.Module):
         pf = pf * valid[..., None].astype(pf.dtype)  # (B, P, F)
 
         # scatter pillars to the BEV canvas (W, H layout: x -> rows)
-        x = scatter_to_bev(pf, coords, valid, cfg.grid)
+        x = con(scatter_to_bev(pf, coords, valid, cfg.grid), "bev")
 
         # backbone + FPN-style upsampling
         ups = []
         for i, (ch, nb) in enumerate(zip(cfg.backbone_channels,
                                          cfg.backbone_blocks)):
-            x = _ConvBlock(ch, nb, 2 if i > 0 else 1, cfg.dtype)(x, train)
+            x = con(_ConvBlock(ch, nb, 2 if i > 0 else 1, cfg.dtype)(
+                x, train), "bev")
             ups.append(_Upsample(cfg.upsample_channels, 2 ** i,
                                  cfg.dtype)(x, train))
-        feat = jnp.concatenate(ups, axis=-1)  # (B, W, H, 3*U)
+        feat = con(jnp.concatenate(ups, axis=-1), "bev")  # (B, W, H, 3*U)
 
         # SSD head (per cell: A anchors)
         a = cfg.num_anchors_per_cell

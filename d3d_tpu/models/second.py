@@ -18,7 +18,7 @@ via :func:`d3d_tpu.parallel.shard_train_step` like every other family.
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -157,9 +157,14 @@ class _SpConv(nn.Module):
 
 class SECOND(nn.Module):
     """Sparse middle extractor + BEV RPN head (PointPillars-compatible
-    outputs: cls logits, box deltas, direction logits per anchor)."""
+    outputs: cls logits, box deltas, direction logits per anchor).
+    ``constrain`` is the optional activation-sharding hook
+    (:func:`d3d_tpu.parallel.spatial_constrain`); only the dense BEV head
+    partitions spatially — the sparse middle extractor is site-parallel
+    and stays batch-sharded."""
 
     cfg: SECONDConfig
+    constrain: Callable = None
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -198,9 +203,12 @@ class SECOND(nn.Module):
         fg = cfg.final_grid
         dense = jax.vmap(lambda f, c, v: sparse_to_dense(f, c, v, fg))(
             x, cur_coords, cur_valid)              # (B, X, Y, Z, C)
-        bev = dense.reshape(b, fg[0], fg[1], fg[2] * x.shape[-1])
+        con = self.constrain or (lambda y, kind: y)
+        bev = con(dense.reshape(b, fg[0], fg[1], fg[2] * x.shape[-1]),
+                  "bev")
 
-        bev = _ConvBlock(cfg.head_channels, 2, 1, cfg.dtype)(bev, train)
+        bev = con(_ConvBlock(cfg.head_channels, 2, 1, cfg.dtype)(bev, train),
+                  "bev")
         a = (len(cfg.anchor_sizes) * len(cfg.anchor_rotations))
         dt = jnp.dtype(cfg.dtype)
         cls_logits = nn.Conv(a * cfg.num_classes, (1, 1), dtype=dt,

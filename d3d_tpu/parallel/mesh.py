@@ -20,31 +20,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "shard_inference",
-    "make_mesh", "batch_sharding", "replicate_sharding", "shard_train_step",
+    "make_mesh", "batch_sharding", "replicate_sharding", "bev_sharding",
+    "spatial_constrain", "shard_train_step",
     "stats_to_arrays", "arrays_to_stats", "reduce_stats_arrays",
 ]
 
 
-def make_mesh(n_devices=None, dp=None, tp=None, devices=None):
-    """Create a ('dp', 'tp') mesh over the available devices.
+def make_mesh(n_devices=None, dp=None, tp=None, sp=None, devices=None):
+    """Create a ('dp', 'sp', 'tp') mesh over the available devices.
 
-    By default tp = 2 when the device count is even (and > 1), else 1.
+    ``sp`` is the SPATIAL axis (default 1): BEV canvases shard their
+    x-row dimension over it (see :func:`spatial_constrain`) and XLA's
+    SPMD partitioner inserts the conv halo exchanges. By default tp = 2
+    when the remaining device count is even (and > 1), else 1.
     """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
     n = len(devices)
+    if sp is None:
+        sp = 1
+    assert n % sp == 0, "sp must divide the device count"
+    nd = n // sp
     if tp is None:
-        # an explicit dp fixes tp = n // dp (a tp=2 default would make
+        # an explicit dp fixes tp = nd // dp (a tp=2 default would make
         # make_mesh(dp=n) impossible); otherwise default tp to 2 when even
-        tp = n // dp if dp is not None \
-            else (2 if n % 2 == 0 and n > 1 else 1)
+        tp = nd // dp if dp is not None \
+            else (2 if nd % 2 == 0 and nd > 1 else 1)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, "dp * tp must equal the device count"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        dp = nd // tp
+    assert dp * sp * tp == n, "dp * sp * tp must equal the device count"
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def batch_sharding(mesh):
@@ -54,6 +62,37 @@ def batch_sharding(mesh):
 
 def replicate_sharding(mesh):
     return NamedSharding(mesh, P())
+
+
+def bev_sharding(mesh):
+    """Sharding of a (B, W, H, C) BEV canvas: batch over dp, x-rows over
+    the spatial axis when the mesh has one."""
+    return NamedSharding(mesh, P("dp", "sp") if "sp" in mesh.shape
+                         else P("dp"))
+
+
+def spatial_constrain(mesh):
+    """Activation-sharding hook for the model constructors (the
+    ``constrain`` attribute of :class:`~d3d_tpu.models.PointPillars` and
+    friends): constrains every BEV-shaped activation to
+    ``P('dp', 'sp')`` so the 2D conv backbone runs spatially partitioned
+    — XLA's SPMD partitioner materializes the kernel-radius halo
+    exchanges between 'sp' neighbors, the TPU-native counterpart of
+    manually splitting a canvas that outgrows one chip's HBM.
+
+    Returns ``(x, kind) -> x``; kinds other than ``"bev"`` pass through
+    so the same hook can be handed to any model."""
+    bev = bev_sharding(mesh)
+
+    def con(x, kind):
+        # rank-4 only: a (B, W, H, C) canvas. Unbatched rank-3 views (a
+        # model applied under vmap, e.g. shard_inference's per-device
+        # pipeline) pass through — the leading axes would not line up.
+        if kind == "bev" and x.ndim == 4:
+            return jax.lax.with_sharding_constraint(x, bev)
+        return x
+
+    return con
 
 
 def _path_str(path):

@@ -24,7 +24,8 @@ from d3d_tpu.checkpoint import TrainCheckpointer
 from d3d_tpu.models.pointpillars import (PointPillars, PointPillarsConfig,
                                          make_anchors, make_train_step,
                                          pillarize, prepare_targets)
-from d3d_tpu.parallel import make_mesh, shard_train_step
+from d3d_tpu.parallel import (make_mesh, shard_train_step,
+                              spatial_constrain)
 from d3d_tpu.train import Trainer
 
 MAX_GT = 32
@@ -115,7 +116,9 @@ def main():
     batches = make_batches(frames, cfg, args.batch, jax.random.PRNGKey(0))
 
     first = next(batches)
-    model = PointPillars(cfg)
+    # spatial_constrain no-ops on the default sp=1 mesh; pass sp= to
+    # make_mesh above to run the conv backbone spatially partitioned
+    model = PointPillars(cfg, constrain=spatial_constrain(mesh))
     variables = model.init(jax.random.PRNGKey(0), first["features"],
                            first["coords"], first["valid"])
     opt = optax.adam(args.lr)
