@@ -1,0 +1,91 @@
+"""One-shot TPU hardware revalidation — ROADMAP.md's "Next TPU session
+checklist" as a single resumable command.
+
+Usage: python scripts/tpu_revalidate.py [--out /tmp/tpu_revalidate.json]
+       [--only STEP[,STEP...]]
+
+Probes the tunnel first (45 s trivial-matmul timeout in a subprocess so a
+wedged tunnel cannot hang the runner), then executes, in order:
+
+  probe    trivial matmul answers within 45 s
+  kernels  scripts/tpu_kernel_parity.py — the Pallas kernels compiled by
+           Mosaic on the chip vs their XLA / host oracles
+  bench    python bench.py (headline north-star JSON line)
+  train    scripts/bench_train.py (flagship configs incl. bf16 ext-targets)
+  eval     scripts/bench_eval.py + --tracking (per-frame numbers)
+  sparse   scripts/bench_sparse.py (SECOND neighbor-map + conv)
+  infer    scripts/bench_infer.py (serving configs)
+
+Each step's stdout tail, wall time and rc land in the JSON report; steps
+run in subprocesses with hard timeouts, so one hung step does not lose
+the session. Re-run with --only to redo individual steps after a blip.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = ("import jax, jax.numpy as jnp; "
+         "print(float((jnp.ones((256,256)) @ jnp.ones((256,256)))[0,0]))")
+
+STEPS = [
+    ("probe", [sys.executable, "-c", PROBE], 45),
+    ("kernels", [sys.executable, "scripts/tpu_kernel_parity.py"], 1200),
+    ("bench", [sys.executable, "bench.py"], 1200),
+    ("train", [sys.executable, "scripts/bench_train.py"], 2400),
+    ("eval", [sys.executable, "scripts/bench_eval.py", "--frames", "128"],
+     1200),
+    ("eval_tracking", [sys.executable, "scripts/bench_eval.py", "--tracking",
+                       "--frames", "64"], 1200),
+    ("sparse", [sys.executable, "scripts/bench_sparse.py"], 1200),
+    ("infer", [sys.executable, "scripts/bench_infer.py"], 1800),
+]
+
+
+def run_step(name, cmd, timeout):
+    t0 = time.time()
+    try:
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                              timeout=timeout)
+        rc, out = proc.returncode, proc.stdout + proc.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = -1
+        out = ((e.stdout or b"").decode(errors="replace") if
+               isinstance(e.stdout, bytes) else (e.stdout or ""))
+        out += f"\n<timeout after {timeout}s>"
+    dt = time.time() - t0
+    tail = "\n".join(out.strip().splitlines()[-15:])
+    print(f"== {name}: rc={rc} ({dt:.0f}s)\n{tail}\n", flush=True)
+    return {"rc": rc, "seconds": round(dt, 1), "tail": tail}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/tpu_revalidate.json")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated step names to run")
+    args = ap.parse_args()
+
+    only = set(args.only.split(",")) if args.only else None
+    report = {}
+    for name, cmd, timeout in STEPS:
+        if only is not None and name not in only:
+            continue
+        report[name] = run_step(name, cmd, timeout)
+        if name == "probe" and report[name]["rc"] != 0:
+            print("tunnel DOWN — aborting (re-run when it answers)")
+            break
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    print("report:", args.out)
+    ok = all(r["rc"] == 0 for r in report.values())
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
