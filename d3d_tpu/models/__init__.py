@@ -6,9 +6,11 @@ from .centerpoint import (CenterPoint, CenterPointConfig,
 from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      point_cell_coords, segmentation_loss)
 from .second import SECOND, SECONDConfig, second_voxelize
+from .sst import SST, SSTConfig, window_slots
 from . import presets
 from .inference import (make_centerpoint_detector,
-                        make_pointpillars_detector, make_second_detector)
+                        make_pointpillars_detector, make_second_detector,
+                        make_sst_detector)
 
 __all__ = [
     "PointPillars", "PointPillarsConfig", "pillarize", "make_anchors",
@@ -18,6 +20,7 @@ __all__ = [
     "BEVSeg", "BEVSegConfig", "bevseg_pillarize", "point_cell_coords",
     "segmentation_loss",
     "SECOND", "SECONDConfig", "second_voxelize", "presets",
+    "SST", "SSTConfig", "window_slots",
     "make_pointpillars_detector", "make_centerpoint_detector",
-    "make_second_detector",
+    "make_second_detector", "make_sst_detector",
 ]

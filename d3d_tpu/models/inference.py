@@ -17,7 +17,7 @@ from .pointpillars import decode_boxes, pillarize
 from .centerpoint import decode_centers
 
 __all__ = ["make_pointpillars_detector", "make_centerpoint_detector",
-           "make_second_detector"]
+           "make_second_detector", "make_sst_detector"]
 
 
 def _to_targets(boxes, scores, labels, keep, classes, frame, timestamp,
@@ -83,6 +83,16 @@ def make_pointpillars_detector(model, variables, cfg, anchors, classes,
                                top_k=100):
     """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
     for a trained PointPillars model (jitted once)."""
+    return _make_anchor_detector(model, variables, cfg, anchors, classes,
+                                 pillarize, score_threshold, iou_threshold,
+                                 top_k)
+
+
+def make_sst_detector(model, variables, cfg, anchors, classes,
+                      score_threshold=0.3, iou_threshold=0.5, top_k=100):
+    """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
+    for a trained SST model (PointPillars-compatible anchor head at the
+    full single-stride grid)."""
     return _make_anchor_detector(model, variables, cfg, anchors, classes,
                                  pillarize, score_threshold, iou_threshold,
                                  top_k)

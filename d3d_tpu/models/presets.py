@@ -20,8 +20,9 @@ from .bevseg import BEVSegConfig
 from .centerpoint import CenterPointConfig
 from .pointpillars import PointPillarsConfig
 from .second import SECONDConfig
+from .sst import SSTConfig
 
-__all__ = ["pointpillars_kitti", "pointpillars_kitti_3class",
+__all__ = ["pointpillars_kitti", "pointpillars_kitti_3class", "sst_kitti",
            "centerpoint_nuscenes", "centerpoint_nuscenes_10sweep",
            "second_kitti", "bevseg_semantickitti"]
 
@@ -80,6 +81,18 @@ def second_kitti(**overrides):
         stage_sites=(16000, 8000, 4000), subm_per_stage=2,
         head_channels=128, num_classes=1, anchor_sizes=(_KITTI_CAR,),
         dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
+def sst_kitti(**overrides):
+    """KITTI SST: single-stride windowed transformer at the PointPillars
+    grid (8x8-cell windows, 64-token capacity, 4 alternating-shift
+    blocks) — the small-object-friendly full-resolution family."""
+    cfg = SSTConfig(
+        bounds=(0.0, 69.12, -39.68, 39.68, -3.0, 1.0), grid=(432, 496),
+        max_pillars=12000, max_points_per_pillar=32, pfn_features=128,
+        window=8, capacity=64, depth=4, num_heads=4, neck_channels=128,
+        num_classes=1, anchor_sizes=(_KITTI_CAR,), dtype="bfloat16")
     return replace(cfg, **overrides)
 
 

@@ -1,0 +1,214 @@
+"""SST-style single-stride sparse window transformer — fifth model family.
+
+The reference devkit (cmpute/d3d) ships no models at all (it is the
+toolchain; see models/pointpillars.py); this family goes beyond parity
+with a transformer detector designed for the MXU: pillar tokens are
+grouped into BEV windows and run through windowed multi-head attention —
+dense (window, K, C) einsums that map straight onto the systolic array —
+instead of a strided conv pyramid. Detection stays at the full grid
+resolution (the "single stride" of the title), which is what makes the
+family strong on small objects (pedestrians/cyclists).
+
+TPU-first design choices:
+
+  * fixed shapes everywhere: every window holds exactly ``capacity``
+    token slots (real tokens masked in attention; overflow pillars — rare
+    at sane capacities — skip the transformer through their residual
+    path) instead of the paper's dynamic per-window bucketing;
+  * the pillar->slot routing is the same gather formulation as the BEV
+    scatter (models/pointpillars.py:_bev_gather): one small int32 scatter
+    builds the inverse slot table, then tokens/detokens are pure gathers;
+  * window membership and in-window ranks come from one stable sort +
+    ``cummax`` segment arithmetic — no hash maps, no searchsorted;
+  * alternating shifted windows (Swin-style) give cross-window mixing
+    without any halo code.
+
+The config extends PointPillarsConfig, and ``__call__`` matches the
+PointPillars signature/output contract exactly, so the whole training
+(make_train_step, prepare_targets), inference (make_sst_detector =
+anchor factory), sharding (dp/sp/tp + spatial_constrain on the final BEV
+canvas) and evaluation stack is reused unchanged.
+
+Reference: Fan et al., "Embracing Single Stride 3D Object Detector with
+Sparse Transformer", CVPR 2022 (arXiv:2112.06375); window shifting from
+Liu et al., Swin Transformer (ICCV 2021).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .pointpillars import (PointPillarsConfig, _PFN, _ConvBlock,
+                           scatter_to_bev)
+
+__all__ = ["SSTConfig", "SST", "window_slots"]
+
+
+@dataclass(frozen=True)
+class SSTConfig(PointPillarsConfig):
+    """PointPillars-compatible static config + transformer knobs.
+
+    ``grid`` must be divisible by ``window``; capacity bounds the tokens
+    attending per window (64 covers a 8x8-cell KITTI window comfortably:
+    pillars are sparse, ~12k over a 432x496 grid)."""
+
+    window: int = 8           # window edge, in BEV cells
+    capacity: int = 64        # token slots per window
+    depth: int = 4            # transformer blocks (alternating shift)
+    num_heads: int = 4
+    mlp_ratio: int = 2
+    neck_channels: int = 128  # post-transformer BEV conv neck
+
+
+@partial(jax.jit, static_argnames=("grid", "window", "capacity", "shift"))
+def window_slots(coords, valid, grid, window, capacity, shift=False):
+    """Token-slot assignment of pillars to BEV windows.
+
+    :param coords: (P, 2) int32 pillar cells; ``valid`` (P,) mask
+    :param grid: static (W, H); ``window`` the window edge in cells
+    :param shift: offset windows by window//2 (Swin alternation); the
+        shifted tiling is laid over the grid padded by one window so the
+        border cells still land in complete windows
+    :returns: (slot (P,) int32 in [0, n_windows*capacity) or the trash
+        slot n_windows*capacity; inv (n_windows*capacity,) int32 pillar
+        row per slot, P for empty) — ``inv`` makes tokenization a gather
+        and ``slot`` makes detokenization a gather, mirroring the BEV
+        scatter's formulation.
+    """
+    p = coords.shape[0]
+    w, h = grid
+    off = window // 2 if shift else 0
+    nwx = (w + off + window - 1) // window
+    nwy = (h + off + window - 1) // window
+    n_windows = nwx * nwy
+
+    ix = coords[:, 0] + off
+    iy = coords[:, 1] + off
+    wid = (ix // window) * nwy + (iy // window)
+    big = jnp.int32(n_windows)
+    wid_key = jnp.where(valid, wid, big).astype(jnp.int32)
+
+    # stable sort by window id; in-window rank = index - segment start
+    order = jnp.argsort(wid_key, stable=True)
+    sw = wid_key[order]
+    ar = jnp.arange(p, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), sw[1:] != sw[:-1]])
+    start = jax.lax.cummax(jnp.where(first, ar, 0))
+    rank_sorted = ar - start
+    rank = jnp.zeros(p, jnp.int32).at[order].set(rank_sorted)
+
+    keep = valid & (rank < capacity)
+    trash = jnp.int32(n_windows * capacity)
+    slot = jnp.where(keep, wid * capacity + rank, trash)
+    inv = jnp.full(n_windows * capacity + 1, p, jnp.int32)
+    inv = inv.at[slot].set(ar)  # trash writes land in the overflow row
+    return slot, inv[:-1]
+
+
+class _WindowBlock(nn.Module):
+    """Pre-norm windowed MHSA + MLP on (B, Nw, K, C) token grids."""
+
+    num_heads: int
+    mlp_ratio: int
+    dtype: str
+
+    @nn.compact
+    def __call__(self, tok, tmask):
+        dt = jnp.dtype(self.dtype)
+        c = tok.shape[-1]
+        hd = c // self.num_heads
+
+        y = nn.LayerNorm(dtype=jnp.float32)(tok)
+        qkv = nn.Dense(3 * c, dtype=dt, name="qkv")(y.astype(dt))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(*t.shape[:-1], self.num_heads, hd)
+        q, k, v = split(q), split(k), split(v)
+        # (B, Nw, heads, K, K) window-local attention — dense MXU matmuls
+        logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q, k) / np.sqrt(hd)
+        logits = jnp.where(tmask[:, :, None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn.astype(dt), v)
+        out = out.reshape(*tok.shape[:-1], c)
+        tok = tok + nn.Dense(c, dtype=dt, name="proj")(out)
+
+        y = nn.LayerNorm(dtype=jnp.float32)(tok)
+        y = nn.Dense(self.mlp_ratio * c, dtype=dt, name="mlp1")(y.astype(dt))
+        y = nn.Dense(c, dtype=dt, name="mlp2")(nn.gelu(y))
+        return tok + y
+
+
+class SST(nn.Module):
+    """PFN -> windowed transformer (alternating shift) -> single-stride
+    BEV neck -> SSD head. Same input/output contract as
+    :class:`~d3d_tpu.models.pointpillars.PointPillars`, so the training,
+    detector-factory, export and mesh-sharding stack is shared.
+    ``constrain`` is the optional activation-sharding hook
+    (:func:`d3d_tpu.parallel.spatial_constrain`) applied to the BEV
+    canvas stage."""
+
+    cfg: SSTConfig
+    constrain: Callable = None
+
+    @nn.compact
+    def __call__(self, features, coords, valid, train: bool = False):
+        cfg = self.cfg
+        con = self.constrain or (lambda x, kind: x)
+        b = features.shape[0]
+        dt = jnp.dtype(cfg.dtype)
+        c = cfg.pfn_features
+
+        pmask = jnp.any(features != 0, axis=-1)
+        pf = _PFN(c, cfg.dtype)(features, pmask, train)
+        pf = pf * valid[..., None].astype(pf.dtype)     # (B, P, C)
+
+        # learned positional embedding of the in-window cell offset
+        # (shared across the alternating tilings: offsets mod window)
+        cell = jnp.mod(coords, cfg.window).astype(dt) / cfg.window
+        pf = pf + nn.Dense(c, dtype=dt, name="pos_embed")(cell)
+
+        for d in range(cfg.depth):
+            shift = bool(d % 2)
+            slot, inv = jax.vmap(
+                lambda cd, vl: window_slots(cd, vl, cfg.grid, cfg.window,
+                                            cfg.capacity, shift)
+            )(coords, valid)
+            p = pf.shape[1]
+            nw = inv.shape[1] // cfg.capacity
+            pf_pad = jnp.concatenate(
+                [pf, jnp.zeros((b, 1, c), pf.dtype)], axis=1)
+            tok = jnp.take_along_axis(pf_pad, inv[..., None], axis=1)
+            tok = tok.reshape(b, nw, cfg.capacity, c)
+            tmask = (inv < p).reshape(b, nw, cfg.capacity)
+            tok = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                               name=f"block{d}")(tok, tmask)
+            # detokenize: slot gather; overflow pillars keep their
+            # residual-path features (slot == trash reads the zero row)
+            tok_flat = jnp.concatenate(
+                [tok.reshape(b, nw * cfg.capacity, c),
+                 jnp.zeros((b, 1, c), tok.dtype)], axis=1)
+            upd = jnp.take_along_axis(tok_flat, slot[..., None], axis=1)
+            routed = (slot < nw * cfg.capacity)[..., None]
+            pf = jnp.where(routed, upd, pf)
+        pf = pf * valid[..., None].astype(pf.dtype)
+
+        # single-stride BEV neck + SSD head (full-resolution detection)
+        x = con(scatter_to_bev(pf, coords, valid, cfg.grid), "bev")
+        x = con(_ConvBlock(cfg.neck_channels, 2, 1, cfg.dtype)(x, train),
+                "bev")
+
+        a = cfg.num_anchors_per_cell
+        cls_logits = nn.Conv(a * cfg.num_classes, (1, 1), dtype=dt,
+                             name="head_cls")(x)
+        box_preds = nn.Conv(a * 7, (1, 1), dtype=dt, name="head_box")(x)
+        dir_logits = nn.Conv(a * 2, (1, 1), dtype=dt, name="head_dir")(x)
+        wh = x.shape[1] * x.shape[2]
+        return (
+            cls_logits.reshape(b, wh * a, cfg.num_classes).astype(jnp.float32),
+            box_preds.reshape(b, wh * a, 7).astype(jnp.float32),
+            dir_logits.reshape(b, wh * a, 2).astype(jnp.float32),
+        )
