@@ -21,7 +21,8 @@ import time
 import numpy as np
 import jax
 
-__all__ = ["Trainer", "prefetch", "batch_frames"]
+__all__ = ["Trainer", "prefetch", "batch_frames",
+           "shard_frames_across_hosts"]
 
 
 def prefetch(iterable, depth=2):
@@ -71,6 +72,29 @@ def prefetch(iterable, depth=2):
             yield payload
     finally:
         stop.set()
+
+
+def shard_frames_across_hosts(frames, index=None, count=None):
+    """Strided multi-host split of a frame stream: host ``index`` yields
+    items index, index+count, index+2*count, … — the data-parallel-over-
+    DCN loading convention (every host reads only its own slice, then
+    feeds its local dp shard of the global mesh; see
+    :mod:`d3d_tpu.parallel.distributed`).
+
+    Defaults come from the live ``jax.distributed`` job
+    (:func:`d3d_tpu.parallel.process_index` / ``process_count``) and
+    degrade to the identity split on a single-process run. Pair with
+    ``drop_last=True`` batching so every host steps the same number of
+    times (a host that runs out first would hang the collectives).
+    """
+    if index is None or count is None:
+        from .parallel import process_count, process_index
+
+        index = process_index() if index is None else index
+        count = process_count() if count is None else count
+    for i, frame in enumerate(frames):
+        if i % count == index:
+            yield frame
 
 
 def batch_frames(frames, batch_size, collate=None, drop_last=True):

@@ -49,21 +49,31 @@ def time_device(fn, args_list, reps):
 
 
 def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
-                       fold=False, int8=False):
+                       fold=False, int8=False, family="pointpillars"):
     from dataclasses import replace
 
     from d3d_tpu.dataset.kitti.utils import KittiObjectClass
-    from d3d_tpu.models import (PointPillars, PointPillarsConfig,
-                                make_anchors, pillarize)
+    from d3d_tpu.models import (SST, SSTConfig, PointPillars,
+                                PointPillarsConfig, make_anchors, pillarize)
     from d3d_tpu.models.inference import make_pointpillars_detector
 
-    cfg = PointPillarsConfig() if not quick else PointPillarsConfig(
-        bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32),
-        max_pillars=256, max_points_per_pillar=16, pfn_features=32,
-        backbone_channels=(32, 64), backbone_blocks=(1, 1),
-        upsample_channels=32)
-    cfg = replace(cfg, dtype=dtype)
-    model = PointPillars(cfg)
+    if family == "sst":
+        from d3d_tpu.models.presets import sst_kitti
+
+        cfg = sst_kitti(dtype=dtype) if not quick else SSTConfig(
+            bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32),
+            max_pillars=256, max_points_per_pillar=16, pfn_features=32,
+            window=8, capacity=16, depth=2, num_heads=2, neck_channels=32,
+            dtype=dtype)
+        model = SST(cfg)
+    else:
+        cfg = PointPillarsConfig() if not quick else PointPillarsConfig(
+            bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32),
+            max_pillars=256, max_points_per_pillar=16, pfn_features=32,
+            backbone_channels=(32, 64), backbone_blocks=(1, 1),
+            upsample_channels=32)
+        cfg = replace(cfg, dtype=dtype)
+        model = PointPillars(cfg)
     pts = make_cloud(rng, cfg, 120_000 if not quick else 8_192)
     feats, coords, valid = pillarize(jnp.asarray(pts), cfg)
     variables = model.init(jax.random.PRNGKey(0), feats[None], coords[None],
@@ -112,7 +122,7 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
                           "velo", 0, 0.3)
     host_ms = (time.perf_counter() - t0) / 20 * 1e3
     tag = f"dtype={dtype} fold={int(fold)} int8={int(int8)}"
-    print(f"pointpillars {tag}: {ms:8.3f} ms/frame device "
+    print(f"{family} {tag}: {ms:8.3f} ms/frame device "
           f"+ {host_ms:.3f} ms host assembly ({len(arr)} dets)")
     return ms
 
@@ -138,6 +148,8 @@ def main():
                dict(dtype="bfloat16", fold=True),
                dict(dtype="bfloat16", fold=True, int8=True)):
         bench_pointpillars(rng, args.reps, args.probes, args.quick, **kw)
+    bench_pointpillars(rng, args.reps, args.probes, args.quick,
+                       dtype="bfloat16", family="sst")
     print(f"baseline f32: {base:.3f} ms/frame")
 
 

@@ -133,6 +133,20 @@ class TestHostPipeline:
         batches = list(batch_frames(frames, 2, drop_last=False))
         assert len(batches) == 3 and batches[2]["a"].shape == (1, 3)
 
+    def test_shard_frames_across_hosts(self):
+        from d3d_tpu.train import shard_frames_across_hosts
+
+        frames = list(range(10))
+        shards = [list(shard_frames_across_hosts(frames, index=i, count=3))
+                  for i in range(3)]
+        assert shards[0] == [0, 3, 6, 9]
+        assert shards[1] == [1, 4, 7]
+        assert shards[2] == [2, 5, 8]
+        # union is a partition of the stream
+        assert sorted(sum(shards, [])) == frames
+        # single-process defaults degrade to identity
+        assert list(shard_frames_across_hosts(frames)) == frames
+
     def test_prefetch_early_exit_releases_worker(self):
         import gc
         import threading
