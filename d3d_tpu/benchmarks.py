@@ -391,6 +391,36 @@ class DetectionEvaluator:
         return {k: -np.trapezoid(p[k], r[k])
                 for k in (self._class_type(c) for c in self._classes)}
 
+    def aph(self):
+        """Heading-weighted average precision — the Waymo Open Dataset
+        companion metric to AP (Sun et al., "Scalability in Perception
+        for Autonomous Driving: Waymo Open Dataset", CVPR 2020): every
+        TP contributes ``1 - |dtheta| / pi`` instead of 1, where
+        ``dtheta`` is the matched pair's wrapped rotation residual in
+        ``[0, pi]`` (equal to the wrapped heading residual for upright
+        BEV boxes). Both PR numerators take the weighted TP mass while
+        the denominators keep raw counts, then the same PR-curve
+        integration as :meth:`ap`.
+
+        Computed exactly from the accumulated stats, no extra counters:
+        ``acc_angular`` is the mean of ``|dtheta| / pi`` over TPs at each
+        threshold (and its tp-weighted merge preserves sums), so the
+        weighted mass is ``tp * (1 - acc_angular)``."""
+        out = {}
+        for k in self._classes:
+            tp = np.asarray(self._stats.tp[k], float)
+            fp = np.asarray(self._stats.fp[k], float)
+            fn = np.asarray(self._stats.fn[k], float)
+            ang = np.asarray(self._stats.acc_angular[k], float)
+            h = np.where(tp > 0, tp * np.clip(1.0 - ang, 0.0, 1.0), 0.0)
+            # same 0-denominator conventions as _calc_precision/_recall
+            prec = np.where(fp == 0, np.where(tp > 0, h / np.maximum(tp, 1),
+                                              1.0), h / np.maximum(tp + fp, 1))
+            rec = np.where(fn == 0, np.where(tp > 0, h / np.maximum(tp, 1),
+                                             1.0), h / np.maximum(tp + fn, 1))
+            out[self._class_type(k)] = float(-np.trapezoid(prec, rec))
+        return out
+
     def acc_iou(self, score=None):
         si = self._get_score_idx(score)
         return {self._class_type(k): v[si] for k, v in self._stats.acc_iou.items()}
@@ -418,10 +448,12 @@ class DetectionEvaluator:
 
         out = {}
         ap = self.ap()
+        aph = self.aph()
         for k in self._classes:
             c = self._class_type(k)
             out[getattr(c, "name", str(c))] = dict(
                 ap=_f(ap[c]),
+                aph=_f(aph[c]),
                 precision=_f(self.precision(score)[c]),
                 recall=_f(self.recall(score)[c]),
                 fscore=_f(self.fscore(score)[c]),

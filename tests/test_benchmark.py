@@ -293,6 +293,69 @@ class TestTrackingDeviceMatch:
                 getattr(ev_d.get_stats(), fld)[k], err_msg=fld)
 
 
+class TestHeadingWeightedAP:
+    """Waymo-style APH: oracle-checked against a brute-force per-TP
+    heading-weight computation on a multi-frame scenario with known
+    heading errors and scores."""
+
+    def _scenario(self):
+        d = [4, 2, 1.6]
+        yerr = [0.0, np.pi / 8, np.pi / 2, np.pi]   # per-dt heading error
+        scores = [0.9, 0.7, 0.5, 0.3]
+        frames = []
+        for f in range(3):
+            gt, dt = Target3DArray(frame="t"), Target3DArray(frame="t")
+            for i, (e, sc) in enumerate(zip(yerr, scores)):
+                pos = [10.0 * i, 3.0 * f, 0]
+                gt.append(ObjectTarget3D(
+                    pos, Rotation.from_euler("Z", 0.3), d, ObjectTag(CAR)))
+                dt.append(ObjectTarget3D(
+                    pos, Rotation.from_euler("Z", 0.3 + e), d,
+                    ObjectTag(CAR, scores=sc)))
+            frames.append((gt, dt))
+        return frames, yerr, scores
+
+    def test_aph_matches_bruteforce(self):
+        frames, yerr, scores = self._scenario()
+        ev = DetectionEvaluator([CAR], [0.1], pr_sample_count=20)
+        for gt, dt in frames:
+            ev.add_stats(ev.calc_stats(gt, dt))
+        got = ev.aph()[CAR]
+
+        # brute force: every dt matches its gt (exact positions), so at
+        # threshold t the TPs are the dts with score >= t; the heading
+        # weight is 1 - wrap(|dy|)/pi
+        w = [1.0 - min(abs(e), 2 * np.pi - abs(e)) / np.pi for e in yerr]
+        nf, ngt = len(frames), len(yerr) * len(frames)
+        prec, rec = [], []
+        for t in ev.score_thresholds:
+            sel = [i for i, sc in enumerate(scores)
+                   if not np.float32(sc) < t]
+            h = nf * sum(w[i] for i in sel)
+            tp = nf * len(sel)
+            fn = ngt - tp
+            prec.append(1.0 if tp == 0 else h / tp)   # fp == 0 everywhere
+            rec.append(h / tp if fn == 0 else h / (tp + fn))
+        want = -np.trapezoid(prec, rec)
+        assert np.isclose(got, want, atol=1e-6), (got, want)
+        # sanity: heading errors push APH strictly below AP
+        assert got < ev.ap()[CAR] - 0.05
+
+    def test_aph_equals_ap_for_perfect_headings(self):
+        d = [4, 2, 1.6]
+        gt, dt = Target3DArray(frame="t"), Target3DArray(frame="t")
+        for i in range(4):
+            pos = [7.0 * i, 0, 0]
+            rot = Rotation.from_euler("Z", 0.2 * i)
+            gt.append(ObjectTarget3D(pos, rot, d, ObjectTag(CAR)))
+            dt.append(ObjectTarget3D(pos, rot, d,
+                                     ObjectTag(CAR, scores=0.5 + 0.1 * i)))
+        ev = DetectionEvaluator([CAR], [0.1], pr_sample_count=10)
+        ev.add_stats(ev.calc_stats(gt, dt))
+        assert np.isclose(ev.aph()[CAR], ev.ap()[CAR], atol=1e-9)
+        assert "aph" in ev.metrics_dict()["Car"]
+
+
 def test_metrics_dict_export():
     import json
 
