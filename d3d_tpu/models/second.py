@@ -139,18 +139,21 @@ class _SpConv(nn.Module):
 
     features: int
     dtype: str
+    # True for submanifold layers (query set == input set): unlocks the
+    # fused Pallas backward for d/dfeatures on TPU
+    symmetric: bool = False
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
         k = nbr.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (k, x.shape[-1], self.features))
+        conv = partial(subm_conv_apply, symmetric=self.symmetric)
         if x.ndim == 3:  # batched: vmap the site-level conv
-            y = jax.vmap(subm_conv_apply, in_axes=(0, 0, None, 0))(
+            y = jax.vmap(conv, in_axes=(0, 0, None, 0))(
                 x.astype(jnp.dtype(self.dtype)), nbr, w, valid)
         else:
-            y = subm_conv_apply(x.astype(jnp.dtype(self.dtype)), nbr, w,
-                                valid)
+            y = conv(x.astype(jnp.dtype(self.dtype)), nbr, w, valid)
         y = _MaskedBN()(y, valid, train)
         return nn.relu(y)
 
@@ -182,8 +185,8 @@ class SECOND(nn.Module):
             nbr = jax.vmap(lambda c, v: build_neighbor_map(c, v, grid))(
                 cur_coords, cur_valid)
             for _ in range(cfg.subm_per_stage):
-                x = _SpConv(ch, cfg.dtype, name=f"subm{s}_{_}")(
-                    x, nbr, cur_valid, train)
+                x = _SpConv(ch, cfg.dtype, symmetric=True,
+                            name=f"subm{s}_{_}")(x, nbr, cur_valid, train)
             if s + 1 < cfg.n_stages:
                 # strided sparse conv to the next stage's active set
                 cap = cfg.stage_sites[s + 1]

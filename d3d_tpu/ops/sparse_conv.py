@@ -183,15 +183,35 @@ def build_neighbor_map_strided(out_coords, out_valid, in_coords, in_valid,
                               grid, kernel_size, stride=stride)
 
 
-def subm_conv_apply(features, nbr, weights, valid):
+# VMEM budget for the fused Pallas path: features, gathered rows, indices
+# and the output accumulator all live on chip in (C, N) layout
+_FUSED_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def subm_conv_apply(features, nbr, weights, valid, symmetric=False):
     """Submanifold sparse conv: K gathers + one batched MXU matmul.
+
+    On TPU, when the query set is the input site set and the operands fit
+    VMEM, this dispatches to the fused on-chip Pallas kernel
+    (:func:`d3d_tpu.ops.sparse_conv_pallas.subm_conv_fused`) instead of
+    materializing the (N, K, C) gather in HBM.
 
     :param features: (N, C) active-site features (padded rows zero)
     :param nbr: (N, K) neighbor map from :func:`build_neighbor_map`
     :param weights: (K, C, C') kernel
     :param valid: (N,) active mask
+    :param symmetric: static — set True when ``nbr`` is a submanifold map
+        from :func:`build_neighbor_map` (NOT a strided map); enables the
+        fully fused backward for d/dfeatures.
     :returns: (N, C') features on the SAME active set
     """
+    n, c = features.shape
+    d = weights.shape[2]
+    fused_bytes = n * 4 * (3 * c + d)
+    if (jax.default_backend() == "tpu" and nbr.shape[0] == n
+            and fused_bytes <= _FUSED_VMEM_BUDGET):
+        from .sparse_conv_pallas import subm_conv_fused
+        return subm_conv_fused(features, nbr, weights, valid, symmetric)
     safe = jnp.where(nbr >= 0, nbr, 0)
     gathered = features[safe]                      # (N, K, C)
     gathered = jnp.where((nbr >= 0)[..., None], gathered, 0.0)
