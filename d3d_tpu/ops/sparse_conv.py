@@ -184,8 +184,16 @@ def build_neighbor_map_strided(out_coords, out_valid, in_coords, in_valid,
 
 
 # VMEM budget for the fused Pallas path: features, gathered rows, indices
-# and the output accumulator all live on chip in (C, N) layout
+# and the output accumulator all live on chip in (C, N) layout.
+# D3D_TPU_FUSED_SPCONV=0 disables the dispatch (escape hatch until the
+# kernel has a recorded non-interpret run on hardware).
 _FUSED_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _fused_enabled():
+    import os
+
+    return os.environ.get("D3D_TPU_FUSED_SPCONV", "1") != "0"
 
 
 def subm_conv_apply(features, nbr, weights, valid, symmetric=False):
@@ -209,7 +217,7 @@ def subm_conv_apply(features, nbr, weights, valid, symmetric=False):
     d = weights.shape[2]
     fused_bytes = n * 4 * (3 * c + d)
     if (jax.default_backend() == "tpu" and nbr.shape[0] == n
-            and fused_bytes <= _FUSED_VMEM_BUDGET):
+            and fused_bytes <= _FUSED_VMEM_BUDGET and _fused_enabled()):
         from .sparse_conv_pallas import subm_conv_fused
         return subm_conv_fused(features, nbr, weights, valid, symmetric)
     safe = jnp.where(nbr >= 0, nbr, 0)

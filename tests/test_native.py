@@ -46,3 +46,71 @@ def test_contains_cross_validation(rng):
     jax_mask = np.asarray(crop_mask_2dr(p, b))
     cpp_mask = native.box2dr_contains(b, p)
     assert np.array_equal(jax_mask, cpp_mask)
+
+
+BOUNDS = np.asarray([0.0, 8.0, -4.0, 4.0, -2.0, 2.0])
+SHAPE = (16, 16, 4)
+
+
+def _cloud(rng, n=4000):
+    # 20% of points outside the bounds, some negative fractional cells
+    pts = np.stack([
+        rng.random(n) * 10 - 1,
+        rng.random(n) * 10 - 5,
+        rng.random(n) * 5 - 2.5,
+        rng.random(n),
+    ], axis=1).astype(np.float32)
+    return pts
+
+
+@pytest.mark.parametrize("reduction", ["mean", "max", "min"])
+def test_voxelize_dense_cross_validation(rng, reduction):
+    """XLA sort+segment dense voxelizer vs the independent hash-map C++
+    oracle: identical encounter-order ids, coords, counts, pmask, voxel
+    tensor; aggregates to f32-accumulation tolerance."""
+    import jax.numpy as jnp
+
+    from d3d_tpu.ops.voxel import voxelize_dense_padded
+
+    pts = _cloud(rng)
+    max_points, max_voxels = 8, 300  # force both caps to bite
+    got = voxelize_dense_padded(jnp.asarray(pts), SHAPE,
+                                jnp.asarray(BOUNDS, jnp.float32),
+                                max_points, max_voxels, reduction)
+    want = native.voxelize_dense(pts, SHAPE, BOUNDS, max_points, max_voxels,
+                                 reduction=reduction)
+    nv = want["nvoxels"]
+    assert int(got.nvoxels) == nv and 0 < nv <= max_voxels
+    np.testing.assert_array_equal(np.asarray(got.coords)[:nv],
+                                  want["coords"][:nv])
+    np.testing.assert_array_equal(np.asarray(got.voxel_npoints)[:nv],
+                                  want["voxel_npoints"][:nv])
+    np.testing.assert_array_equal(np.asarray(got.voxel_pmask),
+                                  want["voxel_pmask"])
+    # voxel tensor entries are copied values: exact
+    np.testing.assert_array_equal(np.asarray(got.voxels)[:nv],
+                                  want["voxels"][:nv].astype(np.float32))
+    # "mean" uses an f32 cumsum-difference on device: the running sum grows
+    # to O(n * |x|), so per-voxel totals carry O(n * |x| * eps_f32) absolute
+    # error vs the oracle's direct f64 summation (~1e-3 here)
+    tol = 2e-3 if reduction == "mean" else 0.0
+    np.testing.assert_allclose(np.asarray(got.aggregates)[:nv],
+                               want["aggregates"][:nv], rtol=tol, atol=tol)
+
+
+def test_voxelize_sparse_cross_validation(rng):
+    import jax.numpy as jnp
+
+    from d3d_tpu.ops.voxel import voxelize_sparse_padded
+
+    pts = _cloud(rng, 1500)
+    got = voxelize_sparse_padded(jnp.asarray(pts), jnp.float32(0.5))
+    want = native.voxelize_sparse(pts, 0.5)
+    nv = want["nvoxels"]
+    assert int(got.nvoxels) == nv
+    np.testing.assert_array_equal(np.asarray(got.points_mapping),
+                                  want["points_mapping"])
+    np.testing.assert_array_equal(np.asarray(got.coords)[:nv],
+                                  want["coords"])
+    np.testing.assert_array_equal(np.asarray(got.voxel_npoints)[:nv],
+                                  want["voxel_npoints"])
