@@ -155,9 +155,14 @@ def convert_segment(ntqdm, tfrecord_path, output_path, zip_output=False,
         # 3d labels
         d = out / "label_lidars"
         d.mkdir(exist_ok=True)
+        # num_points / difficulty feed the LEVEL_1/LEVEL_2 stratification
+        # in d3d_tpu.benchmarks_waymo (proto fields num_lidar_points_in_box
+        # and detection_difficulty_level)
         items = [dict(center=[l.box.center_x, l.box.center_y, l.box.center_z],
                       size=[l.box.length, l.box.width, l.box.height],
-                      heading=l.box.heading, label=l.type, id=l.id)
+                      heading=l.box.heading, label=l.type, id=l.id,
+                      num_points=l.num_lidar_points_in_box,
+                      difficulty=l.detection_difficulty_level)
                  for l in frame.laser_labels]
         (d / ("%04d.json" % fi)).write_text(json.dumps(items))
 

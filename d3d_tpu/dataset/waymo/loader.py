@@ -159,10 +159,15 @@ class WaymoLoader(TrackingDatasetBase):
         for label in labels:
             tid_bytes = base64.urlsafe_b64decode(label.id[:12])
             (tid,) = struct.unpack("Q", tid_bytes[:8])
+            # num_points/difficulty are present in conversions made after
+            # the benchmarks_waymo stratification landed; keep older zips
+            # loadable (aux simply lacks the keys)
+            aux = {k: label[k] for k in ("num_points", "difficulty")
+                   if k in label}
             arr.append(ObjectTarget3D(
                 label.center, Rotation.from_euler("z", label.heading),
                 label.size, ObjectTag(label.label, WaymoObjectClass),
-                tid=tid))
+                tid=tid, aux=aux or None))
         return arr
 
     def calibration_data(self, idx):
