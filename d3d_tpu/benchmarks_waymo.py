@@ -95,7 +95,7 @@ def _gt_levels(gt_arrays, clouds):
 def _ranges(arr):
     if len(arr) == 0:
         return np.zeros(0)
-    return np.linalg.norm(np.stack([o.position[:2] for o in arr]), axis=1)
+    return np.linalg.norm(arr.columns()["position"][:, :2], axis=1)
 
 
 def evaluate_waymo_detection(evaluator_factory, gt_arrays, dt_arrays,
@@ -112,14 +112,31 @@ def evaluate_waymo_detection(evaluator_factory, gt_arrays, dt_arrays,
     :param device: evaluate with the batched device evaluator
     :returns: dict stratum-name -> evaluator; names are ``LEVEL_1``,
         ``LEVEL_2`` and (with ``ranges``) ``LEVEL_2/0-30m`` etc.
+
+    .. note:: each stratum runs its own matching pass; with the default
+       three range buckets that is 8 evaluation sweeps over the frames.
     """
     levels = _gt_levels(gt_arrays, clouds)
-    gt_rng = [_ranges(a) for a in gt_arrays]
-    dt_rng = [_ranges(a) for a in dt_arrays]
+
+    # official semantics: zero-point boxes are EXCLUDED from the GT set —
+    # a detection on one counts as a false positive (only out-of-stratum
+    # GT gets the IGNORE absorption)
+    gts, lvls = [], []
+    for arr, lv in zip(gt_arrays, levels):
+        keep = lv >= 1
+        if keep.all():
+            gts.append(arr)
+            lvls.append(lv)
+        else:
+            gts.append(Target3DArray([b for b, k in zip(arr, keep) if k],
+                                     arr.frame, arr.timestamp))
+            lvls.append(lv[keep])
 
     buckets = [(None, None, None)]
     if ranges:
         buckets += [b for b in RANGE_BREAKDOWNS]
+        gt_rng = [_ranges(a) for a in gts]
+        dt_rng = [_ranges(a) for a in dt_arrays]
 
     out = {}
     for li, lname in enumerate(LEVEL_NAMES):
@@ -128,8 +145,8 @@ def evaluate_waymo_detection(evaluator_factory, gt_arrays, dt_arrays,
             ev = evaluator_factory()
             name = lname if bname is None else f"{lname}/{bname}"
             ignored, dts = [], []
-            for fi in range(len(gt_arrays)):
-                ig = ~((levels[fi] >= 1) & (levels[fi] <= lmax))
+            for fi in range(len(gts)):
+                ig = lvls[fi] > lmax
                 dt = dt_arrays[fi]
                 if bname is not None:
                     ig |= ~((gt_rng[fi] >= lo) & (gt_rng[fi] < hi))
@@ -142,10 +159,10 @@ def evaluate_waymo_detection(evaluator_factory, gt_arrays, dt_arrays,
             if device:
                 from .benchmarks_device import device_calc_stats
 
-                ev.add_stats(device_calc_stats(ev, list(gt_arrays), dts,
+                ev.add_stats(device_calc_stats(ev, list(gts), dts,
                                                gt_ignored=ignored))
             else:
-                for g, dt, ig in zip(gt_arrays, dts, ignored):
+                for g, dt, ig in zip(gts, dts, ignored):
                     ev.add_stats(ev.calc_stats(g, dt, gt_ignored=ig))
             out[name] = ev
     return out

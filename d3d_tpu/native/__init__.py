@@ -31,10 +31,17 @@ def _build():
                  "-o", str(so)],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(so))
-    except (OSError, subprocess.CalledProcessError) as e:
+        _bind(lib)
+    except (OSError, subprocess.CalledProcessError, AttributeError) as e:
+        # AttributeError: a stale prebuilt .so (newer mtime than the
+        # sources but missing newer symbols) — report unavailable rather
+        # than raising from available()
         _BUILD_ERROR = e
         return
+    _LIB = lib
 
+
+def _bind(lib):
     dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     bp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -48,7 +55,6 @@ def _build():
                                        ctypes.c_int, dp, lp, bp, lp, dp,
                                        lp]
     lib.d3d_voxelize_sparse.argtypes = [dp, i64, i64, dp, lp, lp, lp, lp]
-    _LIB = lib
 
 
 def available():

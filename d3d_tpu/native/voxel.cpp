@@ -103,7 +103,9 @@ void d3d_voxelize_dense(const double* points, int64_t n, int64_t f,
 // Sparse (unbounded-grid) voxelization: cells are floor(xyz / voxel_size),
 // every point is mapped, voxel ids in first-encounter order
 // (voxelize.cpp:288-335). coords/npoints are sized (n, 3)/(n,) by the
-// caller (worst case: every point its own voxel).
+// caller (worst case: every point its own voxel). Like the dense path,
+// the division+floor run in f32 to mirror the device arithmetic at cell
+// boundaries (f64 floors differ ~3/million points at non-dyadic sizes).
 void d3d_voxelize_sparse(const double* points, int64_t n, int64_t f,
                          const double* voxel_size, int64_t* points_mapping,
                          int64_t* coords, int64_t* npoints,
@@ -114,7 +116,7 @@ void d3d_voxelize_sparse(const double* points, int64_t n, int64_t f,
     const double* p = points + i * f;
     std::array<int64_t, 3> c;
     for (int d = 0; d < 3; ++d)
-      c[d] = (int64_t)std::floor(p[d] / voxel_size[d]);
+      c[d] = (int64_t)std::floor((float)p[d] / (float)voxel_size[d]);
     auto it = vid.find(c);
     int64_t v;
     if (it == vid.end()) {

@@ -40,7 +40,8 @@ def test_waymo_difficulty_rules():
 
 def test_level_stratification():
     """LEVEL_1 ignores (absorbs) LEVEL_2-only GT; LEVEL_2 counts both.
-    Zero-point GT is excluded from both."""
+    Zero-point GT is EXCLUDED entirely — a detection on it is a false
+    positive (official semantics), not absorbed."""
     gt = Target3DArray([
         _obj(10, 0, num_points=50),           # LEVEL_1
         _obj(20, 0, num_points=3),            # LEVEL_2
@@ -49,15 +50,15 @@ def test_level_stratification():
     dt = Target3DArray([
         _obj(10, 0, score=0.9),               # TP on the L1 gt
         _obj(20, 0, score=0.8),               # TP on the L2 gt (L1: absorbed)
-        _obj(28, 0, score=0.7),               # on the excluded gt: absorbed
+        _obj(28, 0, score=0.7),               # on the excluded gt: FP
     ], frame="vehicle")
     res = evaluate_waymo_detection(_factory, [gt], [dt], ranges=False,
                                    device=False)
     s1, s2 = res["LEVEL_1"]._stats, res["LEVEL_2"]._stats
     k = VEH.value
     assert s1.ngt[k] == 1 and s2.ngt[k] == 2
-    assert s1.tp[k][0] == 1 and s1.fp[k][0] == 0
-    assert s2.tp[k][0] == 2 and s2.fp[k][0] == 0
+    assert s1.tp[k][0] == 1 and s1.fp[k][0] == 1
+    assert s2.tp[k][0] == 2 and s2.fp[k][0] == 1
 
 
 def test_range_bucket_isolation():
