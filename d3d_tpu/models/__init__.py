@@ -3,6 +3,9 @@ from .pointpillars import (PointPillars, PointPillarsConfig, assign_targets,
                            make_train_step, pillarize)
 from .centerpoint import (CenterPoint, CenterPointConfig,
                           assign_center_targets, center_loss, decode_centers)
+from .centerpoint2 import (CenterPointRefine, RefineConfig,
+                           apply_refinements, encode_refinement_targets,
+                           make_refine_train_step, roi_grid_features)
 from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      point_cell_coords, segmentation_loss)
 from .second import SECOND, SECONDConfig, second_voxelize
@@ -17,6 +20,9 @@ __all__ = [
     "assign_targets", "detection_loss", "decode_boxes", "make_train_step",
     "CenterPoint", "CenterPointConfig", "assign_center_targets",
     "center_loss", "decode_centers",
+    "CenterPointRefine", "RefineConfig", "roi_grid_features",
+    "apply_refinements", "encode_refinement_targets",
+    "make_refine_train_step",
     "BEVSeg", "BEVSegConfig", "bevseg_pillarize", "point_cell_coords",
     "segmentation_loss",
     "SECOND", "SECONDConfig", "second_voxelize", "presets",

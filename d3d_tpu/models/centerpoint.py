@@ -62,6 +62,10 @@ class CenterPoint(nn.Module):
 
     cfg: CenterPointConfig
     constrain: Callable = None
+    # also return the shared BEV feature map (key "feat") for the
+    # two-stage refinement (models.centerpoint2); off by default so the
+    # single-stage train step's output pytree is unchanged
+    return_feat: bool = False
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -95,13 +99,16 @@ class CenterPoint(nn.Module):
                 bias_init=nn.initializers.constant(bias_init))(y)
 
         # -2.19 = logit(0.1): start with a quiet heatmap (focal-loss trick)
-        return dict(
+        out = dict(
             heatmap=head(cfg.num_classes, "hm", -2.19).astype(jnp.float32),
             reg=head(2, "reg").astype(jnp.float32),       # sub-cell offset
             height=head(1, "height").astype(jnp.float32),  # z center
             dim=head(3, "dim").astype(jnp.float32),        # log(l, w, h)
             rot=head(2, "rot").astype(jnp.float32),        # (sin, cos) yaw
         )
+        if self.return_feat:
+            out["feat"] = feat.astype(jnp.float32)
+        return out
 
 
 def _gaussian_radius(l_cells, w_cells, min_overlap):

@@ -99,9 +99,16 @@ def make_sst_detector(model, variables, cfg, anchors, classes,
 
 
 def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
-                              score_threshold=0.3, iou_threshold=0.5):
+                              score_threshold=0.3, iou_threshold=0.5,
+                              refine=None):
     """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
-    for a trained CenterPoint model (top-k set by ``cfg.top_k``)."""
+    for a trained CenterPoint model (top-k set by ``cfg.top_k``).
+
+    :param refine: optional ``(refine_model, refine_variables,
+        refine_cfg)`` second stage (:mod:`d3d_tpu.models.centerpoint2`) —
+        requires the first stage built with ``return_feat=True``; applies
+        the box residuals and fuses the IoU-aware confidence into the
+        score before NMS (still one jitted program)."""
 
     @jax.jit
     def device(points):
@@ -109,7 +116,19 @@ def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
         outputs = model.apply(variables, feats[None], coords[None],
                               valid[None], train=False)
         outputs = jax.tree.map(lambda x: x[0], outputs)
+        feat = outputs.pop("feat", None)
         boxes, scores, labels = decode_centers(cfg, outputs)
+        if refine is not None:
+            from .centerpoint2 import apply_refinements, roi_grid_features
+
+            rmodel, rvars, rcfg = refine
+            pooled = roi_grid_features(feat, boxes, cfg.bounds, cfg.grid,
+                                       rcfg.grid_points)
+            out = rmodel.apply(rvars, pooled, boxes, train=False)
+            boxes = apply_refinements(boxes, out["deltas"])
+            a = rcfg.score_alpha
+            scores = (scores ** (1 - a)
+                      * jax.nn.sigmoid(out["conf"]) ** a)
         keep = ~nms2d(_bev(boxes), scores.astype(jnp.float32),
                       iou_threshold=iou_threshold, iou_method="rbox")
         return boxes, scores, labels, keep
