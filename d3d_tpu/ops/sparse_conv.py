@@ -214,12 +214,24 @@ def subm_conv_apply(features, nbr, weights, valid, symmetric=False):
     :returns: (N, C') features on the SAME active set
     """
     n, c = features.shape
+    nq, k = nbr.shape
     d = weights.shape[2]
     fused_bytes = n * 4 * (3 * c + d)
-    if (jax.default_backend() == "tpu" and nbr.shape[0] == n
+    if (jax.default_backend() == "tpu" and nq <= n
             and fused_bytes <= _FUSED_VMEM_BUDGET and _fused_enabled()):
         from .sparse_conv_pallas import subm_conv_fused
-        return subm_conv_fused(features, nbr, weights, valid, symmetric)
+        if nq == n:
+            return subm_conv_fused(features, nbr, weights, valid, symmetric)
+        # strided map with fewer query rows (downsample cap < N): the
+        # Mosaic lane gather needs indices shaped like the operand, so pad
+        # the query set with absent rows — same VMEM cost, still skips the
+        # (N, K, C) HBM gather — and slice the result
+        nbr_full = jnp.concatenate(
+            [nbr, jnp.full((n - nq, k), -1, nbr.dtype)])
+        valid_full = jnp.concatenate(
+            [valid, jnp.zeros(n - nq, bool)])
+        return subm_conv_fused(features, nbr_full, weights, valid_full,
+                               False)[:nq]
     safe = jnp.where(nbr >= 0, nbr, 0)
     gathered = features[safe]                      # (N, K, C)
     gathered = jnp.where((nbr >= 0)[..., None], gathered, 0.0)

@@ -110,6 +110,44 @@ def test_grad_parity_general_strided(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_padded_query_strided_parity(rng):
+    """The TPU dispatch pads strided maps with fewer query rows than
+    input rows (downsample cap < N) to operand shape and slices; the
+    padded form must agree with the XLA strided path, grads included."""
+    coords, valid = _active_sites(rng, 48, 64)
+    feats = jnp.asarray(rng.normal(size=(64, 4)), jnp.float32)
+    feats = feats * valid[:, None]
+    w = jnp.asarray(rng.normal(size=(27, 4, 6)), jnp.float32)
+    oc, ov = downsample_coords(coords, valid, GRID, stride=2, max_out=40)
+    nbr = build_neighbor_map_strided(oc, ov, coords, valid, GRID, stride=2)
+    assert nbr.shape[0] == 40 < 64
+    nq = nbr.shape[0]
+    nbr_full = jnp.concatenate(
+        [nbr, jnp.full((64 - nq, 27), -1, nbr.dtype)])
+    ov_full = jnp.concatenate([ov, jnp.zeros(64 - nq, bool)])
+    cot = jnp.asarray(rng.normal(size=(nq, 6)), jnp.float32)
+
+    def loss_ref(f, ww):
+        return jnp.sum(subm_conv_apply(f, nbr, ww, ov) * cot)
+
+    def loss_fused(f, ww):
+        return jnp.sum(
+            subm_conv_fused(f, nbr_full, ww, ov_full, False, True)[:nq]
+            * cot)
+
+    np.testing.assert_allclose(
+        np.asarray(subm_conv_fused(feats, nbr_full, w, ov_full, False,
+                                   True)[:nq]),
+        np.asarray(subm_conv_apply(feats, nbr, w, ov)),
+        rtol=2e-6, atol=2e-6)
+    df_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    df_got, dw_got = jax.grad(loss_fused, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(df_got), np.asarray(df_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_bf16_features(rng):
     """bf16 activations: fused accumulates f32 and casts back like the
     XLA path with preferred_element_type."""
