@@ -45,6 +45,10 @@ class CenterPointConfig:
     min_radius: int = 2
     gaussian_overlap: float = 0.1
     top_k: int = 100
+    # BEV velocity head (the nuScenes CenterPoint configuration: needs
+    # multi-sweep input for motion cues, models/sweeps.py) — feeds the
+    # velocity-backcast CenterTracker (d3d_tpu.tracking.center_tracker)
+    predict_velocity: bool = False
     dtype: str = "float32"
 
     @property
@@ -106,6 +110,8 @@ class CenterPoint(nn.Module):
             dim=head(3, "dim").astype(jnp.float32),        # log(l, w, h)
             rot=head(2, "rot").astype(jnp.float32),        # (sin, cos) yaw
         )
+        if cfg.predict_velocity:
+            out["vel"] = head(2, "vel").astype(jnp.float32)  # (vx, vy) m/s
         if self.return_feat:
             out["feat"] = feat.astype(jnp.float32)
         return out
@@ -137,12 +143,15 @@ def _gaussian_radius(l_cells, w_cells, min_overlap):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def assign_center_targets(cfg: CenterPointConfig, gt_boxes, gt_labels,
-                          gt_mask):
+                          gt_mask, gt_velocity=None):
     """One frame of CenterPoint targets.
 
     :param gt_boxes: (M, 7) [x, y, z, l, w, h, yaw] padded ground truth
-    :return: dict(heatmap (W, H, C), vec (W, H, 8), mask (W, H)); ``vec``
-        is [dx, dy, z, log l, log w, log h, sin yaw, cos yaw] at centers.
+    :param gt_velocity: (M, 2) BEV velocities, required semantics when
+        ``cfg.predict_velocity`` (defaults to zeros)
+    :return: dict(heatmap (W, H, C), vec (W, H, 8 or 10), mask (W, H));
+        ``vec`` is [dx, dy, z, log l, log w, log h, sin yaw, cos yaw]
+        (+ [vx, vy] with the velocity head) at centers.
     """
     w, h = cfg.grid
     m = gt_boxes.shape[0]
@@ -183,7 +192,7 @@ def assign_center_targets(cfg: CenterPointConfig, gt_boxes, gt_labels,
 
     # regression vector at each center cell (later gt wins on collision,
     # matching the reference implementations' draw order)
-    vec = jnp.stack([
+    cols = [
         cx - ix.astype(jnp.float32),
         cy - iy.astype(jnp.float32),
         gt_boxes[:, 2],
@@ -192,12 +201,18 @@ def assign_center_targets(cfg: CenterPointConfig, gt_boxes, gt_labels,
         jnp.log(jnp.maximum(gt_boxes[:, 5], 1e-3)),
         jnp.sin(gt_boxes[:, 6]),
         jnp.cos(gt_boxes[:, 6]),
-    ], axis=-1)                                           # (M, 8)
+    ]
+    if cfg.predict_velocity:
+        gv = (jnp.zeros((m, 2), jnp.float32) if gt_velocity is None
+              else gt_velocity.astype(jnp.float32))
+        cols += [gv[:, 0], gv[:, 1]]
+    vec = jnp.stack(cols, axis=-1)                        # (M, 8 or 10)
+    nv = vec.shape[-1]
     cflat = jnp.where(inside, ix * h + iy, w * h)
-    vbuf = jnp.zeros((w * h + 1, 8), jnp.float32).at[cflat].set(vec)
+    vbuf = jnp.zeros((w * h + 1, nv), jnp.float32).at[cflat].set(vec)
     mbuf = jnp.zeros(w * h + 1, bool).at[cflat].set(inside)
     return dict(heatmap=heatmap,
-                vec=vbuf[:-1].reshape(w, h, 8),
+                vec=vbuf[:-1].reshape(w, h, nv),
                 mask=mbuf[:-1].reshape(w, h))
 
 
@@ -211,8 +226,11 @@ def center_loss(outputs, targets, reg_weight=2.0):
     neg_l = -((1 - t) ** 4) * (hm ** 2) * jnp.log(1 - hm) * ~pos
     hm_loss = (jnp.sum(pos_l) + jnp.sum(neg_l)) / npos
 
-    pred = jnp.concatenate([outputs["reg"], outputs["height"],
-                            outputs["dim"], outputs["rot"]], axis=-1)
+    parts = [outputs["reg"], outputs["height"], outputs["dim"],
+             outputs["rot"]]
+    if "vel" in outputs:
+        parts.append(outputs["vel"])
+    pred = jnp.concatenate(parts, axis=-1)
     l1 = jnp.abs(pred - targets["vec"]) * targets["mask"][..., None]
     reg_loss = jnp.sum(l1) / npos
     total = hm_loss + reg_weight * reg_loss
@@ -221,8 +239,9 @@ def center_loss(outputs, targets, reg_weight=2.0):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def decode_centers(cfg: CenterPointConfig, outputs):
-    """Peak NMS (3x3 max-pool) + top-k -> (K, 7) boxes, scores, labels.
-    Fixed output shapes; callers mask on ``scores``."""
+    """Peak NMS (3x3 max-pool) + top-k -> (K, 7) boxes, scores, labels
+    (+ (K, 2) velocities when ``cfg.predict_velocity``). Fixed output
+    shapes; callers mask on ``scores``."""
     w, h = cfg.grid
     vx, vy, _ = [float(v) for v in cfg.voxel_size]
     hm = jax.nn.sigmoid(outputs["heatmap"])               # (W, H, C)
@@ -247,6 +266,9 @@ def decode_centers(cfg: CenterPointConfig, outputs):
         jnp.exp(vec[:, 5]),
         jnp.arctan2(vec[:, 6], vec[:, 7]),
     ], axis=-1)
+    if cfg.predict_velocity:
+        vel = outputs["vel"].reshape(w * h, 2)[cell]
+        return boxes, scores, labels, vel
     return boxes, scores, labels
 
 
@@ -256,9 +278,21 @@ def prepare_center_targets(cfg: CenterPointConfig, batch):
     ``external_targets=True`` to keep it out of the differentiated step;
     see pointpillars.prepare_targets)."""
     targets = jax.vmap(
-        lambda b, l, m: assign_center_targets(cfg, b, l, m)
-    )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+        lambda b, l, m, v: assign_center_targets(cfg, b, l, m, v)
+    )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+      _gt_velocity(cfg, batch))
     return dict(batch, targets=targets)
+
+
+def _gt_velocity(cfg, batch):
+    """(B, M, 2) gt velocities when the head is enabled (zeros if the
+    batch lacks them), else None."""
+    if not cfg.predict_velocity:
+        return None
+    gv = batch.get("gt_velocity")
+    if gv is None:
+        gv = jnp.zeros(batch["gt_boxes"].shape[:2] + (2,), jnp.float32)
+    return gv
 
 
 def make_train_step(model, optimizer, cfg: CenterPointConfig, remat=False,
@@ -290,8 +324,9 @@ def make_train_step(model, optimizer, cfg: CenterPointConfig, remat=False,
             targets = jax.lax.stop_gradient(batch["targets"])
         else:
             targets = jax.vmap(
-                lambda b, l, m: assign_center_targets(cfg, b, l, m)
-            )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+                lambda b, l, m, v: assign_center_targets(cfg, b, l, m, v)
+            )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+              _gt_velocity(cfg, batch))
         loss, aux = center_loss(outputs, targets)
         return loss, (updates["batch_stats"], aux)
 

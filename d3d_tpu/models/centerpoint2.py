@@ -200,8 +200,8 @@ def make_refine_train_step(model_1st, variables_1st, refine_model, cfg_1st,
                                   batch["coords"], batch["valid"],
                                   train=False)
         feat = outputs.pop("feat")
-        boxes, scores, _ = jax.vmap(
-            lambda o: decode_centers(cfg_1st, o))(outputs)
+        dec = jax.vmap(lambda o: decode_centers(cfg_1st, o))(outputs)
+        boxes, scores = dec[0], dec[1]  # (+labels/velocity, unused here)
         return jax.lax.stop_gradient(feat), jax.lax.stop_gradient(boxes), \
             jax.lax.stop_gradient(scores)
 

@@ -42,6 +42,29 @@ def _bev(boxes):
                            axis=-1).astype(jnp.float32)
 
 
+def _to_tracking_targets(boxes, scores, labels, keep, vel, classes, frame,
+                         timestamp, score_threshold):
+    """Like :func:`_to_targets` but emits :class:`TrackingTarget3D` with
+    the decoded BEV velocities — the input format of
+    :class:`d3d_tpu.tracking.CenterTracker` and the tracking evaluator."""
+    from scipy.spatial.transform import Rotation
+
+    from ..abstraction import TrackingTarget3D
+
+    boxes, scores, labels, keep, vel = (np.asarray(a) for a in
+                                        (boxes, scores, labels, keep, vel))
+    sel = (keep & (scores >= score_threshold)
+           & np.all(np.isfinite(boxes), axis=-1))
+    arr = Target3DArray(frame=frame, timestamp=timestamp)
+    for b, s, l, v in zip(boxes[sel], scores[sel], labels[sel], vel[sel]):
+        cls = classes[int(l)]
+        arr.append(TrackingTarget3D(
+            b[0:3], Rotation.from_euler("Z", float(b[6])), b[3:6],
+            [float(v[0]), float(v[1]), 0.0], [0.0, 0.0, 0.0],
+            ObjectTag(cls, type(cls), float(s))))
+    return arr
+
+
 def _make_anchor_detector(model, variables, cfg, anchors, classes,
                           voxelize_fn, score_threshold, iou_threshold,
                           top_k):
@@ -117,7 +140,10 @@ def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
                               valid[None], train=False)
         outputs = jax.tree.map(lambda x: x[0], outputs)
         feat = outputs.pop("feat", None)
-        boxes, scores, labels = decode_centers(cfg, outputs)
+        dec = decode_centers(cfg, outputs)
+        boxes, scores, labels = dec[:3]
+        vel = dec[3] if cfg.predict_velocity else jnp.zeros(
+            (boxes.shape[0], 2), jnp.float32)
         if refine is not None:
             from .centerpoint2 import apply_refinements, roi_grid_features
 
@@ -131,13 +157,17 @@ def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
                       * jax.nn.sigmoid(out["conf"]) ** a)
         keep = ~nms2d(_bev(boxes), scores.astype(jnp.float32),
                       iou_threshold=iou_threshold, iou_method="rbox")
-        return boxes, scores, labels, keep
+        return boxes, scores, labels, keep, vel
 
     def detect(points, frame=None, timestamp=0):
-        boxes, scores, labels, keep = device(
+        boxes, scores, labels, keep, vel = device(
             jnp.asarray(points, jnp.float32))
-        return _to_targets(boxes, scores, labels, keep, classes, frame,
-                           timestamp, score_threshold)
+        if not cfg.predict_velocity:
+            return _to_targets(boxes, scores, labels, keep, classes, frame,
+                               timestamp, score_threshold)
+        return _to_tracking_targets(boxes, scores, labels, keep, vel,
+                                    classes, frame, timestamp,
+                                    score_threshold)
 
     detect.device_fn = device  # exportable pipeline (d3d_tpu.export)
     return detect
