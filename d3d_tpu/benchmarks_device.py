@@ -519,3 +519,93 @@ def device_calc_stats(evaluator, gt_arrays, dt_arrays, calib=None,
                     tp_tot[i] > 0,
                     out[fld][:, i].sum(0) / np.maximum(tp_tot[i], 1), np.nan)
     return s
+
+
+# ---------------------------------------------------------------------------
+# semantic segmentation: confusion counting as MXU matmuls
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _semantic_confusion(gt, pred):
+    """(F, N) uint8 label batches -> (256, 256) int32 confusion matrix.
+
+    One-hot bf16 operands contracted over points on the MXU with f32
+    accumulation (exact for per-frame counts < 2^24), summed over frames
+    in int32 — no scatters, so it vectorizes on TPU where bincount-style
+    scatter-adds serialize.
+    """
+    def frame_conf(args):
+        g, p = args
+        g1 = jax.nn.one_hot(g, 256, dtype=jnp.bfloat16)
+        p1 = jax.nn.one_hot(p, 256, dtype=jnp.bfloat16)
+        c = lax.dot_general(g1, p1, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        return c.astype(jnp.int32)
+
+    return jnp.sum(lax.map(frame_conf, (gt, pred)), axis=0)
+
+
+def device_semantic_stats(evaluator, gt_labels_list, pred_labels_list,
+                          mesh=None):
+    """Semantic confusion counting for many frames in one device call.
+
+    Computes the tp/fp/fn counters of
+    :meth:`~d3d_tpu.benchmarks.SegmentationEvaluator.calc_stats` (semantic
+    part — the panoptic instance matching is host-side, per-segment) for a
+    batch of frames, integer-exactly, as 256-wide one-hot matmuls.
+
+    :param evaluator: a ``SegmentationEvaluator`` (classes/background read)
+    :param gt_labels_list: per-frame int label arrays (ragged allowed —
+        frames pad with the background label, which counts nowhere)
+    :param mesh: optional ``jax.sharding.Mesh`` with a ``dp`` axis: frames
+        shard over data-parallel devices, partial confusions psum — the
+        segmentation analogue of :func:`device_calc_stats`'s mesh path
+    :returns: a mergeable ``SegmentationStats`` (instance counters zero)
+    """
+    from .benchmarks import SegmentationStats
+
+    bg = evaluator._background
+    frames = [(np.asarray(g, np.uint8), np.asarray(p, np.uint8))
+              for g, p in zip(gt_labels_list, pred_labels_list)]
+    nmax = max((len(g) for g, _ in frames), default=1)
+    f = len(frames)
+    gt = np.full((max(f, 1), nmax), bg, np.uint8)
+    pr = np.full((max(f, 1), nmax), bg, np.uint8)
+    for i, (g, p) in enumerate(frames):
+        if len(g) != len(p):
+            raise ValueError("gt/pred label lengths differ in frame %d" % i)
+        gt[i, :len(g)] = g
+        pr[i, :len(p)] = p
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        pad = (-len(gt)) % dp
+        if pad:
+            filler = np.full((pad, nmax), bg, np.uint8)
+            gt = np.concatenate([gt, filler])
+            pr = np.concatenate([pr, filler])
+        # shard_map (not GSPMD auto-partitioning): the per-frame lax.map
+        # is a scan, which XLA would gather if scanned over a sharded
+        # axis — inside shard_map each shard scans its LOCAL frames and
+        # one psum merges the 256x256 partials
+        sh = NamedSharding(mesh, P("dp"))
+        gt_d = jax.device_put(jnp.asarray(gt), sh)
+        pr_d = jax.device_put(jnp.asarray(pr), sh)
+        conf = np.asarray(jax.jit(jax.shard_map(
+            lambda g, p: jax.lax.psum(_semantic_confusion(g, p), "dp"),
+            mesh=mesh, in_specs=(P("dp"), P("dp")),
+            out_specs=P()))(gt_d, pr_d))
+    else:
+        conf = np.asarray(_semantic_confusion(jnp.asarray(gt),
+                                              jnp.asarray(pr)))
+
+    stats = SegmentationStats(evaluator._classes)
+    for k in evaluator._classes:
+        if k == bg:
+            continue
+        stats.tp[k] = int(conf[k, k])
+        stats.fn[k] = int(conf[k, :].sum() - conf[k, k])
+        stats.fp[k] = int(conf[:, k].sum() - conf[k, k])
+    return stats
