@@ -81,21 +81,38 @@ def main():
               valid_j, reps=args.reps)
     print(f"downsample_coords:         {t * 1e3:8.3f} ms")
 
+    on_tpu = jax.default_backend() == "tpu"
     for c_in, c_out in ((16, 16), (32, 32), (64, 64)):
         feats = jnp.asarray(rng.normal(0, 1, (n, c_in)), jnp.float32)
         w = jnp.asarray(rng.normal(0, 0.1, (27, c_in, c_out)), jnp.float32)
 
-        @jax.jit
-        def loop(f, nbr, w, v, reps=8):
-            def body(i, x):
-                y = subm_conv_apply(x, nbr, w, v)
-                return y / (jnp.max(jnp.abs(y)) + 1e-6)  # data dependence
+        def make_loop(symmetric):
+            # a fresh closure per variant -> its own trace, so the
+            # D3D_TPU_FUSED_SPCONV env read at trace time sticks
+            @jax.jit
+            def loop(f, nbr, w, v, reps=8):
+                def body(i, x):
+                    y = subm_conv_apply(x, nbr, w, v, symmetric=symmetric)
+                    return y / (jnp.max(jnp.abs(y)) + 1e-6)
 
-            return lax.fori_loop(0, reps, body, f)
+                return lax.fori_loop(0, reps, body, f)
 
-        t = timed(loop, feats, nbr, w, valid_j, reps=args.reps)
-        print(f"subm_conv_apply C{c_in:>2}->{c_out:<3}: {t / 8 * 1e3:8.3f} "
-              f"ms/layer")
+            return loop
+
+        t = timed(make_loop(True), feats, nbr, w, valid_j, reps=args.reps)
+        line = f"subm_conv_apply C{c_in:>2}->{c_out:<3}: {t / 8 * 1e3:8.3f} " \
+               f"ms/layer"
+        if on_tpu:
+            # same shapes through the XLA (N, K, C) HBM-gather formulation
+            os.environ["D3D_TPU_FUSED_SPCONV"] = "0"
+            try:
+                t_xla = timed(make_loop(False), feats, nbr, w, valid_j,
+                              reps=args.reps)
+            finally:
+                os.environ.pop("D3D_TPU_FUSED_SPCONV", None)
+            line += (f"   (fused; xla-gather {t_xla / 8 * 1e3:8.3f} ms, "
+                     f"{t_xla / max(t, 1e-9):.2f}x)")
+        print(line)
 
 
 if __name__ == "__main__":
