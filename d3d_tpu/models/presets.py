@@ -66,10 +66,14 @@ def centerpoint_nuscenes_10sweep(**overrides):
     :func:`d3d_tpu.models.sweeps.accumulate_sweeps`; the extra dt column
     flows through pillarize into the PFN automatically). The 5x pillar
     budget (60k vs the base preset's 12k) absorbs the ~10x point count
-    (sweeps mostly densify already-occupied cells)."""
+    (sweeps mostly densify already-occupied cells). The velocity head is
+    on — multi-sweep input provides the motion cues, and the decoded
+    velocities feed :class:`d3d_tpu.tracking.CenterTracker` (the official
+    nuScenes CenterPoint configuration)."""
     cfg = CenterPointConfig(
         bounds=(-51.2, 51.2, -51.2, 51.2, -5.0, 3.0), grid=(512, 512),
-        max_pillars=60000, max_points_per_pillar=20, dtype="bfloat16")
+        max_pillars=60000, max_points_per_pillar=20,
+        predict_velocity=True, dtype="bfloat16")
     return replace(cfg, **overrides)
 
 
