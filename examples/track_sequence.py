@@ -1,0 +1,91 @@
+"""Track a detection stream and score it with the tracking evaluator.
+
+Runs both trackers over the same synthetic multi-object sequence —
+``CenterTracker`` (velocity-backcast greedy association, consuming
+detector-predicted velocities like the CenterPoint nuScenes pipeline)
+and ``VanillaTracker`` (the reference-parity Kalman pipeline, which
+estimates motion itself) — and prints CLEAR-MOT / AMOTA metrics for
+each.
+
+Runs out of the box:
+    python examples/track_sequence.py --frames 40 --objects 6
+"""
+
+import argparse
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from d3d_tpu.abstraction import ObjectTag, Target3DArray, TrackingTarget3D
+from d3d_tpu.benchmarks import TrackingEvaluator
+from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+from d3d_tpu.tracking import CenterTracker, VanillaTracker
+
+CAR = KittiObjectClass.Car
+DT_S = 0.1
+
+
+def synthetic_sequence(rng, n_frames, n_objects, drop_prob=0.1):
+    """Constant-velocity objects with noisy detections; yields
+    (gt_frame, det_frame) per time step."""
+    pos = rng.uniform([-30, -30], [30, 30], (n_objects, 2))
+    vel = rng.uniform(-8, 8, (n_objects, 2))
+    for t in range(n_frames):
+        ts = t * int(DT_S * 1e6)
+        gt, det = Target3DArray(frame="velo", timestamp=ts), \
+            Target3DArray(frame="velo", timestamp=ts)
+        for i in range(n_objects):
+            p = pos[i] + vel[i] * DT_S * t
+            gt.append(TrackingTarget3D(
+                [p[0], p[1], 0.0], Rotation.identity(), [4.0, 2.0, 1.6],
+                [vel[i, 0], vel[i, 1], 0.0], [0, 0, 0],
+                ObjectTag(CAR), tid=i + 1))
+            if rng.random() > drop_prob:
+                det.append(TrackingTarget3D(
+                    [p[0] + rng.normal(0, 0.15),
+                     p[1] + rng.normal(0, 0.15), 0.0],
+                    Rotation.identity(), [4.0, 2.0, 1.6],
+                    [vel[i, 0] + rng.normal(0, 0.3),
+                     vel[i, 1] + rng.normal(0, 0.3), 0.0], [0, 0, 0],
+                    ObjectTag(CAR, scores=float(rng.uniform(0.5, 1.0)))))
+        yield gt, det
+
+
+def score(name, gt_frames, trk_frames):
+    ev = TrackingEvaluator([CAR], [0.5])
+    for g, d in zip(gt_frames, trk_frames):
+        ev.add_stats(ev.calc_stats(g, d))
+    # evaluate at the detection-score floor: every reported track counts
+    # (the default operating point is the middle of the threshold grid,
+    # which would silently drop the lower-scored half)
+    at = 0.45
+    print(f"{name:>14}: MOTA={ev.mota(at)[CAR]:.3f} "
+          f"switches={ev.id_switches(at)[CAR]} "
+          f"fragments={ev.fragments(at)[CAR]} "
+          f"AMOTA={ev.amota()[CAR]:.3f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--objects", type=int, default=6)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    gts, dets = zip(*synthetic_sequence(rng, args.frames, args.objects))
+
+    center = CenterTracker(distance_threshold=1.5, lost_time=0.3)
+    kalman = VanillaTracker(matcher_distance_threshold=1.5, lost_time=0.3)
+    center_out, kalman_out = [], []
+    for d in dets:
+        center.update(d)
+        center_out.append(center.report())
+        kalman.update(d)
+        kalman_out.append(kalman.report())
+
+    score("CenterTracker", gts, center_out)
+    score("VanillaTracker", gts, kalman_out)
+
+
+if __name__ == "__main__":
+    main()
