@@ -22,7 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["global_augment", "build_gt_database", "sample_ground_truths"]
+__all__ = ["global_augment", "perobject_augment", "build_gt_database",
+           "sample_ground_truths"]
 
 
 def global_augment(key, points, gt_boxes, flip_prob=0.5, rot_range=0.7854,
@@ -66,6 +67,70 @@ def global_augment(key, points, gt_boxes, flip_prob=0.5, rot_range=0.7854,
     bx = bx.at[:, :3].add(shift)
 
     return jnp.concatenate([xyz, points[:, 3:]], axis=1), bx
+
+
+def perobject_augment(key, points, gt_boxes, gt_mask, rot_range=0.3925,
+                      translate_std=(1.0, 1.0, 0.5)):
+    """Independently perturb each GT box and its interior points (SECOND
+    Sec. 3.3 "noise per object"), fully on device with fixed shapes.
+
+    Each box proposes a rotation about its own center plus a translation;
+    a proposal is ACCEPTED only if its BEV footprint stays disjoint from
+    every other box (both the others' proposals and their originals — a
+    conservative one-shot check instead of the reference ecosystem's
+    sequential retry loop, so acceptance is order-independent and
+    vmappable). Rejected boxes keep their original pose. Points inside an
+    accepted box move rigidly with it; all other points are untouched.
+
+    :param key: jax.random key
+    :param points: (N, F) with xyz leading
+    :param gt_boxes: (M, 7) [x, y, z, l, w, h, yaw] (padded rows allowed)
+    :param gt_mask: (M,) valid-box mask
+    :returns: (points', gt_boxes') — same shapes/dtypes
+    """
+    from .ops.box import box3dp_crop
+    from .ops.geometry_soa import rbox_iou_matrix
+
+    m = gt_boxes.shape[0]
+    kr, kt = jax.random.split(key)
+    dtheta = jax.random.uniform(kr, (m,), gt_boxes.dtype, -rot_range,
+                                rot_range)
+    dt = jax.random.normal(kt, (m, 3), gt_boxes.dtype) \
+        * jnp.asarray(translate_std, gt_boxes.dtype)
+
+    prop = gt_boxes.at[:, 0:3].add(dt).at[:, 6].add(dtheta)
+
+    def bev(b):
+        return jnp.concatenate([b[:, 0:2], b[:, 3:5], b[:, 6:7]],
+                               axis=1).astype(jnp.float32)
+
+    # a proposal collides if it touches any OTHER box's proposal or
+    # original footprint (self-pairs masked off the diagonal)
+    off_diag = ~jnp.eye(m, dtype=bool)
+    vv = gt_mask[:, None] & gt_mask[None, :] & off_diag
+    ipp = rbox_iou_matrix(bev(prop), bev(prop))
+    ipo = rbox_iou_matrix(bev(prop), bev(gt_boxes))
+    collide = jnp.any(vv & ((ipp > 0) | (ipo > 0)), axis=1)
+    accept = gt_mask & ~collide
+
+    final = jnp.where(accept[:, None], prop, gt_boxes)
+
+    # rigid transform of each accepted box's interior points: membership
+    # against the ORIGINAL boxes (one batched crop), first owner wins
+    inmask = box3dp_crop(points[:, :3], gt_boxes) & accept[:, None]  # (M, N)
+    owned = jnp.any(inmask, axis=0)
+    owner = jnp.argmax(inmask, axis=0)                               # (N,)
+
+    c = gt_boxes[owner, 0:3]
+    th = dtheta[owner]
+    cs, sn = jnp.cos(th), jnp.sin(th)
+    rel = points[:, :3] - c
+    rx = rel[:, 0] * cs - rel[:, 1] * sn
+    ry = rel[:, 0] * sn + rel[:, 1] * cs
+    moved = jnp.stack([rx, ry, rel[:, 2]], axis=1) + c + dt[owner]
+    xyz = jnp.where(owned[:, None], moved.astype(points.dtype),
+                    points[:, :3])
+    return jnp.concatenate([xyz, points[:, 3:]], axis=1), final
 
 
 # ---------------------------------------------------------------------------

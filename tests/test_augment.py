@@ -108,3 +108,94 @@ class TestGTSampling:
                                        out_boxes[len(tgt_boxes):]))
         for row in crops:
             assert int(row.sum()) >= 3
+
+
+class TestPerObjectAugment:
+    def _scene(self, rng, m=4, per=40, pad=2):
+        """Well-separated boxes on a line, points inside + background."""
+        from d3d_tpu.augment import perobject_augment  # noqa: F401
+
+        boxes = np.zeros((m + pad, 7), np.float32)
+        for i in range(m):
+            boxes[i] = [i * 15.0 - 20, (i % 2) * 10 - 5, -0.5,
+                        4.0, 2.0, 1.6, rng.uniform(-np.pi, np.pi)]
+        mask = np.zeros(m + pad, bool)
+        mask[:m] = True
+        pts = [rng.uniform(-60, 60, (200, 3)).astype(np.float32) + [0, 30, 0]]
+        locals_ = []
+        for b in boxes[:m]:
+            c, s = np.cos(b[6]), np.sin(b[6])
+            local = rng.uniform(-0.45, 0.45, (per, 3)).astype(np.float32) \
+                * b[3:6]
+            world = local.copy()
+            world[:, 0] = c * local[:, 0] - s * local[:, 1] + b[0]
+            world[:, 1] = s * local[:, 0] + c * local[:, 1] + b[1]
+            world[:, 2] = local[:, 2] + b[2]
+            pts.append(world)
+            locals_.append(local)
+        pts = np.concatenate(pts)
+        feats = rng.uniform(0, 1, (len(pts), 1)).astype(np.float32)
+        return (np.concatenate([pts, feats], axis=1), boxes, mask,
+                np.concatenate(locals_))
+
+    def test_rigid_membership(self, rng):
+        from d3d_tpu.augment import perobject_augment
+
+        pts, boxes, mask, local = self._scene(rng)
+        key = jax.random.PRNGKey(3)
+        p2, b2 = perobject_augment(key, jnp.asarray(pts),
+                                   jnp.asarray(boxes), jnp.asarray(mask))
+        p2, b2 = np.asarray(p2), np.asarray(b2)
+        # interior points stay at the SAME box-frame coordinates of the
+        # (possibly moved) final box
+        n_bg = 200
+        per = 40
+        for i in range(4):
+            seg = slice(n_bg + i * per, n_bg + (i + 1) * per)
+            b = b2[i]
+            c, s = np.cos(b[6]), np.sin(b[6])
+            rel = p2[seg, :3] - b[:3]
+            lx = c * rel[:, 0] + s * rel[:, 1]
+            ly = -s * rel[:, 0] + c * rel[:, 1]
+            got = np.stack([lx, ly, rel[:, 2]], axis=1)
+            np.testing.assert_allclose(got, local[i * per:(i + 1) * per],
+                                       atol=2e-4, err_msg=str(i))
+        # background untouched, features untouched
+        np.testing.assert_array_equal(p2[:n_bg], pts[:n_bg])
+        np.testing.assert_array_equal(p2[:, 3], pts[:, 3])
+
+    def test_boxes_stay_disjoint_and_padding_fixed(self, rng):
+        from d3d_tpu.augment import perobject_augment
+        from d3d_tpu.ops.box import box2d_iou
+
+        pts, boxes, mask, _ = self._scene(rng)
+        for seed in range(4):
+            _, b2 = perobject_augment(jax.random.PRNGKey(seed),
+                                      jnp.asarray(pts), jnp.asarray(boxes),
+                                      jnp.asarray(mask))
+            b2 = np.asarray(b2)
+            bev = np.concatenate([b2[:4, 0:2], b2[:4, 3:5], b2[:4, 6:7]],
+                                 axis=1)
+            iou = np.array(box2d_iou(bev, bev, method="rbox"))
+            np.fill_diagonal(iou, 0)
+            assert iou.max() <= 1e-6, seed
+            np.testing.assert_array_equal(b2[4:], boxes[4:])  # padding rows
+
+    def test_zero_noise_identity(self, rng):
+        from d3d_tpu.augment import perobject_augment
+
+        pts, boxes, mask, _ = self._scene(rng)
+        p2, b2 = perobject_augment(jax.random.PRNGKey(0), jnp.asarray(pts),
+                                   jnp.asarray(boxes), jnp.asarray(mask),
+                                   rot_range=0.0,
+                                   translate_std=(0.0, 0.0, 0.0))
+        np.testing.assert_allclose(np.asarray(p2), pts, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b2), boxes, atol=1e-6)
+
+    def test_something_moves(self, rng):
+        from d3d_tpu.augment import perobject_augment
+
+        pts, boxes, mask, _ = self._scene(rng)
+        _, b2 = perobject_augment(jax.random.PRNGKey(1), jnp.asarray(pts),
+                                  jnp.asarray(boxes), jnp.asarray(mask))
+        assert np.abs(np.asarray(b2)[:4] - boxes[:4]).max() > 1e-3
