@@ -706,17 +706,80 @@ class Target3DArray(list):
             type_code = 2 if isinstance(self[0], TrackingTarget3D) else 1
         else:
             type_code = 0
-        return (self.frame, self.timestamp, type_code,
-                [obj.serialize() for obj in self])
+        # columnar fast path for the exact library types (a user subclass
+        # may override serialize — per-object path preserves that)
+        if len(self) > 0 and type(self[0]) in (ObjectTarget3D,
+                                               TrackingTarget3D):
+            try:
+                rows = self._serialize_rows(type_code)
+            except (TypeError, ValueError):
+                # e.g. non-integer tids break the u64 tid column build
+                rows = [obj.serialize() for obj in self]
+        else:
+            rows = [obj.serialize() for obj in self]
+        return (self.frame, self.timestamp, type_code, rows)
+
+    def _serialize_rows(self, type_code):
+        """Columnar serialization: identical rows to per-object
+        ``ObjectTarget3D.serialize`` (the scipy quaternion normalization
+        is the same f64 IEEE ops, vectorized) without constructing a
+        ``Rotation`` per object — the replacement for the reference's
+        Cython-speed dump (abstraction.pyx:552-580)."""
+        c = self.columns()
+        n = len(self)
+        pos = c["position"].tolist()
+        pvar = c["position_var"].reshape(n, 9).tolist()
+        dim = c["dimension"].tolist()
+        dvar = c["dimension_var"].reshape(n, 9).tolist()
+        q = c["quat"].astype(np.float64)
+        q /= np.sqrt(np.einsum("ij,ij->i", q, q))[:, None]
+        quat = q.tolist()
+        if type_code == 1:
+            return [
+                (pos[i], pvar[i], dim[i], dvar[i], quat[i],
+                 obj.orientation_var, obj.tid, obj.tag.serialize(),
+                 dict(obj.aux) if obj.aux else None)
+                for i, obj in enumerate(self)]
+        vel = c["velocity"].tolist()
+        vvar = c["velocity_var"].reshape(n, 9).tolist()
+        avel = c["angular_velocity"].tolist()
+        avar = c["angular_velocity_var"].reshape(n, 9).tolist()
+        return [
+            (pos[i], pvar[i], dim[i], dvar[i], quat[i],
+             obj.orientation_var, vel[i], vvar[i], avel[i], avar[i],
+             obj.tid, obj.tag.serialize(), obj.history,
+             dict(obj.aux) if obj.aux else None)
+            for i, obj in enumerate(self)]
 
     @classmethod
     def deserialize(cls, data):
+        rows = data[3]
+        # bulk path: normalize all quaternions in one vectorized f64 pass
+        # (the same IEEE ops Rotation.from_quat + as_quat run per object)
+        # and hand the f32 result straight to the constructors
+        quats = None
+        if len(rows) > 0 and data[2] in (1, 2):
+            q = np.asarray([r[4] for r in rows], np.float64)
+            q /= np.sqrt(np.einsum("ij,ij->i", q, q))[:, None]
+            quats = q.astype(np.float32)
         if data[2] == 1:
-            objs = [ObjectTarget3D.deserialize(o) for o in data[3]]
+            objs = [
+                ObjectTarget3D(
+                    r[0], quats[i], r[2], ObjectTag.deserialize(r[7]),
+                    tid=r[6], position_var=r[1], orientation_var=r[5],
+                    dimension_var=r[3], aux=r[8])
+                for i, r in enumerate(rows)]
         elif data[2] == 2:
-            objs = [TrackingTarget3D.deserialize(o) for o in data[3]]
+            objs = [
+                TrackingTarget3D(
+                    r[0], quats[i], r[2], r[6], r[8],
+                    ObjectTag.deserialize(r[11]), tid=r[10],
+                    position_var=r[1], orientation_var=r[5],
+                    dimension_var=r[3], velocity_var=r[7],
+                    angular_velocity_var=r[9], history=r[12], aux=r[13])
+                for i, r in enumerate(rows)]
         else:
-            assert data[2] == 0 and len(data[3]) == 0
+            assert data[2] == 0 and len(rows) == 0
             objs = []
         return cls(objs, frame=data[0], timestamp=data[1])
 

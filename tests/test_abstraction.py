@@ -259,3 +259,65 @@ class TestCovarianceRotation:
                                    [0.1, 0.3, 0.05], atol=1e-12)
         # dimensions are box-frame quantities: untouched
         np.testing.assert_allclose(out.dimension, [2, 2, 2])
+
+
+class TestColumnarSerialize:
+    """The columnar serialize/deserialize fast paths must be
+    byte-identical on the wire and bitwise-identical after load vs the
+    per-object reference paths."""
+
+    def _arrays(self, rng):
+        obj = Target3DArray(frame="velo", timestamp=123)
+        trk = Target3DArray(frame="velo", timestamp=456)
+        for i in range(40):
+            r = Rotation.from_euler("Z", rng.uniform(-3, 3))
+            obj.append(ObjectTarget3D(
+                rng.uniform(-40, 40, 3), r, rng.uniform(1, 4, 3),
+                ObjectTag(1, scores=float(rng.uniform())), tid=i + 1,
+                position_var=np.eye(3) * 0.1, orientation_var=0.05,
+                aux={"k": i} if i % 3 == 0 else None))
+            trk.append(TrackingTarget3D(
+                rng.uniform(-40, 40, 3), r, rng.uniform(1, 4, 3),
+                rng.uniform(-5, 5, 3), [0, 0, 0.1],
+                ObjectTag(1, scores=float(rng.uniform())), tid=i + 1,
+                history=0.5))
+        return obj, trk
+
+    def test_wire_bytes_identical(self, rng):
+        import msgpack
+
+        for arr in self._arrays(rng):
+            fast = arr.serialize()
+            slow = (arr.frame, arr.timestamp, fast[2],
+                    [o.serialize() for o in arr])
+            assert (msgpack.packb(fast, use_single_float=True)
+                    == msgpack.packb(slow, use_single_float=True))
+
+    def test_bulk_load_bitwise_quats(self, rng):
+        import msgpack
+
+        for arr in self._arrays(rng):
+            data = msgpack.unpackb(
+                msgpack.packb(arr.serialize(), use_single_float=True))
+            bulk = Target3DArray.deserialize(data)
+            perobj = [type(arr[0]).deserialize(r) for r in data[3]]
+            qa = np.stack([o._orientation for o in bulk])
+            qb = np.stack([o._orientation for o in perobj])
+            np.testing.assert_array_equal(qa.view(np.uint32),
+                                          qb.view(np.uint32))
+            for a, b in zip(bulk, perobj):
+                np.testing.assert_array_equal(a.position, b.position)
+                assert a.tid == b.tid and a.aux == b.aux
+
+    def test_string_tid_falls_back(self, rng):
+        import io
+
+        arr = Target3DArray(frame="velo")
+        arr.append(ObjectTarget3D(
+            [1.0, 2, 3], Rotation.identity(), [4, 2, 1.6],
+            ObjectTag(1, scores=0.5), tid="strid0"))
+        buf = io.BytesIO()
+        arr.dump(buf)
+        buf.seek(0)
+        re = Target3DArray.load(buf)
+        assert re[0].tid == "strid0"
