@@ -361,6 +361,53 @@ class NuscenesLoader(TrackingDatasetBase):
             Path(fout).write_text(json.dumps({sample_token: results}))
         return results
 
+    # the 7 nuScenes tracking-challenge classes (a subset of the 10
+    # detection classes; barrier/cone/construction_vehicle are untracked)
+    TRACKING_NAMES = frozenset((
+        "bicycle", "bus", "car", "motorcycle", "pedestrian", "trailer",
+        "truck"))
+
+    @expand_idx
+    def dump_tracking_output(self, idx, tracks, fout=None):
+        """Convert an ego-frame tracked array (``TrackingTarget3D`` with
+        tids, e.g. :class:`d3d_tpu.tracking.CenterTracker` reports) into
+        nuScenes TRACKING-challenge submission entries: the detection
+        fields plus ``tracking_id``/``tracking_name``/``tracking_score``;
+        objects outside the 7 tracked classes are dropped (official
+        protocol). No reference counterpart (its submission surface is
+        detection-only, nuscenes/loader.py:447-541)."""
+        seq_id, frame_idx = idx
+        sample_token = self.metadata((seq_id, frame_idx),
+                                     bypass=True).sample_token
+        pose = self.pose((seq_id, frame_idx), bypass=True)
+        rm, t = pose.orientation.as_matrix(), pose.position
+
+        results = []
+        for box in tracks:
+            name = (box.tag_top.name if box.tag.mapping
+                    is NuscenesDetectionClass
+                    else NuscenesObjectClass(
+                        box.tag.labels[0]).to_detection().name)
+            if name not in self.TRACKING_NAMES:
+                continue
+            gt = rm.dot(box.position) + t
+            gr = pose.orientation * box.orientation
+            q = gr.as_quat()
+            vel = rm.dot(getattr(box, "velocity", np.zeros(3)))
+            results.append(dict(
+                sample_token=sample_token,
+                translation=gt.tolist(),
+                size=[box.dimension[1], box.dimension[0], box.dimension[2]],
+                rotation=[q[3], q[0], q[1], q[2]],
+                velocity=vel[:2].tolist(),
+                tracking_id=str(box.tid),
+                tracking_name=name,
+                tracking_score=float(box.tag_top_score),
+            ))
+        if fout is not None:
+            Path(fout).write_text(json.dumps({sample_token: results}))
+        return results
+
 
 def create_submission(result_files, output_file, meta=None):
     """Merge per-frame dump_detection_output JSON files into one nuScenes

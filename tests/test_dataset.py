@@ -314,6 +314,35 @@ class TestNuscenes:
         # frame 1 pose shifts x by 1
         assert sub[0]["translation"][0] == pytest.approx(11.0, abs=1e-5)
 
+    def test_tracking_submission(self, dataset):
+        from scipy.spatial.transform import Rotation
+        from d3d_tpu.abstraction import (ObjectTag, Target3DArray,
+                                         TrackingTarget3D)
+        from d3d_tpu.dataset.nuscenes import (NuscenesDetectionClass,
+                                              NuscenesLoader)
+
+        loader = NuscenesLoader(dataset, phase="training",
+                                trainval_split="official")
+        trk = Target3DArray(frame="ego")
+        trk.append(TrackingTarget3D(
+            [10, 2, 0.5], Rotation.identity(), [4.5, 2.0, 1.7],
+            [3.0, 0.0, 0.0], [0, 0, 0],
+            ObjectTag(NuscenesDetectionClass.car, scores=0.9), tid=42))
+        # untracked class: dropped from the submission
+        trk.append(TrackingTarget3D(
+            [5, 1, 0.5], Rotation.identity(), [0.5, 0.5, 1.0],
+            [0, 0, 0], [0, 0, 0],
+            ObjectTag(NuscenesDetectionClass.traffic_cone, scores=0.8),
+            tid=43))
+        sub = loader.dump_tracking_output(1, trk)
+        assert len(sub) == 1
+        e = sub[0]
+        assert e["tracking_name"] == "car" and e["tracking_id"] == "42"
+        assert e["tracking_score"] == pytest.approx(0.9)
+        assert e["translation"][0] == pytest.approx(11.0, abs=1e-5)
+        assert e["velocity"] == pytest.approx([3.0, 0.0])
+        assert e["size"] == pytest.approx([2.0, 4.5, 1.7])
+
 
 def test_taxonomies():
     from d3d_tpu.dataset.cadc import CADCObjectClass
