@@ -712,8 +712,9 @@ class Target3DArray(list):
                                                TrackingTarget3D):
             try:
                 rows = self._serialize_rows(type_code)
-            except (TypeError, ValueError):
-                # e.g. non-integer tids break the u64 tid column build
+            except (TypeError, ValueError, OverflowError):
+                # e.g. non-integer or negative tids break the u64 tid
+                # column build
                 rows = [obj.serialize() for obj in self]
         else:
             rows = [obj.serialize() for obj in self]
@@ -724,7 +725,11 @@ class Target3DArray(list):
         ``ObjectTarget3D.serialize`` (the scipy quaternion normalization
         is the same f64 IEEE ops, vectorized) without constructing a
         ``Rotation`` per object — the replacement for the reference's
-        Cython-speed dump (abstraction.pyx:552-580)."""
+        Cython-speed dump (abstraction.pyx:552-580).
+
+        .. note:: like ``to_numpy``/``boxes7``, this builds the
+           :meth:`columns` cache, rebinding element arrays to column rows
+           (see the warning there)."""
         c = self.columns()
         n = len(self)
         pos = c["position"].tolist()
@@ -732,7 +737,10 @@ class Target3DArray(list):
         dim = c["dimension"].tolist()
         dvar = c["dimension_var"].reshape(n, 9).tolist()
         q = c["quat"].astype(np.float64)
-        q /= np.sqrt(np.einsum("ij,ij->i", q, q))[:, None]
+        norm = np.sqrt(np.einsum("ij,ij->i", q, q))
+        if not np.all(norm > 0):  # scipy raises here too — stay loud
+            raise ValueError("Found zero norm quaternion in the array")
+        q /= norm[:, None]
         quat = q.tolist()
         if type_code == 1:
             return [
@@ -760,7 +768,10 @@ class Target3DArray(list):
         quats = None
         if len(rows) > 0 and data[2] in (1, 2):
             q = np.asarray([r[4] for r in rows], np.float64)
-            q /= np.sqrt(np.einsum("ij,ij->i", q, q))[:, None]
+            norm = np.sqrt(np.einsum("ij,ij->i", q, q))
+            if not np.all(norm > 0):  # scipy raised here too — stay loud
+                raise ValueError("Found zero norm quaternion in the data")
+            q /= norm[:, None]
             quats = q.astype(np.float32)
         if data[2] == 1:
             objs = [

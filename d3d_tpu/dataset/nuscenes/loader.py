@@ -335,31 +335,41 @@ class NuscenesLoader(TrackingDatasetBase):
         sample_token = self.metadata((seq_id, frame_idx),
                                      bypass=True).sample_token
         pose = self.pose((seq_id, frame_idx), bypass=True)
-        rm, t = pose.orientation.as_matrix(), pose.position
 
         results = []
         for box in detections:
-            gt = rm.dot(box.position) + t
-            gr = pose.orientation * box.orientation
-            q = gr.as_quat()
-            vel = rm.dot(getattr(box, "velocity", np.zeros(3)))
-            name = (box.tag_top.name if box.tag.mapping
-                    is NuscenesDetectionClass
-                    else NuscenesObjectClass(
-                        box.tag.labels[0]).to_detection().name)
-            results.append(dict(
-                sample_token=sample_token,
-                translation=gt.tolist(),
-                size=[box.dimension[1], box.dimension[0], box.dimension[2]],
-                rotation=[q[3], q[0], q[1], q[2]],
-                velocity=vel[:2].tolist(),
-                detection_name=name,
-                detection_score=float(box.tag_top_score),
-                attribute_name="",
-            ))
+            entry, name = self._submission_entry(box, pose, sample_token)
+            entry.update(detection_name=name,
+                         detection_score=float(box.tag_top_score),
+                         attribute_name="")
+            results.append(entry)
         if fout is not None:
             Path(fout).write_text(json.dumps({sample_token: results}))
         return results
+
+    @staticmethod
+    def _submission_entry(box, pose, sample_token):
+        """Shared global-frame submission fields (detection AND tracking
+        writers): translation, wlh size, wxyz rotation, BEV velocity —
+        all plain Python floats (JSON-safe)."""
+        rm, t = pose.orientation.as_matrix(), pose.position
+        gt = rm.dot(box.position) + t
+        q = (pose.orientation * box.orientation).as_quat()
+        vel = rm.dot(np.asarray(getattr(box, "velocity", np.zeros(3)),
+                                np.float64))
+        name = (box.tag_top.name if box.tag.mapping
+                is NuscenesDetectionClass
+                else NuscenesObjectClass(
+                    box.tag.labels[0]).to_detection().name)
+        entry = dict(
+            sample_token=sample_token,
+            translation=[float(v) for v in gt],
+            size=[float(box.dimension[1]), float(box.dimension[0]),
+                  float(box.dimension[2])],
+            rotation=[float(q[3]), float(q[0]), float(q[1]), float(q[2])],
+            velocity=[float(vel[0]), float(vel[1])],
+        )
+        return entry, name
 
     # the 7 nuScenes tracking-challenge classes (a subset of the 10
     # detection classes; barrier/cone/construction_vehicle are untracked)
@@ -380,30 +390,15 @@ class NuscenesLoader(TrackingDatasetBase):
         sample_token = self.metadata((seq_id, frame_idx),
                                      bypass=True).sample_token
         pose = self.pose((seq_id, frame_idx), bypass=True)
-        rm, t = pose.orientation.as_matrix(), pose.position
 
         results = []
         for box in tracks:
-            name = (box.tag_top.name if box.tag.mapping
-                    is NuscenesDetectionClass
-                    else NuscenesObjectClass(
-                        box.tag.labels[0]).to_detection().name)
+            entry, name = self._submission_entry(box, pose, sample_token)
             if name not in self.TRACKING_NAMES:
                 continue
-            gt = rm.dot(box.position) + t
-            gr = pose.orientation * box.orientation
-            q = gr.as_quat()
-            vel = rm.dot(getattr(box, "velocity", np.zeros(3)))
-            results.append(dict(
-                sample_token=sample_token,
-                translation=gt.tolist(),
-                size=[box.dimension[1], box.dimension[0], box.dimension[2]],
-                rotation=[q[3], q[0], q[1], q[2]],
-                velocity=vel[:2].tolist(),
-                tracking_id=str(box.tid),
-                tracking_name=name,
-                tracking_score=float(box.tag_top_score),
-            ))
+            entry.update(tracking_id=str(box.tid), tracking_name=name,
+                         tracking_score=float(box.tag_top_score))
+            results.append(entry)
         if fout is not None:
             Path(fout).write_text(json.dumps({sample_token: results}))
         return results

@@ -291,6 +291,16 @@ def _gt_velocity(cfg, batch):
         return None
     gv = batch.get("gt_velocity")
     if gv is None:
+        import warnings
+
+        # trace-time warning (not inside compiled code): training the
+        # velocity head toward silent zeros defeats its purpose
+        warnings.warn(
+            "predict_velocity=True but the batch has no 'gt_velocity' — "
+            "velocity targets default to ZERO. Supply per-box (B, M, 2) "
+            "BEV velocities (e.g. Target3DArray.columns()['velocity']"
+            "[:, :2] from the nuScenes loader) to actually train the "
+            "head.", stacklevel=3)
         gv = jnp.zeros(batch["gt_boxes"].shape[:2] + (2,), jnp.float32)
     return gv
 

@@ -46,23 +46,39 @@ def _to_tracking_targets(boxes, scores, labels, keep, vel, classes, frame,
                          timestamp, score_threshold):
     """Like :func:`_to_targets` but emits :class:`TrackingTarget3D` with
     the decoded BEV velocities — the input format of
-    :class:`d3d_tpu.tracking.CenterTracker` and the tracking evaluator."""
-    from scipy.spatial.transform import Rotation
-
+    :class:`d3d_tpu.tracking.CenterTracker` and the tracking evaluator.
+    Columnar construction like ``from_columns`` (no per-box scipy)."""
     from ..abstraction import TrackingTarget3D
 
     boxes, scores, labels, keep, vel = (np.asarray(a) for a in
                                         (boxes, scores, labels, keep, vel))
     sel = (keep & (scores >= score_threshold)
            & np.all(np.isfinite(boxes), axis=-1))
-    arr = Target3DArray(frame=frame, timestamp=timestamp)
-    for b, s, l, v in zip(boxes[sel], scores[sel], labels[sel], vel[sel]):
-        cls = classes[int(l)]
-        arr.append(TrackingTarget3D(
-            b[0:3], Rotation.from_euler("Z", float(b[6])), b[3:6],
-            [float(v[0]), float(v[1]), 0.0], [0.0, 0.0, 0.0],
-            ObjectTag(cls, type(cls), float(s))))
-    return arr
+    boxes, scores, labels, vel = boxes[sel], scores[sel], labels[sel], \
+        vel[sel]
+    n = len(boxes)
+    y = boxes[:, 6].astype(np.float64)
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 2] = np.sin(y / 2)
+    quats[:, 3] = np.cos(y / 2)
+    vel3 = np.zeros((n, 3), np.float32)
+    vel3[:, :2] = vel
+    cols = dict(
+        position=np.ascontiguousarray(boxes[:, 0:3], np.float32),
+        dimension=np.ascontiguousarray(boxes[:, 3:6], np.float32),
+        quat=quats,
+        position_var=np.zeros((n, 3, 3), np.float32),
+        dimension_var=np.zeros((n, 3, 3), np.float32),
+        velocity=vel3,
+        angular_velocity=np.zeros((n, 3), np.float32),
+        velocity_var=np.zeros((n, 3, 3), np.float32),
+        angular_velocity_var=np.zeros((n, 3, 3), np.float32),
+    )
+    tags = [ObjectTag(cls := classes[int(l)], type(cls), float(s))
+            for l, s in zip(labels, scores)]
+    return Target3DArray._from_backed_columns(
+        TrackingTarget3D, cols, tags, np.zeros(n, np.float32),
+        frame=frame, timestamp=timestamp)
 
 
 def _make_anchor_detector(model, variables, cfg, anchors, classes,
@@ -132,6 +148,10 @@ def make_centerpoint_detector(model, variables, cfg, pillar_cfg, classes,
         requires the first stage built with ``return_feat=True``; applies
         the box residuals and fuses the IoU-aware confidence into the
         score before NMS (still one jitted program)."""
+    if refine is not None and not getattr(model, "return_feat", False):
+        raise ValueError(
+            "the refine stage pools the shared BEV map: build the first "
+            "stage with CenterPoint(cfg, return_feat=True)")
 
     @jax.jit
     def device(points):

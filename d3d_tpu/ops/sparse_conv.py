@@ -184,10 +184,13 @@ def build_neighbor_map_strided(out_coords, out_valid, in_coords, in_valid,
 
 
 # VMEM budget for the fused Pallas path: features, gathered rows, indices
-# and the output accumulator all live on chip in (C, N) layout.
+# and the output accumulator all live on chip in (C, N) layout (the
+# fused_bytes estimate below). 48 MB leaves ~2.5x headroom on a v5e's
+# 128 MB VMEM and admits the SECOND-KITTI C64 stage (16.7 MB at 16k
+# sites), which a previous 10 MB budget silently excluded.
 # D3D_TPU_FUSED_SPCONV=0 disables the dispatch (escape hatch until the
 # kernel has a recorded non-interpret run on hardware).
-_FUSED_VMEM_BUDGET = 10 * 1024 * 1024
+_FUSED_VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def _fused_enabled():

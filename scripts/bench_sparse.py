@@ -99,10 +99,15 @@ def main():
 
             return loop
 
+        from d3d_tpu.ops.sparse_conv import _FUSED_VMEM_BUDGET
+
+        fused_eligible = (on_tpu
+                          and n * 4 * (3 * c_in + c_out)
+                          <= _FUSED_VMEM_BUDGET)
         t = timed(make_loop(True), feats, nbr, w, valid_j, reps=args.reps)
         line = f"subm_conv_apply C{c_in:>2}->{c_out:<3}: {t / 8 * 1e3:8.3f} " \
                f"ms/layer"
-        if on_tpu:
+        if on_tpu and fused_eligible:
             # same shapes through the XLA (N, K, C) HBM-gather formulation
             os.environ["D3D_TPU_FUSED_SPCONV"] = "0"
             try:
@@ -112,6 +117,8 @@ def main():
                 os.environ.pop("D3D_TPU_FUSED_SPCONV", None)
             line += (f"   (fused; xla-gather {t_xla / 8 * 1e3:8.3f} ms, "
                      f"{t_xla / max(t, 1e-9):.2f}x)")
+        elif on_tpu:
+            line += "   (xla-gather; fused skipped: over VMEM budget)"
         print(line)
 
 

@@ -309,15 +309,18 @@ class TestColumnarSerialize:
                 np.testing.assert_array_equal(a.position, b.position)
                 assert a.tid == b.tid and a.aux == b.aux
 
-    def test_string_tid_falls_back(self, rng):
+    @pytest.mark.parametrize("tid", ["strid0", -1])
+    def test_odd_tids_fall_back(self, rng, tid):
+        """String and negative tids break the u64 tid column — serialize
+        must fall back to the per-object path, not crash."""
         import io
 
         arr = Target3DArray(frame="velo")
         arr.append(ObjectTarget3D(
             [1.0, 2, 3], Rotation.identity(), [4, 2, 1.6],
-            ObjectTag(1, scores=0.5), tid="strid0"))
+            ObjectTag(1, scores=0.5), tid=tid))
         buf = io.BytesIO()
         arr.dump(buf)
         buf.seek(0)
         re = Target3DArray.load(buf)
-        assert re[0].tid == "strid0"
+        assert re[0].tid == tid

@@ -342,6 +342,13 @@ class TestNuscenes:
         assert e["translation"][0] == pytest.approx(11.0, abs=1e-5)
         assert e["velocity"] == pytest.approx([3.0, 0.0])
         assert e["size"] == pytest.approx([2.0, 4.5, 1.7])
+        # fout path: every field must be JSON-serializable (f32 columns
+        # used to leak through as np.float32 and crash json.dumps)
+        import json as _json
+        out = dataset / "trk.json"
+        loader.dump_tracking_output(1, trk, fout=out)
+        loader.dump_detection_output(1, trk, fout=dataset / "det.json")
+        assert _json.loads(out.read_text())["t1"][0]["tracking_id"] == "42"
 
 
 def test_taxonomies():
