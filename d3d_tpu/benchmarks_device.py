@@ -43,7 +43,8 @@ from .abstraction import Target3DArray
 
 __all__ = ["pack_frames", "eval_frames_device", "device_calc_stats",
            "match_subsets_device", "matching_tables_device",
-           "match_subsets_with_tables", "max_dist_arrays"]
+           "match_subsets_with_tables", "max_dist_arrays",
+           "device_semantic_stats", "device_panoptic_stats"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 _BIG_RANK = np.int32(2 ** 30)
@@ -608,4 +609,178 @@ def device_semantic_stats(evaluator, gt_labels_list, pred_labels_list,
         stats.tp[k] = int(conf[k, k])
         stats.fn[k] = int(conf[k, :].sum() - conf[k, k])
         stats.fp[k] = int(conf[:, k].sum() - conf[k, k])
+    return stats
+
+
+
+# ---------------------------------------------------------------------------
+# panoptic segmentation: per-segment matching as sorted segment reductions
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("min_points", "bg_label"))
+def _panoptic_frames(gt_key, pred_key, min_points, bg_label):
+    """(F, N) int32 segment keys (``label << 16 | id``; out-of-class and
+    padding points carry ``bg_label << 16``) -> per-class (256,) panoptic
+    counters (itp, ifn, ifp int32; cumiou f64) summed over frames.
+
+    Per frame: one carried sort by (gt, pred) yields the joint pair
+    histogram AND the gt-segment sizes as run lengths; a second sort by
+    pred yields pred-segment sizes and their VOID (gt==bg) overlaps;
+    everything else is segmented reductions + gathers at run starts — no
+    hash maps and no per-segment Python (host counterpart:
+    ``SegmentationEvaluator._collect_labels_pano``). IoU tests run in
+    f64, like the host's Python floats.
+    """
+    n = gt_key.shape[1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ones = jnp.ones(n, jnp.int32)
+    bg = jnp.int32(bg_label)
+
+    def frame_stats(args):
+        gk, pk = args
+        # ---- sort 1: (gt, pred) pair runs inside gt runs
+        gs, ps, idx0 = lax.sort((gk, pk, iota), num_keys=2)
+        first = jnp.concatenate([jnp.ones(1, bool), (gs[1:] != gs[:-1])
+                                 | (ps[1:] != ps[:-1])])
+        pair_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+        pair_count = jax.ops.segment_sum(ones, pair_id, num_segments=n,
+                                         indices_are_sorted=True)
+        c_pt = pair_count[pair_id]
+        firstg = jnp.concatenate([jnp.ones(1, bool), gs[1:] != gs[:-1]])
+        g_id = jnp.cumsum(firstg.astype(jnp.int32)) - 1
+        g_size = jax.ops.segment_sum(ones, g_id, num_segments=n,
+                                     indices_are_sorted=True)
+        gsz_pt = g_size[g_id]
+
+        # ---- sort 2: pred segments (sizes + VOID overlap)
+        ps2, gs2, idx2 = lax.sort((pk, gk, iota), num_keys=1)
+        firstp = jnp.concatenate([jnp.ones(1, bool), ps2[1:] != ps2[:-1]])
+        p_id = jnp.cumsum(firstp.astype(jnp.int32)) - 1
+        p_size = jax.ops.segment_sum(ones, p_id, num_segments=n,
+                                     indices_are_sorted=True)
+        void2 = ((gs2 >> 16) == bg).astype(jnp.int32)
+        p_void = jax.ops.segment_sum(void2, p_id, num_segments=n,
+                                     indices_are_sorted=True)
+        psz_pt2 = p_size[p_id]
+        bo_pt2 = p_void[p_id]
+        # to original point order, then into sort-1 order
+        psz_pt = jnp.zeros(n, jnp.int32).at[idx2].set(psz_pt2)[idx0]
+        bo_pt = jnp.zeros(n, jnp.int32).at[idx2].set(bo_pt2)[idx0]
+
+        # ---- match test (same value at every point of a pair run)
+        gl = gs >> 16
+        pl = ps >> 16
+        denom = (gsz_pt + psz_pt - c_pt - bo_pt).astype(jnp.float64)
+        iou = jnp.where(denom > 0,
+                        c_pt.astype(jnp.float64) / jnp.maximum(denom, 1),
+                        0.0)
+        match_pt = ((gl == pl) & (gl != bg) & (pl != bg)
+                    & (gsz_pt >= min_points) & (iou > 0.5))
+
+        cls_rows = jnp.where(first, gl, 256)
+        itp = jnp.zeros(257, jnp.int32).at[cls_rows].add(
+            (first & match_pt).astype(jnp.int32))[:256]
+        cumiou = jnp.zeros(257, jnp.float64).at[cls_rows].add(
+            jnp.where(first & match_pt, iou, 0.0))[:256]
+
+        # ---- unmatched gt segments (ifn)
+        g_matched = jax.ops.segment_max(match_pt.astype(jnp.int32), g_id,
+                                        num_segments=n,
+                                        indices_are_sorted=True)
+        g_rows = jnp.where(firstg, gl, 256)
+        g_cnt = (firstg & (gl != bg) & (gsz_pt >= min_points)
+                 & (g_matched[g_id] == 0))
+        ifn = jnp.zeros(257, jnp.int32).at[g_rows].add(
+            g_cnt.astype(jnp.int32))[:256]
+
+        # ---- unmatched pred segments (ifp): pair match flag -> point
+        # order -> pred-sorted order -> per-pred-segment max
+        pairm = jax.ops.segment_max(match_pt.astype(jnp.int32), pair_id,
+                                    num_segments=n, indices_are_sorted=True)
+        m2 = jnp.zeros(n, jnp.int32).at[idx0].set(pairm[pair_id])[idx2]
+        p_matched = jax.ops.segment_max(m2, p_id, num_segments=n,
+                                        indices_are_sorted=True)
+        pl2 = ps2 >> 16
+        p_rows = jnp.where(firstp, pl2, 256)
+        p_cnt = (firstp & (pl2 != bg) & (psz_pt2 >= min_points)
+                 & (p_matched[p_id] == 0))
+        ifp = jnp.zeros(257, jnp.int32).at[p_rows].add(
+            p_cnt.astype(jnp.int32))[:256]
+        return itp, ifn, ifp, cumiou
+
+    itp, ifn, ifp, cumiou = lax.map(frame_stats, (gt_key, pred_key))
+    return itp.sum(0), ifn.sum(0), ifp.sum(0), cumiou.sum(0)
+
+
+def _panoptic_keys(evaluator, labels, ids, nmax, bg):
+    """Host packing: (label << 16 | id) int32 keys, out-of-class labels
+    and padding routed to the background segment (host counterpart:
+    the ``np.where(in_cls, ...)`` key build in _collect_labels_pano)."""
+    cls = np.asarray(evaluator._classes)
+    f = len(labels)
+    out = np.full((max(f, 1), nmax), np.int32(bg) << 16, np.int32)
+    for i, (lab, sid) in enumerate(zip(labels, ids)):
+        lab = np.asarray(lab, np.uint8)
+        sid = np.asarray(sid)
+        if sid.dtype != np.uint16:
+            raise ValueError("Please convert ids to uint16!")
+        key = np.where(np.isin(lab, cls),
+                       (lab.astype(np.int32) << 16) | sid.astype(np.int32),
+                       np.int32(bg) << 16)
+        out[i, :len(key)] = key
+    return out
+
+
+def device_panoptic_stats(evaluator, gt_labels_list, pred_labels_list,
+                          gt_ids_list, pred_ids_list, mesh=None):
+    """Full panoptic + semantic stats for many frames on device.
+
+    Equivalent to summing ``SegmentationEvaluator.calc_stats(gt, pred,
+    gt_ids, pred_ids)`` over the frames — semantic tp/fp/fn from the MXU
+    confusion matrix (:func:`device_semantic_stats`) and instance
+    itp/ifn/ifp/cumiou from sorted segment reductions — with integer
+    counters exact and cumiou accumulated in f64 like the host.
+
+    :param mesh: optional ``jax.sharding.Mesh`` with a ``dp`` axis: frames
+        shard over data-parallel devices (shard_map + psum, like the
+        semantic path).
+    :returns: a mergeable ``SegmentationStats``
+    """
+    stats = device_semantic_stats(evaluator, gt_labels_list,
+                                  pred_labels_list, mesh=mesh)
+    bg = evaluator._background
+    nmax = max((len(g) for g in gt_labels_list), default=1)
+    gk = _panoptic_keys(evaluator, gt_labels_list, gt_ids_list, nmax, bg)
+    pk = _panoptic_keys(evaluator, pred_labels_list, pred_ids_list, nmax, bg)
+    mp = evaluator._min_points
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        pad = (-len(gk)) % dp
+        if pad:
+            filler = np.full((pad, nmax), np.int32(bg) << 16, np.int32)
+            gk = np.concatenate([gk, filler])
+            pk = np.concatenate([pk, filler])
+        sh = NamedSharding(mesh, P("dp"))
+        gk_d = jax.device_put(jnp.asarray(gk), sh)
+        pk_d = jax.device_put(jnp.asarray(pk), sh)
+        out = jax.jit(jax.shard_map(
+            lambda g, p: jax.tree.map(
+                lambda x: jax.lax.psum(x, "dp"),
+                _panoptic_frames(g, p, mp, bg)),
+            mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P()))(
+                gk_d, pk_d)
+    else:
+        out = _panoptic_frames(jnp.asarray(gk), jnp.asarray(pk), mp, bg)
+    itp, ifn, ifp, cumiou = (np.asarray(v) for v in out)
+
+    for k in evaluator._classes:
+        if k == bg:
+            continue
+        stats.itp[k] = int(itp[k])
+        stats.ifn[k] = int(ifn[k])
+        stats.ifp[k] = int(ifp[k])
+        stats.cumiou[k] = float(cumiou[k])
     return stats
