@@ -7,7 +7,9 @@ from .centerpoint2 import (CenterPointRefine, RefineConfig,
                            apply_refinements, encode_refinement_targets,
                            make_refine_train_step, roi_grid_features)
 from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
-                     point_cell_coords, segmentation_loss)
+                     group_instances, make_panoptic_predictor,
+                     panoptic_loss, panoptic_targets, point_cell_coords,
+                     segmentation_loss)
 from .second import SECOND, SECONDConfig, second_voxelize
 from .sst import SST, SSTConfig, window_slots
 from . import presets
@@ -24,7 +26,8 @@ __all__ = [
     "apply_refinements", "encode_refinement_targets",
     "make_refine_train_step",
     "BEVSeg", "BEVSegConfig", "bevseg_pillarize", "point_cell_coords",
-    "segmentation_loss",
+    "segmentation_loss", "panoptic_targets", "panoptic_loss",
+    "group_instances", "make_panoptic_predictor",
     "SECOND", "SECONDConfig", "second_voxelize", "presets",
     "SST", "SSTConfig", "window_slots",
     "make_pointpillars_detector", "make_centerpoint_detector",

@@ -23,13 +23,16 @@ from typing import Callable, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
 from ..ops.point import aligned_scatter
 from .pointpillars import _PFN, _ConvBlock, pillarize as _pp_pillarize
 
 __all__ = ["BEVSegConfig", "BEVSeg", "bevseg_pillarize", "point_cell_coords",
-           "segmentation_loss", "make_train_step", "make_predictor"]
+           "segmentation_loss", "make_train_step", "make_predictor",
+           "panoptic_targets", "panoptic_loss", "group_instances",
+           "make_panoptic_predictor"]
 
 
 @dataclass(frozen=True)
@@ -46,6 +49,14 @@ class BEVSegConfig:
     dec_channels: int = 128
     num_classes: int = 20          # SemanticKITTI-style taxonomy size
     ignore_index: int = 0          # unlabeled
+    # panoptic extension (Panoptic-PolarNet, Zhou et al. CVPR 2021):
+    # center-heatmap + offset heads over the same BEV decoder; instances
+    # group by offset-shifted nearest-center assignment
+    panoptic: bool = False
+    thing_classes: Tuple[int, ...] = ()   # instance-forming class values
+    max_instances: int = 64               # per-frame target/center cap
+    center_sigma: float = 2.0             # gaussian splat sigma (cells)
+    center_radius: float = 2.5            # grouping gate (meters)
     dtype: str = "float32"
 
     @property
@@ -128,16 +139,32 @@ class BEVSeg(nn.Module):
                 "bev")
         logits_map = nn.Conv(cfg.num_classes, (1, 1), dtype=dt,
                              name="head_seg")(x)  # (B, W, H, C)
+        if cfg.panoptic:
+            # -2.19 = logit(0.1): quiet initial heatmap (focal-loss trick)
+            heatmap = nn.Conv(
+                1, (1, 1), dtype=dt, name="head_center",
+                bias_init=nn.initializers.constant(-2.19))(x)
+            offset_map = nn.Conv(2, (1, 1), dtype=dt,
+                                 name="head_offset")(x)  # meters toward ctr
 
         # per-point bilinear gather off the BEV map (aligned_scatter wants
         # (B, C, D1, D2) channel-second layout and a leading batch column)
-        fmap = jnp.transpose(logits_map.astype(jnp.float32), (0, 3, 1, 2))
         n = point_coords.shape[1]
         bcol = jnp.repeat(jnp.arange(b, dtype=point_coords.dtype), n)
         flatc = jnp.concatenate([bcol[:, None],
                                  point_coords.reshape(b * n, 2)], axis=1)
-        pt_logits = aligned_scatter(flatc, fmap, method="linear")
-        return pt_logits.reshape(b, n, cfg.num_classes)
+
+        def gather(m):
+            fm = jnp.transpose(m.astype(jnp.float32), (0, 3, 1, 2))
+            g = aligned_scatter(flatc, fm, method="linear")
+            return g.reshape(b, n, m.shape[-1])
+
+        pt_logits = gather(logits_map)
+        if not cfg.panoptic:
+            return pt_logits
+        return dict(sem=pt_logits,
+                    heatmap=heatmap[..., 0].astype(jnp.float32),
+                    offset=gather(offset_map))
 
 
 def segmentation_loss(logits, labels, cfg: BEVSegConfig, label_smooth=0.0):
@@ -160,11 +187,154 @@ def segmentation_loss(logits, labels, cfg: BEVSegConfig, label_smooth=0.0):
     return loss, {"seg": loss, "acc": acc}
 
 
+# ---------------------------------------------------------------------------
+# panoptic extension: center/offset targets, loss, instance grouping
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def panoptic_targets(cfg: BEVSegConfig, points, labels, inst_ids):
+    """One frame of center-heatmap + offset targets from instance labels.
+
+    Instance centers are the mean BEV position of each instance's points
+    (sorted-segment means, capped at ``cfg.max_instances`` in
+    first-encounter order); the heatmap is a gaussian splat at each
+    center cell and offsets point from each thing point to its center.
+
+    :param points: (N, >=2) frame points
+    :param labels: (N,) int semantic labels
+    :param inst_ids: (N,) int instance ids (0 = no instance)
+    :returns: dict(heatmap (W, H), offset (N, 2) meters,
+        offset_mask (N,))
+    """
+    w, h = cfg.grid
+    n = points.shape[0]
+    m = cfg.max_instances
+    thing = jnp.isin(labels, jnp.asarray(cfg.thing_classes)) \
+        & (inst_ids > 0)
+    key = jnp.where(thing, inst_ids.astype(jnp.int32), jnp.int32(1 << 30))
+
+    # compact instance index in first-encounter-free (sorted-key) order
+    ks, xs, ys, idx = lax.sort(
+        (key, points[:, 0].astype(jnp.float32),
+         points[:, 1].astype(jnp.float32),
+         jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    firstk = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    seg = jnp.cumsum(firstk.astype(jnp.int32)) - 1
+    cnt = jax.ops.segment_sum(jnp.ones(n, jnp.int32), seg, num_segments=n,
+                              indices_are_sorted=True)
+    sx = jax.ops.segment_sum(xs, seg, num_segments=n,
+                             indices_are_sorted=True)
+    sy = jax.ops.segment_sum(ys, seg, num_segments=n,
+                             indices_are_sorted=True)
+    cx = sx / jnp.maximum(cnt, 1)
+    cy = sy / jnp.maximum(cnt, 1)
+    segval = (ks != (1 << 30))
+    seg_valid = jax.ops.segment_max(segval.astype(jnp.int32), seg,
+                                    num_segments=n,
+                                    indices_are_sorted=True) > 0
+    inst_ok = seg_valid & (jnp.arange(n) < m)
+
+    # per-point offset target (center - point), back in input order
+    off_s = jnp.stack([cx[seg] - xs, cy[seg] - ys], axis=1)
+    ok_s = inst_ok[seg] & segval
+    offset = jnp.zeros((n, 2), jnp.float32).at[idx].set(off_s)
+    omask = jnp.zeros(n, bool).at[idx].set(ok_s)
+
+    # gaussian heatmap at the (up to m) centers
+    vx = (cfg.bounds[1] - cfg.bounds[0]) / w
+    vy = (cfg.bounds[3] - cfg.bounds[2]) / h
+    ccx = (cx[:m] - cfg.bounds[0]) / vx - 0.5
+    ccy = (cy[:m] - cfg.bounds[2]) / vy - 0.5
+    gx = jnp.arange(w, dtype=jnp.float32)
+    gy = jnp.arange(h, dtype=jnp.float32)
+    d2 = ((gx[None, :, None] - ccx[:m, None, None]) ** 2
+          + (gy[None, None, :] - ccy[:m, None, None]) ** 2)
+    val = jnp.exp(-d2 / (2 * cfg.center_sigma ** 2))
+    val = jnp.where(inst_ok[:m, None, None], val, 0.0)
+    heatmap = jnp.max(val, axis=0)
+    return dict(heatmap=heatmap, offset=offset, offset_mask=omask)
+
+
+def panoptic_loss(outputs, targets, cfg: BEVSegConfig, labels,
+                  label_smooth=0.0, center_weight=100.0, offset_weight=1.0):
+    """Semantic CE + MSE heatmap + masked-L1 offsets
+    (Panoptic-PolarNet's loss mix)."""
+    sem_loss, aux = segmentation_loss(outputs["sem"], labels, cfg,
+                                      label_smooth)
+    hm = jax.nn.sigmoid(outputs["heatmap"])
+    hm_loss = jnp.mean(jnp.square(hm - targets["heatmap"]))
+    om = targets["offset_mask"][..., None]
+    denom = jnp.maximum(jnp.sum(om), 1.0)
+    off_loss = jnp.sum(jnp.abs(outputs["offset"] - targets["offset"]) * om) \
+        / denom
+    total = sem_loss + center_weight * hm_loss + offset_weight * off_loss
+    aux = dict(aux, hm=hm_loss, offset=off_loss, total=total)
+    return total, aux
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k"))
+def group_instances(cfg: BEVSegConfig, sem_labels, points, offsets,
+                    heatmap, top_k=64):
+    """Fixed-shape instance grouping: 3x3 peak-NMS + top-k centers off the
+    heatmap, then every thing point votes with its offset-shifted
+    position for the nearest center within ``cfg.center_radius``.
+
+    :param sem_labels: (N,) predicted semantic labels
+    :param points: (N, >=2)
+    :param offsets: (N, 2) predicted center offsets (meters)
+    :param heatmap: (W, H) center logits
+    :returns: (N,) uint16 instance ids (0 = stuff / unassigned)
+    """
+    w, h = cfg.grid
+    hm = jax.nn.sigmoid(heatmap)
+    pooled = lax.reduce_window(hm, -jnp.inf, lax.max, (3, 3), (1, 1),
+                               "SAME")
+    peaks = jnp.where(hm >= pooled, hm, 0.0)
+    scores, idx = lax.top_k(peaks.reshape(-1), top_k)
+    vx = (cfg.bounds[1] - cfg.bounds[0]) / w
+    vy = (cfg.bounds[3] - cfg.bounds[2]) / h
+    ccx = ((idx // h).astype(jnp.float32) + 0.5) * vx + cfg.bounds[0]
+    ccy = ((idx % h).astype(jnp.float32) + 0.5) * vy + cfg.bounds[2]
+    ok = scores > 0.1
+
+    voted = points[:, :2].astype(jnp.float32) + offsets
+    d2 = ((voted[:, 0:1] - ccx[None, :]) ** 2
+          + (voted[:, 1:2] - ccy[None, :]) ** 2)
+    d2 = jnp.where(ok[None, :], d2, jnp.inf)
+    best = jnp.argmin(d2, axis=1)
+    bd = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+    thing = jnp.isin(sem_labels, jnp.asarray(cfg.thing_classes))
+    gate = thing & (bd <= cfg.center_radius ** 2)
+    return jnp.where(gate, best + 1, 0).astype(jnp.uint16)
+
+
+def make_panoptic_predictor(model, cfg: BEVSegConfig, top_k=64):
+    """Jitted points -> (semantic labels, instance ids) closure; feed the
+    pair straight into ``device_panoptic_stats`` /
+    ``SegmentationEvaluator.calc_stats(..., gt_ids, pred_ids)``."""
+    assert cfg.panoptic, "build the model with BEVSegConfig(panoptic=True)"
+
+    @jax.jit
+    def predict(variables, points):
+        feats, coords, valid = bevseg_pillarize(points, cfg)
+        pc = point_cell_coords(points, cfg)
+        out = model.apply(variables, feats[None], coords[None],
+                          valid[None], pc[None], train=False)
+        sem = jnp.argmax(out["sem"][0], axis=-1).astype(jnp.int32)
+        ids = group_instances(cfg, sem, points, out["offset"][0],
+                              out["heatmap"][0], top_k=top_k)
+        return sem, ids
+
+    return predict
+
+
 def make_train_step(model, optimizer, cfg: BEVSegConfig, remat=False,
                     label_smooth=0.0):
     """``step(params, batch_stats, opt_state, batch) -> (new..., metrics)``;
     batch: features/coords/valid from :func:`bevseg_pillarize` (batched),
-    point_coords (B, N, 2) from :func:`point_cell_coords`, labels (B, N)."""
+    point_coords (B, N, 2) from :func:`point_cell_coords`, labels (B, N).
+    With ``cfg.panoptic`` the batch also carries the raw ``points``
+    (B, N, >=2) and ``inst_ids`` (B, N) for the center/offset targets."""
 
     def forward(params, batch_stats, batch):
         return model.apply(
@@ -179,9 +349,16 @@ def make_train_step(model, optimizer, cfg: BEVSegConfig, remat=False,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def loss_fn(params, batch_stats, batch):
-        logits, updates = forward(params, batch_stats, batch)
-        loss, aux = segmentation_loss(logits, batch["labels"], cfg,
+        out, updates = forward(params, batch_stats, batch)
+        if cfg.panoptic:
+            targets = jax.vmap(
+                lambda p, l, i: panoptic_targets(cfg, p, l, i)
+            )(batch["points"], batch["labels"], batch["inst_ids"])
+            loss, aux = panoptic_loss(out, targets, cfg, batch["labels"],
                                       label_smooth)
+        else:
+            loss, aux = segmentation_loss(out, batch["labels"], cfg,
+                                          label_smooth)
         return loss, (updates["batch_stats"], aux)
 
     def train_step(params, batch_stats, opt_state, batch):
