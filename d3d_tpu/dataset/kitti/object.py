@@ -246,54 +246,63 @@ class KittiObjectLoader(DetectionDatasetBase):
         assert detections.frame == "velo"
         rrect, hr, ht = _cam_to_velo(raw_calib)
 
-        meta = calib.intrinsics_meta["cam2"]
-        width, height = meta.width, meta.height
-
         lines = []
         fmt = "%s 0 0 0" + " %.2f" * 12
         for box in detections:
-            uv, mask, dmask = calib.project_points_to_camera(
-                box.corners, frame_to="cam2", frame_from="velo",
-                remove_outlier=False, return_dmask=True)
-            if len(mask) < 1:
+            values = format_kitti_box(box, calib, rrect, hr, ht)
+            if values is None:
                 continue
-            inlier = np.zeros(len(uv), bool)
-            inlier[mask] = True
-            ahead = np.zeros(len(uv), bool)
-            ahead[dmask] = True
-
-            # clip box edges against the image border
-            pairs = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 4), (1, 5), (2, 6),
-                     (3, 7), (0, 2), (1, 3), (4, 6), (5, 7)]
-            pts = [uv[i] for i in mask]
-            for i, j in pairs:
-                if not ahead[i] or not ahead[j]:
-                    continue
-                if inlier[i] and not inlier[j]:
-                    pts.append(_clip_to_image(uv[i], uv[j], width, height))
-                elif inlier[j] and not inlier[i]:
-                    pts.append(_clip_to_image(uv[j], uv[i], width, height))
-            pts = np.asarray(pts)
-            umin, vmin = pts.min(axis=0)
-            umax, vmax = pts.max(axis=0)
-
-            l, w, h = box.dimension
-            position = rrect.as_matrix().dot(
-                hr.as_matrix().dot(box.position) + ht)
-            position[1] += h / 2
-            orientation = box.orientation * Rotation.from_euler("x", np.pi / 2)
-            orientation = rrect * hr * orientation
-            yaw = orientation.as_euler("YZX")[0]
-
-            values = (box.tag_top.name, umin, vmin, umax, vmax, h, w, l,
-                      *position.tolist(), yaw, box.tag_top_score)
-            lines.append(fmt % values)
+            lines.append(fmt % (*values, box.tag_top_score))
 
         content = "\n".join(lines)
         if isinstance(fout, (str, Path)):
             Path(fout).write_text(content)
         else:
             fout.write(content.encode())
+
+
+def format_kitti_box(box, calib, rrect, hr, ht):
+    """One velo-frame box -> the 11 shared KITTI label values
+    ``(type, bbox x4, h, w, l, location x3, rotation_y)``: project the
+    corners to cam2, clip the 2D bbox to the image, move the center to
+    the rectified camera frame with the bottom-center convention. Used by
+    both the object and the tracking submission writers. Returns None
+    when no corner is visible."""
+    meta = calib.intrinsics_meta["cam2"]
+    width, height = meta.width, meta.height
+    uv, mask, dmask = calib.project_points_to_camera(
+        box.corners, frame_to="cam2", frame_from="velo",
+        remove_outlier=False, return_dmask=True)
+    if len(mask) < 1:
+        return None
+    inlier = np.zeros(len(uv), bool)
+    inlier[mask] = True
+    ahead = np.zeros(len(uv), bool)
+    ahead[dmask] = True
+
+    # clip box edges against the image border
+    pairs = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 4), (1, 5), (2, 6),
+             (3, 7), (0, 2), (1, 3), (4, 6), (5, 7)]
+    pts = [uv[i] for i in mask]
+    for i, j in pairs:
+        if not ahead[i] or not ahead[j]:
+            continue
+        if inlier[i] and not inlier[j]:
+            pts.append(_clip_to_image(uv[i], uv[j], width, height))
+        elif inlier[j] and not inlier[i]:
+            pts.append(_clip_to_image(uv[j], uv[i], width, height))
+    pts = np.asarray(pts)
+    umin, vmin = pts.min(axis=0)
+    umax, vmax = pts.max(axis=0)
+
+    l, w, h = box.dimension
+    position = rrect.as_matrix().dot(hr.as_matrix().dot(box.position) + ht)
+    position[1] += h / 2
+    orientation = box.orientation * Rotation.from_euler("x", np.pi / 2)
+    orientation = rrect * hr * orientation
+    yaw = orientation.as_euler("YZX")[0]
+    return (box.tag_top.name, umin, vmin, umax, vmax, h, w, l,
+            *position.tolist(), yaw)
 
 
 def _clip_to_image(p_in, p_out, width, height):

@@ -264,6 +264,43 @@ class KittiTrackingLoader(TrackingDatasetBase):
     def identity(self, idx):
         return idx
 
+    def dump_tracking_output(self, seq_id, tracks_by_frame, fout):
+        """Write one sequence's tracks in the KITTI tracking submission
+        text format (``frame tid type trunc occ alpha bbox x4 hwl
+        location x3 rotation_y score`` per line, one file per sequence —
+        the devkit's evaluate_tracking input). Boxes reproject through
+        the same path as the object writer (:func:`format_kitti_box`).
+        The reference has no tracking submission surface.
+
+        :param tracks_by_frame: ``{frame_idx: Target3DArray}`` in the
+            velo frame with tids set (e.g. tracker ``report()`` outputs)
+        """
+        from .object import format_kitti_box
+
+        calib = self._load_calib(seq_id)
+        raw_calib = self._load_calib(seq_id, raw=True)
+        # tracking calib key names differ from the object benchmark's
+        tr = raw_calib["Tr_velo_cam"].reshape(3, 4)
+        rrect = Rotation.from_matrix(raw_calib["R_rect"].reshape(3, 3))
+        hr, ht = Rotation.from_matrix(tr[:, :3]), tr[:, 3]
+
+        lines = []
+        fmt = "%d %d %s 0 0 0" + " %.2f" * 12
+        for fi in sorted(tracks_by_frame):
+            arr = tracks_by_frame[fi]
+            assert arr.frame == "velo"
+            for box in arr:
+                values = format_kitti_box(box, calib, rrect, hr, ht)
+                if values is None:
+                    continue
+                lines.append(fmt % (fi, int(box.tid), *values,
+                                    box.tag_top_score))
+        content = "\n".join(lines)
+        if isinstance(fout, (str, Path)):
+            Path(fout).write_text(content)
+        else:
+            fout.write(content.encode())
+
     @expand_idx
     def pose(self, idx, raw=False):
         seq_id, frame_idx = idx

@@ -229,6 +229,45 @@ class TestKittiTracking:
         assert len(window) == 2  # nframes+1 clouds
         assert all(w.shape == (256, 4) for w in window)
 
+    def test_tracking_submission_roundtrip(self, dataset, tmp_path):
+        """dump_tracking_output lines parse back to the input boxes via
+        the loader's own label parser (same reprojection math)."""
+        from d3d_tpu.dataset.kitti import KittiTrackingLoader
+        from d3d_tpu.dataset.kitti.tracking import parse_label
+
+        loader = KittiTrackingLoader(dataset, phase="training",
+                                     trainval_split=1.0)
+        tracks = {fi: loader.annotation_3dobject((0, fi))
+                  for fi in range(2)}
+        for arr in tracks.values():
+            for o in arr:
+                o.tag.scores = [0.9]
+        out = tmp_path / "0000.txt"
+        loader.dump_tracking_output(0, tracks, out)
+        text = out.read_text()
+        lines = text.strip().split("\n")
+        assert len(lines) == sum(len(a) for a in tracks.values())
+        # parse back with the loader's own machinery: fields 0/1 are
+        # frame/tid, the rest is the object-label layout + score
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+        per_frame = {0: [], 1: []}
+        for ln in lines:
+            f = ln.split(" ")
+            per_frame[int(f[0])].append(
+                [int(f[1]), KittiObjectClass[f[2]], *map(float, f[3:])])
+        raw_calib = loader.calibration_data((0, 0), raw=True)
+        for fi, rows in per_frame.items():
+            want = tracks[fi]
+            got = parse_label(rows, raw_calib)
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g.tid == w.tid
+                np.testing.assert_allclose(g.position, w.position,
+                                           atol=0.02)
+                np.testing.assert_allclose(g.dimension, w.dimension,
+                                           atol=0.02)
+
 
 class TestNuscenes:
     @pytest.fixture(scope="class")
