@@ -24,7 +24,7 @@ from .sst import SSTConfig
 
 __all__ = ["pointpillars_kitti", "pointpillars_kitti_3class", "sst_kitti",
            "centerpoint_nuscenes", "centerpoint_nuscenes_10sweep",
-           "second_kitti", "bevseg_semantickitti"]
+           "centerpoint_waymo", "second_kitti", "bevseg_semantickitti"]
 
 # KITTI car/pedestrian/cyclist anchor sizes (l, w, h) from the
 # PointPillars paper (Lang et al., CVPR 2019, Sec. 4.1)
@@ -74,6 +74,20 @@ def centerpoint_nuscenes_10sweep(**overrides):
         bounds=(-51.2, 51.2, -51.2, 51.2, -5.0, 3.0), grid=(512, 512),
         max_pillars=60000, max_points_per_pillar=20,
         predict_velocity=True, dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
+def centerpoint_waymo(**overrides):
+    """Waymo-scale CenterPoint: 0.32 m pillars over a 150 m square, 3
+    classes (vehicle/pedestrian/cyclist — evaluate with
+    :mod:`d3d_tpu.benchmarks_waymo`'s LEVEL/range AP+APH breakdowns).
+    Waymo labels 360-degree heading, so pair with the velocity head off
+    by default (single-frame input; flip ``predict_velocity=True`` when
+    feeding multi-sweep clouds)."""
+    cfg = CenterPointConfig(
+        bounds=(-75.2, 75.2, -75.2, 75.2, -2.0, 4.0), grid=(470, 470),
+        max_pillars=32000, max_points_per_pillar=20, num_classes=3,
+        dtype="bfloat16")
     return replace(cfg, **overrides)
 
 

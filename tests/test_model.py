@@ -324,7 +324,8 @@ class TestPresets:
 
         for fn in (presets.pointpillars_kitti,
                    presets.pointpillars_kitti_3class,
-                   presets.centerpoint_nuscenes, presets.second_kitti,
+                   presets.centerpoint_nuscenes, presets.centerpoint_waymo,
+                   presets.sst_kitti, presets.second_kitti,
                    presets.bevseg_semantickitti):
             cfg = fn()
             hash(cfg)  # jit-static usable
