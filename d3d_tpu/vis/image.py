@@ -12,10 +12,27 @@ _BOX_PAIRS = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 4), (1, 5), (2, 6), (3, 7),
               (0, 2), (1, 3), (4, 6), (5, 7)]
 
 
+def _label_text(target, with_tid, with_score):
+    parts = []
+    if with_tid and target.tid:
+        parts.append("#%d" % target.tid if isinstance(target.tid, int)
+                     else "#%s" % target.tid)
+    if with_score and target.tag_top_score is not None:
+        try:
+            parts.append("%s %.2f" % (target.tag_top.name,
+                                      target.tag_top_score))
+        except Exception:
+            pass
+    return " ".join(parts)
+
+
 def visualize_detections(ax, image_frame, targets, calib, box_color=(0, 1, 0),
-                         thickness=2, tags=None):
+                         thickness=2, tags=None, show_tid=False,
+                         show_score=False):
     """Project 3D boxes (plus a heading whisker) into a camera image and draw
-    the wireframes on a matplotlib axis."""
+    the wireframes on a matplotlib axis. ``show_tid``/``show_score``
+    annotate each box with its track id / class+score at the topmost
+    visible corner."""
     for target in targets.filter_tag(tags):
         points = target.corners
         indicator = np.array([
@@ -46,12 +63,20 @@ def visualize_detections(ax, image_frame, targets, calib, box_color=(0, 1, 0),
             ax.add_line(lines.Line2D((uv[-2, 0], uv[-1, 0]),
                                      (uv[-2, 1], uv[-1, 1]),
                                      c=box_color, lw=thickness))
+        text = _label_text(target, show_tid, show_score)
+        if text and inlier[:8].any():
+            vis = uv[:8][inlier[:8]]
+            anchor = vis[np.argmin(vis[:, 1])]
+            ax.text(anchor[0], anchor[1] - 2, text, color=box_color,
+                    fontsize=8)
 
 
 def visualize_detections_bev(ax, visualizer_frame, targets, calib,
-                             box_color=(0, 1, 0), thickness=2, tags=None):
+                             box_color=(0, 1, 0), thickness=2, tags=None,
+                             show_tid=False, show_score=False):
     """Draw bird's-eye-view box footprints (and velocity vectors for tracked
-    targets) on a matplotlib axis."""
+    targets) on a matplotlib axis; ``show_tid``/``show_score`` annotate
+    each footprint."""
     if targets.frame != visualizer_frame:
         targets = calib.transform_objects(targets, frame_to=visualizer_frame)
 
@@ -66,3 +91,7 @@ def visualize_detections_bev(ax, visualizer_frame, targets, calib,
             end = start + target.velocity[:2]
             ax.add_line(lines.Line2D((start[0], end[0]), (start[1], end[1]),
                                      c=box_color, lw=thickness))
+        text = _label_text(target, show_tid, show_score)
+        if text:
+            ax.text(target.position[0], target.position[1], text,
+                    color=box_color, fontsize=8)

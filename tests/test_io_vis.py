@@ -51,6 +51,23 @@ def test_visualize_bev(loader):
     plt.close(fig)
 
 
+def test_visualize_labels(loader):
+    """show_tid/show_score annotate the drawn boxes with text."""
+    fig, (ax1, ax2) = plt.subplots(1, 2)
+    objs = loader.annotation_3dobject(0)
+    for i, o in enumerate(objs):
+        o.tid = i + 1
+        o.tag.scores = [0.75]
+    calib = loader.calibration_data(0)
+    visualize_detections(ax1, "cam2", objs, calib, show_tid=True,
+                         show_score=True)
+    visualize_detections_bev(ax2, "velo", objs, calib, show_tid=True)
+    assert len(ax1.texts) >= 1 and any("#" in t.get_text()
+                                       for t in ax1.texts)
+    assert len(ax2.texts) == len(objs)
+    plt.close(fig)
+
+
 def test_tap_time():
     assert tap_time("t1") == 0
     time.sleep(0.01)
