@@ -16,6 +16,7 @@ from . import presets
 from .inference import (make_centerpoint_detector,
                         make_pointpillars_detector, make_second_detector,
                         make_sst_detector)
+from .tta import make_tta_detector
 
 __all__ = [
     "PointPillars", "PointPillarsConfig", "pillarize", "make_anchors",
@@ -31,5 +32,5 @@ __all__ = [
     "SECOND", "SECONDConfig", "second_voxelize", "presets",
     "SST", "SSTConfig", "window_slots",
     "make_pointpillars_detector", "make_centerpoint_detector",
-    "make_second_detector", "make_sst_detector",
+    "make_second_detector", "make_sst_detector", "make_tta_detector",
 ]
