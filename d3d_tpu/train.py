@@ -20,9 +20,35 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 __all__ = ["Trainer", "prefetch", "batch_frames",
-           "shard_frames_across_hosts"]
+           "shard_frames_across_hosts", "ema_init", "ema_update"]
+
+
+def ema_init(params):
+    """Start an exponential moving average of the parameters (a device
+    copy). Serve/evaluate with the EMA weights — the standard trick for
+    detector training stability (pairs with ``models.fold`` BN folding
+    at export time)."""
+    return jax.tree.map(jnp.asarray, params)
+
+
+@jax.jit
+def _ema_update(ema, params, decay, step):
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
+
+
+def ema_update(ema, params, decay=0.999, step=None):
+    """One EMA step: ``ema = d * ema + (1 - d) * params`` with the
+    TF-style warmup ``d = min(decay, (1 + step) / (10 + step))`` (early
+    steps track the live weights instead of the random init; pass
+    ``step=None`` for the plain fixed-decay update). One jitted program
+    regardless of the Python step value — feed it right after each train
+    step and it overlaps like any other dispatched device work."""
+    step = jnp.float32(1e9 if step is None else step)
+    return _ema_update(ema, params, jnp.float32(decay), step)
 
 
 def prefetch(iterable, depth=2):

@@ -217,3 +217,31 @@ def test_training_converges_on_fixed_batch(rng):
     end = np.mean(losses[-3:])
     assert end < 0.5 * start, (start, end)
     assert losses[-1] < losses[0]
+
+
+class TestEMA:
+    def test_converges_to_constant(self):
+        import jax.numpy as jnp
+
+        from d3d_tpu.train import ema_init, ema_update
+
+        p = {"w": jnp.full((4,), 2.0), "b": jnp.zeros(3)}
+        ema = ema_init({"w": jnp.zeros(4), "b": jnp.ones(3)})
+        for i in range(400):
+            ema = ema_update(ema, p, decay=0.97)
+        np.testing.assert_allclose(np.asarray(ema["w"]), 2.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ema["b"]), 0.0, atol=1e-4)
+
+    def test_warmup_tracks_early(self):
+        import jax.numpy as jnp
+
+        from d3d_tpu.train import ema_init, ema_update
+
+        p = {"w": jnp.full((2,), 5.0)}
+        ema = ema_init({"w": jnp.zeros(2)})
+        # step 0: d = min(0.999, 1/10) = 0.1 -> ema jumps 90% of the way
+        ema = ema_update(ema, p, decay=0.999, step=0)
+        np.testing.assert_allclose(np.asarray(ema["w"]), 4.5, atol=1e-6)
+        # without warmup the same update would move only 0.1%
+        ema2 = ema_update(ema_init({"w": jnp.zeros(2)}), p, decay=0.999)
+        np.testing.assert_allclose(np.asarray(ema2["w"]), 0.005, atol=1e-6)
