@@ -23,7 +23,39 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["global_augment", "perobject_augment", "build_gt_database",
-           "sample_ground_truths"]
+           "sample_ground_truths", "class_balanced_frame_indices"]
+
+
+def class_balanced_frame_indices(frame_classes, rng, samples_per_class=None,
+                                 shuffle=True):
+    """CBGS-style epoch resampling (Zhu et al., "Class-balanced Grouping
+    and Sampling for Point Cloud 3D Object Detection", 2019): group the
+    frames by the classes they contain and draw the epoch evenly from
+    every class group (with replacement), so rare-class frames repeat —
+    the data-side half of the class-imbalance fix on nuScenes-like
+    taxonomies. Frames containing no listed class are excluded (the
+    official recipe drops object-free frames).
+
+    :param frame_classes: per-frame iterables of class values present
+    :param rng: ``np.random.Generator``
+    :param samples_per_class: draws per class group (default: the size
+        an even split of one epoch would give each group)
+    :returns: int64 frame-index array, shuffled unless ``shuffle=False``
+    """
+    groups = {}
+    for i, cs in enumerate(frame_classes):
+        for c in set(cs):
+            groups.setdefault(c, []).append(i)
+    if not groups:
+        return np.zeros(0, np.int64)
+    spc = samples_per_class or int(np.ceil(len(frame_classes)
+                                           / len(groups)))
+    out = np.concatenate([
+        rng.choice(np.asarray(idxs, np.int64), size=spc, replace=True)
+        for _, idxs in sorted(groups.items())])
+    if shuffle:
+        rng.shuffle(out)
+    return out
 
 
 def global_augment(key, points, gt_boxes, flip_prob=0.5, rot_range=0.7854,

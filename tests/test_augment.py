@@ -199,3 +199,37 @@ class TestPerObjectAugment:
         _, b2 = perobject_augment(jax.random.PRNGKey(1), jnp.asarray(pts),
                                   jnp.asarray(boxes), jnp.asarray(mask))
         assert np.abs(np.asarray(b2)[:4] - boxes[:4]).max() > 1e-3
+
+
+class TestCBGS:
+    def test_balances_rare_class(self):
+        from d3d_tpu.augment import class_balanced_frame_indices
+
+        rng = np.random.default_rng(0)
+        # 90 frames with class 1 only, 10 with class 2 (rare), 5 empty
+        frames = [[1]] * 90 + [[2]] * 10 + [[]] * 5
+        idx = class_balanced_frame_indices(frames, rng)
+        assert len(idx) == 2 * 53  # ceil(105 / 2) per group
+        picked = [frames[i] for i in idx]
+        n1 = sum(1 for c in picked if c == [1])
+        n2 = sum(1 for c in picked if c == [2])
+        assert n1 == n2 == 53       # even split despite 9:1 imbalance
+        assert all(frames[i] != [] for i in idx)  # empties excluded
+
+    def test_multiclass_frames_count_everywhere(self):
+        from d3d_tpu.augment import class_balanced_frame_indices
+
+        rng = np.random.default_rng(1)
+        frames = [[1, 2], [1], [2]]
+        idx = class_balanced_frame_indices(frames, rng,
+                                           samples_per_class=8,
+                                           shuffle=False)
+        assert len(idx) == 16
+        # first 8 draws come from class-1's pool {0, 1}
+        assert set(idx[:8]) <= {0, 1} and set(idx[8:]) <= {0, 2}
+
+    def test_empty(self):
+        from d3d_tpu.augment import class_balanced_frame_indices
+
+        assert len(class_balanced_frame_indices(
+            [[], []], np.random.default_rng(0))) == 0
