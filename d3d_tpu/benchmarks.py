@@ -708,12 +708,90 @@ class TrackingEvaluator(DetectionEvaluator):
             ctx["dist_ok"], ctx["rank"], ctx["dt_label"], ctx["dt_score"],
             ctx["gt_label"], jnp.asarray(masks)))
 
-    def calc_stats(self, gt_boxes, dt_boxes, calib=None, device_match=False):
+    def precompute_tables(self, gt_frames, dt_frames, chunk=32):
+        """Pack EVERY frame and compute all matching tables in a few
+        chunked, vmapped device dispatches (the cross-frame id
+        bookkeeping is sequential, but the per-frame distance/rank
+        tables are not) — removes the per-frame packing+dispatch
+        overhead from the ``device_match`` path.
+
+        :returns: per-frame ``(dist_cache, ctx)`` pairs for
+            ``calc_stats(..., device_match=True, tables=...)``
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .benchmarks_device import (_bucket, _pack_one,
+                                        matching_tables_device,
+                                        max_dist_arrays)
+
+        consts = getattr(self, "_device_consts", None)
+        if consts is None:
+            md, md_strict = max_dist_arrays(self)
+            consts = self._device_consts = (jnp.asarray(md),
+                                            jnp.asarray(md_strict))
+        nd = _bucket(max((len(a) for a in dt_frames), default=1))
+        ng = max((len(a) for a in gt_frames), default=1)
+        batched = jax.jit(jax.vmap(matching_tables_device,
+                                   in_axes=(0, 0, 0, None, None)))
+
+        out = []
+        empty = None
+        for lo in range(0, len(gt_frames), chunk):
+            gts = list(gt_frames[lo:lo + chunk])
+            dts = list(dt_frames[lo:lo + chunk])
+            nreal = len(gts)
+            if nreal < chunk:
+                # pad the tail chunk to the fixed shape: ONE compiled
+                # program regardless of sequence length
+                if empty is None:
+                    from .abstraction import Target3DArray as _T3A
+
+                    empty = _T3A(frame=gts[0].frame if gts else None)
+                gts += [empty] * (chunk - nreal)
+                dts += [empty] * (chunk - nreal)
+            dt = [_pack_one(a, self._class_to_idx, nd, want_var=False)
+                  for a in dts]
+            gt = [_pack_one(a, self._class_to_idx, ng, want_var=False)
+                  for a in gts]
+            stack = lambda packs, k: jnp.asarray(
+                np.stack([p[k] for p in packs]))
+            dist, dist_ok, rank = batched(
+                stack(dt, "boxes"), stack(gt, "boxes"),
+                stack(gt, "labels"), consts[0], consts[1])
+            dist_h = np.asarray(dist)
+            dtl, dsc = stack(dt, "labels"), stack(dt, "scores")
+            gtl = stack(gt, "labels")
+            for i in range(nreal):
+                ctx = dict(dist_ok=dist_ok[i], rank=rank[i],
+                           dt_label=dtl[i], dt_score=dsc[i],
+                           gt_label=gtl[i])
+                cache = dist_h[i, :max(len(dts[i]), 1),
+                               :len(gts[i]) or 1]
+                out.append((cache, ctx))
+        return out
+
+    def calc_stats_sequence(self, gt_frames, dt_frames, calib=None,
+                            chunk=32):
+        """Evaluate a whole sequence with the device-match path and
+        sequence-batched table precomputation, accumulating into this
+        evaluator (frames stay ordered — the cross-frame id state
+        requires it). Returns the evaluator's merged stats."""
+        tables = self.precompute_tables(gt_frames, dt_frames, chunk=chunk)
+        for g, d, t in zip(gt_frames, dt_frames, tables):
+            self.add_stats(self.calc_stats(g, d, calib, device_match=True,
+                                           tables=t))
+        return self._stats
+
+    def calc_stats(self, gt_boxes, dt_boxes, calib=None, device_match=False,
+                   tables=None):
         """Evaluate one frame.
 
         :param device_match: run all thresholds' greedy re-matching as one
             batched device call instead of the per-threshold host loop
             (bit-identical assignments; id bookkeeping stays on host).
+        :param tables: optional precomputed ``(dist_cache, ctx)`` from
+            :meth:`precompute_tables` (implies ``device_match``)
         """
         if gt_boxes.frame != dt_boxes.frame:
             if calib is None:
@@ -721,13 +799,17 @@ class TrackingEvaluator(DetectionEvaluator):
                                  "and gt_boxes are in different frames!")
             dt_boxes = calib.transform_objects(dt_boxes, frame_to=gt_boxes.frame)
 
-        use_device = device_match and len(dt_boxes) > 0 and len(gt_boxes) > 0
+        use_device = ((device_match or tables is not None)
+                      and len(dt_boxes) > 0 and len(gt_boxes) > 0)
         if use_device:
-            from .benchmarks_device import _bucket
+            if tables is not None:
+                dist_cache, match_ctx = tables
+            else:
+                from .benchmarks_device import _bucket
 
-            nd = _bucket(len(dt_boxes))
-            dist_cache, match_ctx = self._device_tables(dt_boxes, gt_boxes,
-                                                        nd)
+                dist_cache, match_ctx = self._device_tables(
+                    dt_boxes, gt_boxes, _bucket(len(dt_boxes)))
+            nd = match_ctx["dt_label"].shape[0]
         else:
             matcher = ScoreMatcher()
             matcher.prepare_boxes(dt_boxes, gt_boxes, DistanceTypes.RIoU)

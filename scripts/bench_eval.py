@@ -138,11 +138,31 @@ def bench_tracking(args, rng):
           f"({args.frames} frames, {dev_s:.3f}s) -> "
           f"{(host_s / nh) / (dev_s / args.frames):.1f}x host")
 
+    # sequence-batched tables: all frames' packing + matching tables in
+    # chunked vmapped dispatches, host bookkeeping unchanged. Warm the
+    # chunk-shaped program on a DIFFERENT seed's sequence (same padded
+    # shapes; distinct inputs so the axon tunnel cannot return memoized
+    # results for the timed pass).
+    _, wg, wd = make_tracking_frames(np.random.default_rng(123),
+                                     args.frames)
+    ev_s = TrackingEvaluator(classes, [0.7, 0.5, 0.5])
+    ev_s.calc_stats_sequence(wg, wd)
+    ev_s.reset()
+    ev_s._clear_track_state()
+    t0 = time.perf_counter()
+    ev_s.calc_stats_sequence(gts, dts)
+    seq_s = time.perf_counter() - t0
+    print(f"sequence tables: {seq_s / args.frames * 1e3:.3f} ms/frame "
+          f"({seq_s:.3f}s) -> {(dev_s / seq_s):.2f}x device-match")
+
     if nh == args.frames:
         assert ev_h.id_switches() == ev_d.id_switches()
         assert ev_h.fragments() == ev_d.fragments()
+        assert ev_s.id_switches() == ev_d.id_switches()
+        assert ev_s.fragments() == ev_d.fragments()
         for k, v in ev_h.mota().items():
             assert np.isclose(ev_d.mota()[k], v, atol=1e-6, equal_nan=True)
+            assert np.isclose(ev_s.mota()[k], v, atol=1e-6, equal_nan=True)
         print("tracking metric parity: OK")
 
 

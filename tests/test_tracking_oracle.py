@@ -51,3 +51,23 @@ def test_tracking_evaluator_matches_frozen_oracle(device_match):
         else:
             np.testing.assert_allclose(g, w, rtol=0, atol=atol,
                                        equal_nan=True, err_msg=key)
+
+
+def test_sequence_batched_tables_identical():
+    """calc_stats_sequence (all frames' device tables precomputed in
+    chunked vmapped dispatches) must produce the IDENTICAL evaluator
+    fingerprint as the per-frame device_match loop."""
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_sequence(seed=11, nframes=14)
+    ev_a = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    for g, d in zip(gts, dts):
+        ev_a.add_stats(ev_a.calc_stats(g, d, device_match=True))
+    ev_b = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_b.calc_stats_sequence(gts, dts, chunk=5)  # non-divisor chunk
+
+    fa = evaluator_fingerprint(ev_a)
+    fb = evaluator_fingerprint(ev_b)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=k)
