@@ -718,11 +718,10 @@ class TrackingEvaluator(DetectionEvaluator):
         :returns: per-frame ``(dist_cache, ctx)`` pairs for
             ``calc_stats(..., device_match=True, tables=...)``
         """
-        import jax
         import jax.numpy as jnp
 
         from .benchmarks_device import (_bucket, _pack_one,
-                                        matching_tables_device,
+                                        batched_matching_tables,
                                         max_dist_arrays)
 
         consts = getattr(self, "_device_consts", None)
@@ -732,8 +731,7 @@ class TrackingEvaluator(DetectionEvaluator):
                                             jnp.asarray(md_strict))
         nd = _bucket(max((len(a) for a in dt_frames), default=1))
         ng = max((len(a) for a in gt_frames), default=1)
-        batched = jax.jit(jax.vmap(matching_tables_device,
-                                   in_axes=(0, 0, 0, None, None)))
+        batched = batched_matching_tables
 
         out = []
         empty = None
@@ -777,9 +775,21 @@ class TrackingEvaluator(DetectionEvaluator):
         sequence-batched table precomputation, accumulating into this
         evaluator (frames stay ordered — the cross-frame id state
         requires it). Returns the evaluator's merged stats."""
-        tables = self.precompute_tables(gt_frames, dt_frames, chunk=chunk)
-        for g, d, t in zip(gt_frames, dt_frames, tables):
-            self.add_stats(self.calc_stats(g, d, calib, device_match=True,
+        # The tables are computed from the dt boxes AS MATCHED, so any
+        # frame mismatch must be resolved BEFORE precomputation — a table
+        # built on untransformed coordinates would silently mis-match.
+        aligned = []
+        for g, d in zip(gt_frames, dt_frames):
+            if g.frame != d.frame:
+                if calib is None:
+                    raise ValueError(
+                        "Calibration is not provided when dt_boxes and "
+                        "gt_boxes are in different frames!")
+                d = calib.transform_objects(d, frame_to=g.frame)
+            aligned.append(d)
+        tables = self.precompute_tables(gt_frames, aligned, chunk=chunk)
+        for g, d, t in zip(gt_frames, aligned, tables):
+            self.add_stats(self.calc_stats(g, d, device_match=True,
                                            tables=t))
         return self._stats
 

@@ -256,6 +256,13 @@ def matching_tables_device(dt_box, gt_box, gt_label, max_dist,
                             max_dist, max_dist_strict)
 
 
+# One module-level jit wrapper so every precompute_tables call (e.g. one
+# per sequence of a 21-sequence benchmark) shares a single trace/compile
+# cache instead of re-tracing the chunked program per call.
+batched_matching_tables = jax.jit(
+    jax.vmap(matching_tables_device, in_axes=(0, 0, 0, None, None)))
+
+
 @jax.jit
 def match_subsets_with_tables(dist_ok, rank, dt_label, dt_score, gt_label,
                               subset_masks):

@@ -43,10 +43,12 @@ def load_label(basepath, file):
     return rows
 
 
-def _cam_to_velo(raw_calib):
-    """Rotations/translation taking rectified-camera coordinates to velo."""
-    tr = raw_calib["Tr_velo_to_cam"].reshape(3, 4)
-    rrect = Rotation.from_matrix(raw_calib["R0_rect"].reshape(3, 3))
+def _cam_to_velo(raw_calib, tr_key="Tr_velo_to_cam", rect_key="R0_rect"):
+    """Rotations/translation taking rectified-camera coordinates to velo.
+    The tracking benchmark stores the same matrices under different key
+    names (``Tr_velo_cam``/``R_rect``) — pass them explicitly there."""
+    tr = raw_calib[tr_key].reshape(3, 4)
+    rrect = Rotation.from_matrix(raw_calib[rect_key].reshape(3, 3))
     return rrect, Rotation.from_matrix(tr[:, :3]), tr[:, 3]
 
 

@@ -26,9 +26,9 @@ def parse_label(label, raw_calib):
     """Tracking label rows -> Target3DArray in the velo frame; row layout is
     [track_id, class, truncated, occluded, alpha, bbox(4), hwl(3), xyz(3),
     ry(, score)] (the object-benchmark layout prefixed by the track id)."""
-    tr = raw_calib["Tr_velo_cam"].reshape(3, 4)
-    rrect = Rotation.from_matrix(raw_calib["R_rect"].reshape(3, 3))
-    hr, ht = Rotation.from_matrix(tr[:, :3]), tr[:, 3]
+    from .object import _cam_to_velo
+
+    rrect, hr, ht = _cam_to_velo(raw_calib, "Tr_velo_cam", "R_rect")
     objects = Target3DArray(frame="velo")
 
     for item in label:
@@ -275,14 +275,12 @@ class KittiTrackingLoader(TrackingDatasetBase):
         :param tracks_by_frame: ``{frame_idx: Target3DArray}`` in the
             velo frame with tids set (e.g. tracker ``report()`` outputs)
         """
-        from .object import format_kitti_box
+        from .object import _cam_to_velo, format_kitti_box
 
         calib = self._load_calib(seq_id)
         raw_calib = self._load_calib(seq_id, raw=True)
         # tracking calib key names differ from the object benchmark's
-        tr = raw_calib["Tr_velo_cam"].reshape(3, 4)
-        rrect = Rotation.from_matrix(raw_calib["R_rect"].reshape(3, 3))
-        hr, ht = Rotation.from_matrix(tr[:, :3]), tr[:, 3]
+        rrect, hr, ht = _cam_to_velo(raw_calib, "Tr_velo_cam", "R_rect")
 
         lines = []
         fmt = "%d %d %s 0 0 0" + " %.2f" * 12

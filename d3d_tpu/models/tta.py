@@ -69,7 +69,7 @@ def make_tta_detector(detect, classes, modes=("none", "flip_y"),
     :returns: ``tta(points, frame=None, timestamp=0) -> Target3DArray``
         with ``.device_fn`` (exportable like the base detectors)
     """
-    from .inference import _bev, _to_targets
+    from .inference import _bev, _to_targets, _to_tracking_targets
 
     base = detect.device_fn
     for m in modes:
@@ -78,29 +78,37 @@ def make_tta_detector(detect, classes, modes=("none", "flip_y"),
 
     @jax.jit
     def device(points):
-        all_boxes, all_scores, all_labels = [], [], []
+        all_boxes, all_scores, all_labels, all_vel = [], [], [], []
+        has_vel = False
         for mode in modes:
             out = base(_flip_points(points, mode))
             boxes, scores, labels, keep = out[:4]
             vel = out[4] if len(out) > 4 else None
-            boxes, _ = _unflip_boxes(boxes, vel, mode)
+            has_vel = has_vel or vel is not None
+            boxes, vel = _unflip_boxes(boxes, vel, mode)
             # suppressed candidates drop out of the merge via score 0
             all_boxes.append(boxes)
             all_scores.append(jnp.where(keep, scores, 0.0))
             all_labels.append(labels)
+            all_vel.append(jnp.zeros((boxes.shape[0], 2), jnp.float32)
+                           if vel is None else vel)
         boxes = jnp.concatenate(all_boxes)
         scores = jnp.concatenate(all_scores).astype(jnp.float32)
         labels = jnp.concatenate(all_labels)
         keep = ~nms2d(_bev(boxes), scores, iou_threshold=iou_threshold,
                       iou_method="rbox")
         keep = keep & (scores > 0)
+        if has_vel:  # velocity-head detectors keep their 5-tuple contract
+            return boxes, scores, labels, keep, jnp.concatenate(all_vel)
         return boxes, scores, labels, keep
 
     def tta(points, frame=None, timestamp=0):
-        boxes, scores, labels, keep = device(
-            jnp.asarray(points, jnp.float32))
-        return _to_targets(boxes, scores, labels, keep, classes, frame,
-                           timestamp, score_threshold)
+        out = device(jnp.asarray(points, jnp.float32))
+        if len(out) > 4:
+            return _to_tracking_targets(*out, classes, frame, timestamp,
+                                        score_threshold)
+        return _to_targets(*out, classes, frame, timestamp,
+                           score_threshold)
 
     tta.device_fn = device
     return tta

@@ -64,8 +64,12 @@ def visualize_detections(ax, image_frame, targets, calib, box_color=(0, 1, 0),
                                      (uv[-2, 1], uv[-1, 1]),
                                      c=box_color, lw=thickness))
         text = _label_text(target, show_tid, show_score)
-        if text and inlier[:8].any():
-            vis = uv[:8][inlier[:8]]
+        # anchor on corners that are in-image AND in front of the camera:
+        # a behind-camera corner can project inside the bounds at a
+        # mirrored position far from the drawn wireframe
+        vis_mask = inlier[:8] & ahead[:8]
+        if text and vis_mask.any():
+            vis = uv[:8][vis_mask]
             anchor = vis[np.argmin(vis[:, 1])]
             ax.text(anchor[0], anchor[1] - 2, text, color=box_color,
                     fontsize=8)

@@ -71,3 +71,39 @@ def test_sequence_batched_tables_identical():
     assert fa.keys() == fb.keys()
     for k in fa:
         np.testing.assert_array_equal(fa[k], fb[k], err_msg=k)
+
+
+def test_sequence_tables_respect_calib():
+    """Tables must be computed AFTER the dt->gt frame transform: with dt
+    frames handed over in a shifted 'ego' frame plus a calib, the
+    sequence path must fingerprint-match the per-frame device path (which
+    transforms inside calc_stats). Regression: precompute_tables used to
+    read the untransformed dt boxes, silently mis-matching."""
+    from d3d_tpu.abstraction import TransformSet
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_sequence(seed=3, nframes=8)
+    ts = TransformSet("velo")
+    ts.set_intrinsic_lidar("velo")
+    ts.set_intrinsic_lidar("ego")
+    t = np.eye(4)
+    t[:3, 3] = [5.0, -2.0, 0.25]
+    ts.set_extrinsic(t, frame_to="ego")
+    dts_ego = [ts.transform_objects(d, frame_to="ego") for d in dts]
+    assert all(d.frame == "ego" for d in dts_ego)
+
+    ev_a = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    for g, d in zip(gts, dts_ego):
+        ev_a.add_stats(ev_a.calc_stats(g, d, calib=ts, device_match=True))
+    ev_b = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_b.calc_stats_sequence(gts, dts_ego, calib=ts, chunk=3)
+
+    fa = evaluator_fingerprint(ev_a)
+    fb = evaluator_fingerprint(ev_b)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=k)
+
+    with pytest.raises(ValueError, match="Calibration"):
+        TrackingEvaluator(classes, [0.5, 0.5, 0.5]).calc_stats_sequence(
+            gts, dts_ego, calib=None)

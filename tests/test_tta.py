@@ -96,6 +96,46 @@ class TestEnsemble:
         pb = sorted(tuple(np.round(o.position, 4)) for o in b)
         assert pa == pb
 
+    def test_velocity_detector_keeps_velocity(self, rng):
+        """A velocity-head detector wrapped in TTA keeps the 5-output
+        device contract and emits TrackingTarget3D with the base
+        detector's (unflipped) velocities — the ensemble must not
+        silently drop the motion cue CenterTracker consumes."""
+        from d3d_tpu.abstraction import TrackingTarget3D
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+        from d3d_tpu.models import pillarize
+        from d3d_tpu.models.centerpoint import CenterPoint
+        from d3d_tpu.models.inference import make_centerpoint_detector
+        from d3d_tpu.models.pointpillars import PointPillarsConfig
+        from tests.test_center_tracker import VEL_CFG
+
+        pcfg = PointPillarsConfig(
+            bounds=VEL_CFG.bounds, grid=VEL_CFG.grid,
+            max_pillars=VEL_CFG.max_pillars,
+            max_points_per_pillar=VEL_CFG.max_points_per_pillar,
+            pfn_features=VEL_CFG.pfn_features)
+        pts = np.stack([rng.random(1024) * 16, rng.random(1024) * 16 - 8,
+                        rng.random(1024) * 4 - 3, rng.random(1024)],
+                       axis=1).astype(np.float32)
+        model = CenterPoint(VEL_CFG)
+        f, c, v = pillarize(jnp.asarray(pts), pcfg)
+        var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+        det = make_centerpoint_detector(model, var, VEL_CFG, pcfg,
+                                        [KittiObjectClass.Car],
+                                        score_threshold=0.0)
+        tta = make_tta_detector(det, [KittiObjectClass.Car],
+                                modes=("none",), score_threshold=0.0)
+        assert len(tta.device_fn(jnp.asarray(pts, jnp.float32))) == 5
+        base = det(pts, frame="velo")
+        out = tta(pts, frame="velo")
+        assert len(out) == len(base) >= 1
+        assert all(isinstance(o, TrackingTarget3D) for o in out)
+        va = sorted(tuple(np.round(np.asarray(o.velocity)[:2], 4))
+                    for o in base)
+        vb = sorted(tuple(np.round(np.asarray(o.velocity)[:2], 4))
+                    for o in out)
+        assert va == vb
+
     def test_full_flip_ensemble(self, rng):
         det, pts = self._detector(rng)
         from d3d_tpu.dataset.kitti.utils import KittiObjectClass
