@@ -4,6 +4,8 @@ from .mesh import (make_mesh, shard_train_step, batch_sharding,
                    arrays_to_stats, tp_param_report, param_partition_spec)
 from .distributed import (initialize, make_global_mesh, all_hosts_stats,
                           merge_stacked_stats, process_count, process_index)
+from .pipeline import (make_pp_mesh, microbatch, pipeline_apply,
+                       unmicrobatch)
 
 __all__ = [
     "make_mesh", "shard_train_step", "batch_sharding", "replicate_sharding",
@@ -13,4 +15,5 @@ __all__ = [
     "initialize", "make_global_mesh", "all_hosts_stats",
     "merge_stacked_stats",
     "process_count", "process_index",
+    "make_pp_mesh", "microbatch", "pipeline_apply", "unmicrobatch",
 ]
