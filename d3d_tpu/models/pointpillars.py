@@ -546,10 +546,12 @@ def make_train_step(model, optimizer, cfg: PointPillarsConfig, anchors,
     """
 
     def forward(params, batch_stats, batch):
+        # "losses" collects model-internal auxiliary terms (e.g. the
+        # SST-MoE load-balance loss, sown by _WindowBlock)
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["features"], batch["coords"], batch["valid"],
-            train=True, mutable=["batch_stats"],
+            train=True, mutable=["batch_stats", "losses"],
         )
 
     if remat:
@@ -568,6 +570,12 @@ def make_train_step(model, optimizer, cfg: PointPillarsConfig, anchors,
             )(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
         loss, aux = detection_loss(outputs, targets, cfg, anchors,
                                    riou_weight)
+        sown = updates.get("losses")
+        if sown:
+            aux_total = sum(jnp.sum(v)
+                            for v in jax.tree.leaves(sown))
+            loss = loss + getattr(cfg, "moe_aux_weight", 0.0) * aux_total
+            aux = dict(aux, moe_aux=aux_total)
         return loss, (updates["batch_stats"], aux)
 
     def train_step(params, batch_stats, opt_state, batch):

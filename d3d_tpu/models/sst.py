@@ -63,6 +63,9 @@ class SSTConfig(PointPillarsConfig):
     num_heads: int = 4
     mlp_ratio: int = 2
     neck_channels: int = 128  # post-transformer BEV conv neck
+    moe_experts: int = 0      # >0: Switch-MoE MLP with this many experts
+    moe_capacity: float = 1.25
+    moe_aux_weight: float = 0.01  # load-balance loss weight (train step)
 
 
 @partial(jax.jit, static_argnames=("grid", "window", "capacity", "shift"))
@@ -111,11 +114,22 @@ def window_slots(coords, valid, grid, window, capacity, shift=False):
 
 
 class _WindowBlock(nn.Module):
-    """Pre-norm windowed MHSA + MLP on (B, Nw, K, C) token grids."""
+    """Pre-norm windowed MHSA + MLP on (B, Nw, K, C) token grids.
+
+    ``moe_experts > 0`` swaps the dense MLP for a Switch-MoE
+    (:func:`d3d_tpu.parallel.moe.moe_mlp`): padding slots are masked out
+    of routing, the load-balance aux is sown into the ``losses``
+    collection (picked up by ``make_train_step``), and
+    ``moe_constrain`` (see
+    :func:`~d3d_tpu.parallel.mesh.expert_constrain`) shards the expert
+    compute over an ``ep`` mesh axis."""
 
     num_heads: int
     mlp_ratio: int
     dtype: str
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
+    moe_constrain: Callable = None
 
     @nn.compact
     def __call__(self, tok, tmask):
@@ -137,6 +151,24 @@ class _WindowBlock(nn.Module):
         tok = tok + nn.Dense(c, dtype=dt, name="proj")(out)
 
         y = nn.LayerNorm(dtype=jnp.float32)(tok)
+        if self.moe_experts:
+            from ..parallel.moe import moe_mlp
+
+            e, h = self.moe_experts, self.mlp_ratio * c
+            init = nn.initializers.lecun_normal()
+            p = {
+                "router": self.param("moe_router", init, (c, e)),
+                "w1": self.param("moe_w1", init, (e, c, h)),
+                "b1": self.param("moe_b1", nn.initializers.zeros, (e, h)),
+                "w2": self.param("moe_w2", init, (e, h, c)),
+                "b2": self.param("moe_b2", nn.initializers.zeros, (e, c)),
+            }
+            p = {k: v.astype(dt) if k != "router" else v
+                 for k, v in p.items()}
+            y2, aux = moe_mlp(p, y.astype(dt), self.moe_capacity,
+                              mask=tmask, constrain=self.moe_constrain)
+            self.sow("losses", "moe_aux", aux)
+            return tok + y2
         y = nn.Dense(self.mlp_ratio * c, dtype=dt, name="mlp1")(y.astype(dt))
         y = nn.Dense(c, dtype=dt, name="mlp2")(nn.gelu(y))
         return tok + y
@@ -153,6 +185,7 @@ class SST(nn.Module):
 
     cfg: SSTConfig
     constrain: Callable = None
+    moe_constrain: Callable = None
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -185,6 +218,9 @@ class SST(nn.Module):
             tok = tok.reshape(b, nw, cfg.capacity, c)
             tmask = (inv < p).reshape(b, nw, cfg.capacity)
             tok = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                               moe_experts=cfg.moe_experts,
+                               moe_capacity=cfg.moe_capacity,
+                               moe_constrain=self.moe_constrain,
                                name=f"block{d}")(tok, tmask)
             # detokenize: slot gather; overflow pillars keep their
             # residual-path features (slot == trash reads the zero row)

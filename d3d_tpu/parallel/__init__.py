@@ -6,6 +6,8 @@ from .distributed import (initialize, make_global_mesh, all_hosts_stats,
                           merge_stacked_stats, process_count, process_index)
 from .pipeline import (make_pp_mesh, microbatch, pipeline_apply,
                        unmicrobatch)
+from .moe import expert_sharding, init_moe_params, moe_mlp
+from .mesh import expert_constrain
 
 __all__ = [
     "make_mesh", "shard_train_step", "batch_sharding", "replicate_sharding",
@@ -16,4 +18,5 @@ __all__ = [
     "merge_stacked_stats",
     "process_count", "process_index",
     "make_pp_mesh", "microbatch", "pipeline_apply", "unmicrobatch",
+    "expert_sharding", "init_moe_params", "moe_mlp", "expert_constrain",
 ]

@@ -95,6 +95,18 @@ def spatial_constrain(mesh):
     return con
 
 
+def expert_constrain(mesh, axis="ep"):
+    """Hook for :func:`d3d_tpu.parallel.moe.moe_mlp` inside flax modules:
+    constrains expert-major tensors to ``P(axis)`` so XLA partitions the
+    expert compute across the mesh's expert ranks."""
+    sh = NamedSharding(mesh, P(axis))
+
+    def con(t):
+        return jax.lax.with_sharding_constraint(t, sh)
+
+    return con
+
+
 def _path_str(path):
     return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                     for p in path)

@@ -190,3 +190,58 @@ class TestSSTModel:
             variables["params"], variables["batch_stats"],
             opt.init(variables["params"]), batch)
         assert np.isfinite(float(aux["total"]))
+
+
+class TestSSTMoE:
+    def _cfg(self):
+        import dataclasses
+        return dataclasses.replace(TINY, moe_experts=2)
+
+    def test_moe_params_and_forward(self, rng):
+        cfg = self._cfg()
+        batch = _batch(rng, b=1)
+        model = SST(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                               batch["coords"], batch["valid"])
+        assert "moe_w1" in variables["params"]["block0"]
+        out = model.apply(variables, batch["features"], batch["coords"],
+                          batch["valid"], train=False)
+        assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+    def test_train_step_carries_moe_aux(self, rng):
+        cfg = self._cfg()
+        batch = _batch(rng)
+        model = SST(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                               batch["coords"], batch["valid"])
+        opt = optax.adam(1e-3)
+        step = jax.jit(make_train_step(model, opt, cfg, make_anchors(cfg)))
+        params, bstats, opt_state, aux = step(
+            variables["params"], variables["batch_stats"],
+            opt.init(variables["params"]), batch)
+        assert "moe_aux" in aux
+        # Switch bound: E * sum(f * P) >= 1, scaled by depth blocks
+        assert float(aux["moe_aux"]) >= cfg.depth * (1.0 - 1e-4)
+        assert np.isfinite(float(aux["total"]))
+
+    def test_ep_sharded_forward_matches_dense(self, rng):
+        from d3d_tpu.parallel.mesh import expert_constrain
+        from jax.sharding import Mesh
+
+        cfg = self._cfg()
+        batch = _batch(rng, b=2)
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2),
+                    axis_names=("ep",))
+        dense = SST(cfg)
+        variables = dense.init(jax.random.PRNGKey(0), batch["features"],
+                               batch["coords"], batch["valid"])
+        sharded = SST(cfg, moe_constrain=expert_constrain(mesh))
+        run_d = jax.jit(lambda v: dense.apply(
+            v, batch["features"], batch["coords"], batch["valid"],
+            train=False))
+        run_s = jax.jit(lambda v: sharded.apply(
+            v, batch["features"], batch["coords"], batch["valid"],
+            train=False))
+        for a, b in zip(run_d(variables), run_s(variables)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-5)
