@@ -1,0 +1,199 @@
+"""Device-resident tracker: trajectory-level parity with the host
+CenterTracker on a random multi-object sequence, the coast/prune
+scenarios, capacity-overflow behavior, and the fused detect+track
+serving step."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax
+import jax.numpy as jnp
+
+from d3d_tpu.abstraction import ObjectTag, Target3DArray, TrackingTarget3D
+from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+from d3d_tpu.tracking import CenterTracker
+from d3d_tpu.tracking.device_tracker import (DeviceCenterTracker,
+                                             make_tracking_step,
+                                             tracker_init, tracker_report,
+                                             tracker_update)
+
+CAR = KittiObjectClass.Car
+PED = KittiObjectClass.Pedestrian
+CLASSES = [CAR, PED]
+
+
+def _det(x, y, vx=0.0, vy=0.0, score=0.9, cls=CAR):
+    return TrackingTarget3D([x, y, 0.0], Rotation.identity(),
+                            [4.0, 2.0, 1.6], [vx, vy, 0.0], [0, 0, 0],
+                            ObjectTag(cls, scores=score))
+
+
+def _frame(dets, t_us):
+    return Target3DArray(dets, frame="velo", timestamp=t_us)
+
+
+def _trajectories(reports):
+    """tid -> [(frame_idx, rounded position)] across a report list."""
+    out = {}
+    for fi, rep in enumerate(reports):
+        for o in rep:
+            out.setdefault(o.tid, []).append(
+                (fi, tuple(np.round(np.asarray(o.position[:2]), 4))))
+    return out
+
+
+class TestHostParity:
+    def test_random_sequence_trajectory_isomorphism(self, rng):
+        """Same trajectories (same positions grouped into the same tracks
+        over time), tid numbering aside."""
+        ntr = 6
+        pos = rng.uniform(-20, 20, (ntr, 2))
+        vel = rng.normal(0, 2.0, (ntr, 2))
+        cls = [CAR, CAR, CAR, PED, PED, CAR]
+        host = CenterTracker(distance_threshold=2.0, lost_time=0.25)
+        dev = DeviceCenterTracker(CLASSES, distance_threshold=2.0,
+                                  lost_time=0.25)
+        host_reps, dev_reps = [], []
+        for f in range(8):
+            t_us = f * 100_000
+            dets = []
+            for i in range(ntr):
+                if f >= 3 and i == 2:
+                    continue  # track 2 disappears -> coasts, then prunes
+                p = pos[i] + 0.1 * f * vel[i]
+                dets.append(_det(p[0], p[1], 0.1 * vel[i][0] * 10,
+                                 0.1 * vel[i][1] * 10,
+                                 score=0.5 + 0.07 * i, cls=cls[i]))
+            if f >= 4:  # a newcomer
+                dets.append(_det(30.0 + f, -30.0, 1.0, 0.0, score=0.95))
+            fr = _frame(dets, t_us)
+            host.update(fr)
+            dev.update(fr)
+            host_reps.append(host.report())
+            dev_reps.append(dev.report())
+
+        th = _trajectories(host_reps)
+        td = _trajectories(dev_reps)
+        assert len(th) == len(td)
+        # match trajectories by their full (frame, position) signature
+        sig_h = sorted(tuple(v) for v in th.values())
+        sig_d = sorted(tuple(v) for v in td.values())
+        assert sig_h == sig_d
+
+    def test_report_fields(self, rng):
+        dev = DeviceCenterTracker(CLASSES, distance_threshold=2.0)
+        dev.update(_frame([_det(1.0, 2.0, 3.0, -1.0, score=0.8),
+                           _det(5.0, -4.0, cls=PED, score=0.6)], 0))
+        rep = dev.report()
+        assert len(rep) == 2 and rep.frame == "velo"
+        assert all(isinstance(o, TrackingTarget3D) for o in rep)
+        by_cls = {o.tag_top: o for o in rep}
+        np.testing.assert_allclose(by_cls[CAR].velocity[:2], [3.0, -1.0],
+                                   atol=1e-6)
+        assert by_cls[CAR].tag_top_score == pytest.approx(0.8, abs=1e-6)
+        assert sorted(o.tid for o in rep) == [1, 2]
+
+
+class TestScenarios:
+    def test_coast_and_prune(self):
+        """Mirror of the host tracker's coast test: a missed frame coasts
+        the track on its velocity; exceeding lost_time prunes it."""
+        dev = DeviceCenterTracker([CAR], distance_threshold=1.5,
+                                  lost_time=0.15)
+        dev.update(_frame([_det(1.0, 0.0, 10.0, 0.0)], 0))
+        tid0 = dev.report()[0].tid
+        dev.update(_frame([], 100_000))  # miss: coast to x=2
+        rep = dev.report()
+        assert len(rep) == 1 and rep[0].tid == tid0
+        np.testing.assert_allclose(rep[0].position[0], 2.0, atol=1e-6)
+        # re-acquire on the coasted position
+        dev.update(_frame([_det(3.0, 0.0, 10.0, 0.0)], 200_000))
+        rep = dev.report()
+        assert len(rep) == 1 and rep[0].tid == tid0
+        # two more misses exceed lost_time -> pruned
+        dev.update(_frame([], 300_000))
+        dev.update(_frame([], 400_000))
+        assert len(dev.report()) == 0
+
+    def test_backcast_beats_zero_velocity(self):
+        """An object moving 2 m/frame with a 1 m gate only keeps its id
+        because the backcast cancels the motion."""
+        dev = DeviceCenterTracker([CAR], distance_threshold=1.0)
+        dev.update(_frame([_det(0.0, 0.0, 20.0, 0.0)], 0))
+        tid0 = dev.report()[0].tid
+        for f in range(1, 4):
+            dev.update(_frame([_det(2.0 * f, 0.0, 20.0, 0.0)],
+                              f * 100_000))
+            rep = dev.report()
+            assert len(rep) == 1 and rep[0].tid == tid0
+
+    def test_class_gate(self):
+        dev = DeviceCenterTracker(CLASSES, distance_threshold=5.0)
+        dev.update(_frame([_det(0.0, 0.0, cls=CAR)], 0))
+        dev.update(_frame([_det(0.1, 0.0, cls=PED)], 100_000))
+        rep = dev.report()
+        # the PED detection may not continue the CAR track
+        assert len(rep) == 2
+        tids = {o.tag_top: o.tid for o in rep}
+        assert tids[CAR] != tids[PED]
+
+    def test_capacity_drops_lowest_scores(self):
+        dev = DeviceCenterTracker([CAR], distance_threshold=0.5,
+                                  capacity=4)
+        dets = [_det(3.0 * i, 0.0, score=0.1 + 0.1 * i) for i in range(6)]
+        dev.update(_frame(dets, 0))
+        rep = dev.report()
+        assert len(rep) == 4
+        # the four HIGHEST scores survive
+        assert sorted(round(o.tag_top_score, 3) for o in rep) == \
+            [0.3, 0.4, 0.5, 0.6]
+
+
+class TestFusedStep:
+    def test_detect_track_one_program(self, rng):
+        from tests.test_center_tracker import VEL_CFG
+        from d3d_tpu.models import pillarize
+        from d3d_tpu.models.centerpoint import CenterPoint
+        from d3d_tpu.models.inference import make_centerpoint_detector
+        from d3d_tpu.models.pointpillars import PointPillarsConfig
+
+        pcfg = PointPillarsConfig(
+            bounds=VEL_CFG.bounds, grid=VEL_CFG.grid,
+            max_pillars=VEL_CFG.max_pillars,
+            max_points_per_pillar=VEL_CFG.max_points_per_pillar,
+            pfn_features=VEL_CFG.pfn_features)
+        pts = np.stack([rng.random(1024) * 16, rng.random(1024) * 16 - 8,
+                        rng.random(1024) * 4 - 3, rng.random(1024)],
+                       axis=1).astype(np.float32)
+        model = CenterPoint(VEL_CFG)
+        f, c, v = pillarize(jnp.asarray(pts), pcfg)
+        var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+        det = make_centerpoint_detector(model, var, VEL_CFG, pcfg, [CAR],
+                                        score_threshold=0.0)
+        step = make_tracking_step(det.device_fn, thresholds=[2.0],
+                                  capacity=32)
+        state = step.init()
+        state, out = step(state, jnp.asarray(pts), jnp.float32(0.0))
+        n0 = int(np.asarray(state["active"]).sum())
+        assert n0 >= 1
+        tids0 = set(np.asarray(state["tid"])[np.asarray(state["active"])])
+        # same scene 0.1 s later: ids persist
+        state, out = step(state, jnp.asarray(pts), jnp.float32(0.1))
+        tids1 = set(np.asarray(state["tid"])[np.asarray(state["active"])])
+        assert tids0 & tids1
+        rep = tracker_report(state, [CAR], frame="velo",
+                             timestamp=100_000)
+        assert all(isinstance(o, TrackingTarget3D) for o in rep)
+
+        # the fused step is a serving artifact: StableHLO export + call
+        from jax import export as jax_export
+
+        sds = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            (state, jnp.asarray(pts), jnp.float32(0.1)))
+        exp = jax_export.export(step)(*sds)
+        re = jax_export.deserialize(exp.serialize())
+        state2, out2 = re.call(state, jnp.asarray(pts), jnp.float32(0.1))
+        np.testing.assert_array_equal(np.asarray(state2["tid"]),
+                                      np.asarray(state["tid"]))
