@@ -28,15 +28,25 @@ class DistanceTypes(IntEnum):
 
 
 def _iou_distance_matrix(src_arr, dst_arr, rotated):
-    """1 - pairwise 3D IoU, computed on device in one shot."""
+    """1 - pairwise 3D IoU, computed on device in one shot.
+
+    Rows/cols pad to multiples of 16 so variable per-frame counts share
+    compiled programs instead of tracing one per exact (ns, nd) pair;
+    the pair kernel is elementwise over the broadcast grid, so padding
+    does not perturb the real entries (padding rows are cropped)."""
     import jax.numpy as jnp
     from ..ops.geometry import box3d_iou_pair, box3dr_iou_pair
 
     fn = box3dr_iou_pair if rotated else box3d_iou_pair
-    b1 = jnp.asarray(src_arr[:, 2:9], dtype=jnp.float32)
-    b2 = jnp.asarray(dst_arr[:, 2:9], dtype=jnp.float32)
-    iou = fn(b1[:, None, :], b2[None, :, :])
-    return np.asarray(1.0 - iou, dtype=np.float32)
+    ns, nd = len(src_arr), len(dst_arr)
+    ps = int(np.ceil(ns / 16) * 16)
+    pd = int(np.ceil(nd / 16) * 16)
+    b1 = np.zeros((ps, 7), np.float32)
+    b1[:ns] = src_arr[:, 2:9]
+    b2 = np.zeros((pd, 7), np.float32)
+    b2[:nd] = dst_arr[:, 2:9]
+    iou = fn(jnp.asarray(b1)[:, None, :], jnp.asarray(b2)[None, :, :])
+    return np.asarray(1.0 - iou, dtype=np.float32)[:ns, :nd]
 
 
 class BaseMatcher:

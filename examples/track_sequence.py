@@ -19,7 +19,8 @@ from scipy.spatial.transform import Rotation
 from d3d_tpu.abstraction import ObjectTag, Target3DArray, TrackingTarget3D
 from d3d_tpu.benchmarks import TrackingEvaluator
 from d3d_tpu.dataset.kitti.utils import KittiObjectClass
-from d3d_tpu.tracking import CenterTracker, VanillaTracker
+from d3d_tpu.tracking import (CenterTracker, DeviceCenterTracker,
+                              VanillaTracker)
 
 CAR = KittiObjectClass.Car
 DT_S = 0.1
@@ -76,15 +77,20 @@ def main():
 
     center = CenterTracker(distance_threshold=1.5, lost_time=0.3)
     kalman = VanillaTracker(matcher_distance_threshold=1.5, lost_time=0.3)
-    center_out, kalman_out = [], []
+    device = DeviceCenterTracker([CAR], distance_threshold=1.5,
+                                 lost_time=0.3)
+    center_out, kalman_out, device_out = [], [], []
     for d in dets:
         center.update(d)
         center_out.append(center.report())
         kalman.update(d)
         kalman_out.append(kalman.report())
+        device.update(d)
+        device_out.append(device.report())
 
     score("CenterTracker", gts, center_out)
     score("VanillaTracker", gts, kalman_out)
+    score("DeviceTracker", gts, device_out)
 
 
 if __name__ == "__main__":

@@ -34,3 +34,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(20260816)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables():
+    """Free compiled executables between test modules.
+
+    Every live XLA:CPU executable holds multiple mmap regions (JIT code
+    pages); a full-suite process accumulates 1000+ executables and can
+    exhaust ``vm.max_map_count`` (default 65530), which XLA answers with
+    a SEGFAULT in the next compile/serialize. Dropping the jit caches at
+    module boundaries caps the live set; the persistent on-disk cache
+    makes the re-entries cheap."""
+    yield
+    jax.clear_caches()
