@@ -65,6 +65,8 @@ class SSTConfig(PointPillarsConfig):
     neck_channels: int = 128  # post-transformer BEV conv neck
     moe_experts: int = 0      # >0: Switch-MoE MLP with this many experts
     moe_capacity: float = 1.25
+    moe_group: int = 4096     # tokens per routing group (dispatch memory
+                              # scales with tokens x group, keep bounded)
     moe_aux_weight: float = 0.01  # load-balance loss weight (train step)
 
 
@@ -129,6 +131,7 @@ class _WindowBlock(nn.Module):
     dtype: str
     moe_experts: int = 0
     moe_capacity: float = 1.25
+    moe_group: int = 4096
     moe_constrain: Callable = None
 
     @nn.compact
@@ -166,7 +169,8 @@ class _WindowBlock(nn.Module):
             p = {k: v.astype(dt) if k != "router" else v
                  for k, v in p.items()}
             y2, aux = moe_mlp(p, y.astype(dt), self.moe_capacity,
-                              mask=tmask, constrain=self.moe_constrain)
+                              mask=tmask, constrain=self.moe_constrain,
+                              group_size=self.moe_group)
             self.sow("losses", "moe_aux", aux)
             return tok + y2
         y = nn.Dense(self.mlp_ratio * c, dtype=dt, name="mlp1")(y.astype(dt))
@@ -220,6 +224,7 @@ class SST(nn.Module):
             tok = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
                                moe_experts=cfg.moe_experts,
                                moe_capacity=cfg.moe_capacity,
+                               moe_group=cfg.moe_group,
                                moe_constrain=self.moe_constrain,
                                name=f"block{d}")(tok, tmask)
             # detokenize: slot gather; overflow pillars keep their

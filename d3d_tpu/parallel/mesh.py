@@ -97,9 +97,10 @@ def spatial_constrain(mesh):
 
 def expert_constrain(mesh, axis="ep"):
     """Hook for :func:`d3d_tpu.parallel.moe.moe_mlp` inside flax modules:
-    constrains expert-major tensors to ``P(axis)`` so XLA partitions the
-    expert compute across the mesh's expert ranks."""
-    sh = NamedSharding(mesh, P(axis))
+    constrains the dispatched ``(G, E, cap, ...)`` expert blocks to
+    ``P(None, axis)`` (expert axis over the mesh's expert ranks) so XLA
+    partitions the expert compute."""
+    sh = NamedSharding(mesh, P(None, axis))
 
     def con(t):
         return jax.lax.with_sharding_constraint(t, sh)

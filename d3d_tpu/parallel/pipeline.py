@@ -79,6 +79,14 @@ def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
     :returns: outputs shaped like ``xs``, replicated over ``axis``.
     """
     S = mesh.shape[axis]
+    for leaf in jax.tree.leaves(stage_state):
+        if leaf.shape[0] != S:
+            # a multiple of S would shard cleanly and then silently run
+            # only every S-th stage (the per-rank [0] squeeze)
+            raise ValueError(
+                "stage_state leading axis %d != %d pipeline ranks on "
+                "axis %r (one stage per rank)"
+                % (leaf.shape[0], S, axis))
     ba = batch_axis
     state_spec = jax.tree.map(lambda _: P(axis), stage_state)
     x_spec = jax.tree.map(lambda _: P(None, ba), xs)

@@ -36,7 +36,7 @@ def tracker_init(capacity=128):
     """Empty slot-table state (a pytree of device arrays)."""
     return dict(
         boxes=jnp.zeros((capacity, 7), jnp.float32),
-        vel=jnp.zeros((capacity, 2), jnp.float32),
+        vel=jnp.zeros((capacity, 3), jnp.float32),
         label=jnp.full((capacity,), -1, jnp.int32),
         score=jnp.zeros((capacity,), jnp.float32),
         tid=jnp.zeros((capacity,), jnp.int32),
@@ -53,7 +53,8 @@ def tracker_update(state, boxes, scores, labels, vel, valid, dt,
     """One frame: associate, adopt, coast, prune — all on device.
 
     :param boxes: (D, 7) [x y z l w h yaw] detections (padded rows ok)
-    :param vel: (D, 2) BEV velocities used for the backcast
+    :param vel: (D, 3) velocities — xy drive the backcast, the full
+        vector drives coasting (a (D, 2) input is zero-padded)
     :param valid: (D,) bool admission mask (score threshold, NMS keep)
     :param dt: seconds since the previous frame (0 on the first)
     :param thresholds: (L,) per-class-label association gates (m);
@@ -64,13 +65,16 @@ def tracker_update(state, boxes, scores, labels, vel, valid, dt,
     cap = state["boxes"].shape[0]
     active0 = state["active"]
     dt = jnp.asarray(dt, jnp.float32)
+    if vel.shape[-1] == 2:
+        vel = jnp.concatenate(
+            [vel, jnp.zeros((vel.shape[0], 1), vel.dtype)], axis=-1)
     order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), stable=True)
 
     def step(carry, i):
         st, consumed = carry
         b, v = boxes[i], vel[i]
         lab, sc, ok_det = labels[i].astype(jnp.int32), scores[i], valid[i]
-        back = b[:2] - dt * v
+        back = b[:2] - dt * v[:2]
         dist = jnp.linalg.norm(back[None, :] - st["boxes"][:, :2], axis=-1)
         cand = jnp.where(st["active"] & ~consumed & (st["label"] == lab),
                          dist, jnp.inf)
@@ -108,11 +112,11 @@ def tracker_update(state, boxes, scores, labels, vel, valid, dt,
     (st, consumed), _ = jax.lax.scan(
         step, (state, jnp.zeros(cap, bool)), order)
 
-    # unmatched pre-existing tracks coast on their last velocity
+    # unmatched pre-existing tracks coast on their last (3D) velocity
     coast = active0 & ~consumed
-    xy = st["boxes"][:, :2] + dt * st["vel"]
+    xyz = st["boxes"][:, :3] + dt * st["vel"]
     st["boxes"] = jnp.where(coast[:, None],
-                            st["boxes"].at[:, :2].set(xy), st["boxes"])
+                            st["boxes"].at[:, :3].set(xyz), st["boxes"])
     st["lost"] = jnp.where(coast, st["lost"] + dt, st["lost"])
     st["history"] = jnp.where(coast, 0.0, st["history"])
     st["active"] = st["active"] & ~(st["lost"] > lost_time)
@@ -132,8 +136,7 @@ def tracker_report(state, classes, frame=None, timestamp=0):
     quats = np.zeros((n, 4), np.float32)
     quats[:, 2] = np.sin(y / 2)
     quats[:, 3] = np.cos(y / 2)
-    vel3 = np.zeros((n, 3), np.float32)
-    vel3[:, :2] = st["vel"][m]
+    vel3 = np.ascontiguousarray(st["vel"][m], np.float32)
     cols = dict(
         position=np.ascontiguousarray(boxes[:, 0:3], np.float32),
         dimension=np.ascontiguousarray(boxes[:, 3:6], np.float32),
@@ -170,7 +173,7 @@ def make_tracking_step(device_fn, thresholds, lost_time=0.3,
         out = device_fn(points)
         boxes, scores, labels, keep = out[:4]
         vel = out[4] if len(out) > 4 else jnp.zeros(
-            (boxes.shape[0], 2), jnp.float32)
+            (boxes.shape[0], 3), jnp.float32)
         state = tracker_update(state, boxes,
                                scores.astype(jnp.float32), labels,
                                vel, keep, dt, thresholds, lt)
@@ -188,15 +191,12 @@ class DeviceCenterTracker:
     def __init__(self, classes, distance_threshold=1.0, lost_time=0.3,
                  capacity=128):
         self._classes = list(classes)
-        vals = [int(getattr(c, "value", c)) for c in self._classes]
-        thr = np.zeros(max(vals) + 1, np.float32)
-        for c in vals:
-            thr[c] = (distance_threshold[c]
-                      if isinstance(distance_threshold, dict)
-                      else distance_threshold)
-        # device labels index into classes; build an index-keyed gate
+        # device labels index into classes -> index-aligned gate array
         self._thr = jnp.asarray(
-            [thr[c] for c in vals], jnp.float32)
+            [float(distance_threshold[int(getattr(c, "value", c))]
+                   if isinstance(distance_threshold, dict)
+                   else distance_threshold)
+             for c in self._classes], jnp.float32)
         self._lost_time = jnp.float32(lost_time)
         self._state = tracker_init(capacity)
         self._last_ts = None
@@ -210,33 +210,39 @@ class DeviceCenterTracker:
 
     def update(self, detections):
         """Feed a frame (``Target3DArray``, timestamp in microseconds;
-        elements with a ``velocity`` attribute backcast by it)."""
+        elements with a ``velocity`` attribute backcast by it).
+        Detections whose class is not in ``classes`` are ignored (the
+        device label table is fixed at construction)."""
         ts = detections.timestamp / 1e6
         self._last_ts_us = detections.timestamp
         self._last_frame = detections.frame
         dt = 0.0 if self._last_ts is None else ts - self._last_ts
         self._last_ts = ts
 
-        n = len(detections)
-        cols = detections.columns() if n else None
+        cols = detections.columns() if len(detections) else None
         lut = {int(getattr(c, "value", c)): i
                for i, c in enumerate(self._classes)}
+        if cols is not None:
+            known = np.asarray([int(l) in lut for l in cols["label"]],
+                               bool)
+        n = int(known.sum()) if cols is not None else 0
         # bucket the row count so variable-length frames share compiles
         npad = int(np.ceil(max(n, 1) / 32) * 32)
         boxes = np.zeros((npad, 7), np.float32)
-        vel = np.zeros((npad, 2), np.float32)
+        vel = np.zeros((npad, 3), np.float32)
         labels = np.zeros(npad, np.int32)
         scores = np.zeros(npad, np.float32)
         valid = np.zeros(npad, bool)
         valid[:n] = True
         if n:
-            boxes[:n, :3] = cols["position"]
-            boxes[:n, 3:6] = cols["dimension"]
-            boxes[:n, 6] = cols["yaw"]
+            boxes[:n, :3] = cols["position"][known]
+            boxes[:n, 3:6] = cols["dimension"][known]
+            boxes[:n, 6] = cols["yaw"][known]
             if "velocity" in cols:
-                vel[:n] = cols["velocity"][:, :2]
-            labels[:n] = [lut[int(l)] for l in cols["label"]]
-            scores[:n] = cols["score"]
+                vel[:n] = cols["velocity"][known]
+            labels[:n] = [lut[int(l)]
+                          for l in cols["label"][known]]
+            scores[:n] = cols["score"][known]
         self._state = tracker_update(
             self._state, jnp.asarray(boxes), jnp.asarray(scores),
             jnp.asarray(labels), jnp.asarray(vel),

@@ -116,6 +116,31 @@ class TestScenarios:
         dev.update(_frame([], 400_000))
         assert len(dev.report()) == 0
 
+    def test_coast_advances_z_like_host(self):
+        """Host CenterTracker coasts the FULL 3D position; the device
+        state must carry vz too (review finding: only xy coasted)."""
+        host = CenterTracker(distance_threshold=1.5, lost_time=0.5)
+        dev = DeviceCenterTracker([CAR], distance_threshold=1.5,
+                                  lost_time=0.5)
+        d = TrackingTarget3D([1.0, 0.0, -0.5], Rotation.identity(),
+                             [4.0, 2.0, 1.6], [2.0, 0.0, 0.8], [0, 0, 0],
+                             ObjectTag(CAR, scores=0.9))
+        host.update(_frame([d], 0))
+        dev.update(_frame([d], 0))
+        host.update(_frame([], 100_000))
+        dev.update(_frame([], 100_000))
+        hz = host.report()[0].position[2]
+        dz = dev.report()[0].position[2]
+        np.testing.assert_allclose(dz, hz, atol=1e-6)
+        np.testing.assert_allclose(dz, -0.5 + 0.1 * 0.8, atol=1e-6)
+
+    def test_unknown_class_ignored(self):
+        dev = DeviceCenterTracker([CAR], distance_threshold=1.5)
+        dev.update(_frame([_det(0.0, 0.0, cls=CAR),
+                           _det(5.0, 5.0, cls=PED)], 0))
+        rep = dev.report()
+        assert len(rep) == 1 and rep[0].tag_top == CAR
+
     def test_backcast_beats_zero_velocity(self):
         """An object moving 2 m/frame with a 1 m gate only keeps its id
         because the backcast cancels the motion."""

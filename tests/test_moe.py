@@ -76,6 +76,28 @@ class TestMoE:
         np.testing.assert_allclose(float(aux_ep), float(aux_dense),
                                    rtol=1e-6)
 
+    def test_grouped_routing_matches_per_group(self, params, rng):
+        """group_size=g must equal routing each g-token slice
+        independently (GShard fixed-size groups keep the dispatch
+        tensors linear in N); a non-divisor group exercises padding."""
+        x = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+        for g in (8, 10):  # 10 does not divide 24 -> padded tail
+            y, _ = moe_mlp(params, x, capacity_factor=1.25, group_size=g)
+            parts = []
+            for lo in range(0, N, g):
+                xi = x[lo:lo + g]
+                pad = g - xi.shape[0]
+                m = jnp.arange(g) < xi.shape[0]
+                if pad:
+                    xi = jnp.concatenate(
+                        [xi, jnp.zeros((pad, C), jnp.float32)])
+                yi, _ = moe_mlp(params, xi, capacity_factor=1.25,
+                                mask=m)
+                parts.append(np.asarray(yi)[:g - pad])
+            want = np.concatenate(parts)
+            np.testing.assert_allclose(np.asarray(y), want, rtol=0,
+                                       atol=1e-5, err_msg=f"g={g}")
+
     def test_trains(self, params, rng):
         x = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
 
