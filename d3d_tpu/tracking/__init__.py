@@ -6,7 +6,8 @@ from .filter import (Box_KF, Pose_3DOF_UKF_CV, Pose_3DOF_UKF_CTRA,
 from .tracker import VanillaTracker
 from .center_tracker import CenterTracker
 from .device_tracker import (DeviceCenterTracker, make_tracking_step,
-                             tracker_init, tracker_report, tracker_update)
+                             tracker_init, tracker_report,
+                             tracker_scan_sequence, tracker_update)
 
 __all__ = [
     "BaseMatcher", "DistanceTypes", "HungarianMatcher",
@@ -15,5 +16,6 @@ __all__ = [
     "motion_CV", "motion_CTRV", "motion_CTRA", "wrap_angle",
     "VanillaTracker", "CenterTracker",
     "DeviceCenterTracker", "make_tracking_step",
-    "tracker_init", "tracker_report", "tracker_update",
+    "tracker_init", "tracker_report", "tracker_scan_sequence",
+    "tracker_update",
 ]

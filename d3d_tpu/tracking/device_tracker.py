@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["tracker_init", "tracker_update", "tracker_report",
-           "make_tracking_step", "DeviceCenterTracker"]
+           "tracker_scan_sequence", "make_tracking_step",
+           "DeviceCenterTracker"]
 
 
 def tracker_init(capacity=128):
@@ -155,6 +156,29 @@ def tracker_report(state, classes, frame=None, timestamp=0):
         tids=st["tid"][m].astype(np.uint64),
         histories=st["history"][m],
         frame=frame, timestamp=timestamp)
+
+
+@jax.jit
+def tracker_scan_sequence(state, boxes, scores, labels, vel, valid, dts,
+                          thresholds, lost_time):
+    """Track a WHOLE sequence in one device dispatch: ``lax.scan`` of
+    :func:`tracker_update` over the frame axis.
+
+    :param boxes: (F, D, 7); ``scores``/``labels``/``valid`` (F, D);
+        ``vel`` (F, D, 2 or 3); ``dts`` (F,) seconds since the previous
+        frame (0 for the first)
+    :returns: ``(final_state, per_frame_states)`` — the per-frame states
+        are stacked snapshots AFTER each frame (slot tables; fetch once
+        and slice per frame for reports/evaluation)
+    """
+    def step(st, frame):
+        b, s, l, v, va, dt = frame
+        st = tracker_update(st, b, s, l, v, va, dt, thresholds,
+                            lost_time)
+        return st, st
+
+    return jax.lax.scan(step, state,
+                        (boxes, scores, labels, vel, valid, dts))
 
 
 def make_tracking_step(device_fn, thresholds, lost_time=0.3,

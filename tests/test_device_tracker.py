@@ -175,6 +175,48 @@ class TestScenarios:
             [0.3, 0.4, 0.5, 0.6]
 
 
+class TestSequenceScan:
+    def test_scan_matches_per_frame_loop(self, rng):
+        """tracker_scan_sequence (whole sequence, one dispatch) must be
+        array-identical to the per-frame tracker_update loop."""
+        from d3d_tpu.tracking.device_tracker import tracker_scan_sequence
+
+        F, D = 12, 16
+        boxes = rng.normal(0, 10, (F, D, 7)).astype(np.float32)
+        boxes[..., 3:6] = np.abs(boxes[..., 3:6]) + 1
+        scores = rng.random((F, D)).astype(np.float32)
+        labels = rng.integers(0, 2, (F, D)).astype(np.int32)
+        vel = rng.normal(0, 2, (F, D, 3)).astype(np.float32)
+        valid = rng.random((F, D)) < 0.8
+        dts = np.full(F, 0.1, np.float32)
+        dts[0] = 0.0
+        thr = jnp.asarray([2.0, 3.0], jnp.float32)
+        lt = jnp.float32(0.3)
+
+        st_a = tracker_init(32)
+        snaps = []
+        for f in range(F):
+            st_a = tracker_update(st_a, jnp.asarray(boxes[f]),
+                                  jnp.asarray(scores[f]),
+                                  jnp.asarray(labels[f]),
+                                  jnp.asarray(vel[f]),
+                                  jnp.asarray(valid[f]),
+                                  jnp.float32(dts[f]), thr, lt)
+            snaps.append(jax.tree.map(np.asarray, st_a))
+
+        st_b, per_frame = tracker_scan_sequence(
+            tracker_init(32), jnp.asarray(boxes), jnp.asarray(scores),
+            jnp.asarray(labels), jnp.asarray(vel), jnp.asarray(valid),
+            jnp.asarray(dts), thr, lt)
+        for k in snaps[-1]:
+            np.testing.assert_array_equal(
+                np.asarray(st_b[k]), snaps[-1][k], err_msg=k)
+            pf = np.asarray(per_frame[k])
+            for f in range(F):
+                np.testing.assert_array_equal(pf[f], snaps[f][k],
+                                              err_msg=f"{k}@{f}")
+
+
 class TestFusedStep:
     def test_detect_track_one_program(self, rng):
         from tests.test_center_tracker import VEL_CFG
