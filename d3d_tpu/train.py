@@ -23,7 +23,50 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["Trainer", "prefetch", "batch_frames",
-           "shard_frames_across_hosts", "ema_init", "ema_update"]
+           "shard_frames_across_hosts", "ema_init", "ema_update",
+           "make_optimizer"]
+
+
+def make_optimizer(total_steps, base_lr=1e-3, schedule="onecycle",
+                   warmup_frac=0.4, clip_norm=10.0, weight_decay=0.01,
+                   accumulate=1):
+    """The standard lidar-detection training recipe as one optax chain:
+    AdamW + one-cycle LR (SECOND/CenterPoint train with Adam one-cycle;
+    OpenPCDet's ``adam_onecycle`` default) + global-norm gradient
+    clipping, optionally wrapped in ``optax.MultiSteps`` for gradient
+    accumulation (an effective batch ``accumulate``x the per-step batch
+    on the same HBM — the TPU-native big-batch knob when the canvas
+    won't shard further).
+
+    :param schedule: ``"onecycle"`` (cosine ramp to ``base_lr`` at
+        ``warmup_frac`` of training, cosine decay after), ``"cosine"``
+        (decay-only) or ``"constant"``
+    :param accumulate: microbatches per optimizer update; the returned
+        optimizer's update only applies every ``accumulate``-th step
+        (gradients average in between)
+    :returns: ``(optimizer, lr_schedule)`` — the schedule is returned so
+        metrics can log the current LR
+    """
+    import optax
+
+    if schedule == "onecycle":
+        lr = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=base_lr,
+            pct_start=warmup_frac, div_factor=10.0,
+            final_div_factor=100.0)
+    elif schedule == "cosine":
+        lr = optax.cosine_decay_schedule(base_lr, total_steps)
+    elif schedule == "constant":
+        lr = optax.constant_schedule(base_lr)
+    else:
+        raise ValueError("unknown schedule %r" % (schedule,))
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    return tx, lr
 
 
 def ema_init(params):

@@ -245,3 +245,48 @@ class TestEMA:
         # without warmup the same update would move only 0.1%
         ema2 = ema_update(ema_init({"w": jnp.zeros(2)}), p, decay=0.999)
         np.testing.assert_allclose(np.asarray(ema2["w"]), 0.005, atol=1e-6)
+
+
+class TestMakeOptimizer:
+    def test_onecycle_shape(self):
+        from d3d_tpu.train import make_optimizer
+
+        _, lr = make_optimizer(100, base_lr=1e-2, warmup_frac=0.4)
+        vals = [float(lr(s)) for s in range(100)]
+        peak = int(np.argmax(vals))
+        assert abs(peak - 40) <= 2
+        assert vals[peak] == pytest.approx(1e-2, rel=1e-6)
+        assert vals[0] == pytest.approx(1e-3, rel=1e-6)    # div_factor 10
+        assert vals[-1] < 1e-3                              # decayed
+
+    def test_accumulation_matches_full_batch(self, rng):
+        """k accumulation microsteps over batch slices == one step on
+        the full batch (same grads by linearity of the mean loss)."""
+        import optax
+        from d3d_tpu.train import make_optimizer
+
+        w0 = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+        yt = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+
+        def loss(w, xb, yb):
+            return jnp.mean((xb @ w - yb) ** 2)
+
+        # full batch, no accumulation
+        tx, _ = make_optimizer(10, base_lr=1e-2, schedule="constant")
+        st = tx.init(w0)
+        g = jax.grad(loss)(w0, x, yt)
+        up, _ = tx.update(g, st, w0)
+        w_full = optax.apply_updates(w0, up)
+
+        # two half-batch microsteps with accumulate=2
+        tx2, _ = make_optimizer(10, base_lr=1e-2, schedule="constant",
+                                accumulate=2)
+        st2 = tx2.init(w0)
+        w = w0
+        for lo in (0, 4):
+            g = jax.grad(loss)(w, x[lo:lo + 4], yt[lo:lo + 4])
+            up, st2 = tx2.update(g, st2, w)
+            w = optax.apply_updates(w, up)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_full),
+                                   rtol=0, atol=1e-6)
