@@ -15,7 +15,8 @@ compiled SPMD program):
 * stages are SHAPE-HOMOGENEOUS: ``stage_fn`` maps an activation pytree
   to an identically-shaped pytree (transformer blocks, repeated conv
   blocks). Per-stage weights/state are stacked on a leading stage axis
-  and sharded ``P('pp')`` — each rank holds only its own stage.
+  and sharded ``P('pp')`` — each rank holds only its own contiguous
+  block of stages (one or more per rank).
 * the whole schedule is a ``lax.scan`` over ticks; bubble ticks compute
   on garbage and are masked out, which XLA prefers over data-dependent
   control flow.
@@ -70,8 +71,11 @@ def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
         index of the microbatch this tick carries — stages whose state
         varies per microbatch (e.g. precomputed routing tables) index it
         with ``lax.dynamic_index_in_dim``.
-    :param stage_state: pytree whose leaves carry a leading stage axis of
-        size S (stacked per-stage weights/state); sharded ``P(axis)``.
+    :param stage_state: pytree whose leaves carry a leading stage axis
+        of size ``S * k`` for integer ``k`` (stacked per-stage
+        weights/state); sharded ``P(axis)`` so rank ``r`` holds the
+        contiguous stages ``[r*k, (r+1)*k)`` and applies them
+        back-to-back each tick (k > 1 = multiple stages per rank).
     :param xs: activation pytree with leading axes ``(M, mb, ...)``
         (see :func:`microbatch`); replicated over ``axis``.
     :param batch_axis: optional mesh axis name sharding the microbatch
@@ -79,14 +83,16 @@ def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
     :returns: outputs shaped like ``xs``, replicated over ``axis``.
     """
     S = mesh.shape[axis]
+    nstages = jax.tree.leaves(stage_state)[0].shape[0]
     for leaf in jax.tree.leaves(stage_state):
-        if leaf.shape[0] != S:
-            # a multiple of S would shard cleanly and then silently run
-            # only every S-th stage (the per-rank [0] squeeze)
+        if leaf.shape[0] != nstages or nstages % S:
+            # an unchecked multiple would shard cleanly and silently run
+            # only every S-th stage (the per-rank squeeze)
             raise ValueError(
-                "stage_state leading axis %d != %d pipeline ranks on "
-                "axis %r (one stage per rank)"
-                % (leaf.shape[0], S, axis))
+                "stage_state leading axes must agree and divide into the "
+                "%d pipeline ranks on axis %r (got %d/%d)"
+                % (S, axis, leaf.shape[0], nstages))
+    spr = nstages // S  # stages per rank, applied back-to-back per tick
     ba = batch_axis
     state_spec = jax.tree.map(lambda _: P(axis), stage_state)
     x_spec = jax.tree.map(lambda _: P(None, ba), xs)
@@ -96,7 +102,8 @@ def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
 
     def ranked(xs_local, state_local):
         idx = jax.lax.axis_index(axis)
-        state = jax.tree.map(lambda a: a[0], state_local)  # own stage
+        # this rank's contiguous block of spr stages (leading dim spr)
+        state = state_local
         perm = [(i, (i + 1) % S) for i in range(S)]
         # the carry varies per pipeline rank from tick 1 on: mark the
         # (replicated) zero init as pp-varying so the scan types match
@@ -114,7 +121,10 @@ def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
                     a, jnp.clip(t, 0, M - 1), 0, keepdims=False), xs_local)
             x_in = jax.tree.map(
                 lambda f, a: jnp.where(idx == 0, f, a), feed, act)
-            y = stage_fn(state, x_in, mb_in)
+            y = x_in
+            for k in range(spr):  # rank's stages, back-to-back
+                y = stage_fn(jax.tree.map(lambda a: a[k], state), y,
+                             mb_in)
             nxt = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), y)
             j = t - (S - 1)
             jc = jnp.clip(j, 0, M - 1)

@@ -67,6 +67,21 @@ class TestPipelineParity:
                                        np.asarray(g_seq[k]),
                                        rtol=0, atol=1e-5, err_msg=k)
 
+    def test_two_stages_per_rank(self, rng):
+        """8 stacked stages on 4 ranks: rank r applies stages 2r, 2r+1
+        back-to-back; must match the 8-stage sequential stack."""
+        mesh = make_pp_mesh(4)
+        state = _stage_state(rng, 8)
+        x = jnp.asarray(rng.normal(size=(8, C)), jnp.float32)
+        want = _sequential(state, x)
+        got = unmicrobatch(
+            pipeline_apply(_stage_fn, state, microbatch(x, 4), mesh))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5)
+        with pytest.raises(ValueError, match="divide"):
+            pipeline_apply(_stage_fn, _stage_state(rng, 6),
+                           microbatch(x, 4), mesh)
+
     def test_dp_times_pp(self, rng):
         """pp composed with a dp axis sharding the microbatch dim."""
         mesh = make_pp_mesh(4, dp=2)
