@@ -11,10 +11,13 @@ from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      panoptic_loss, panoptic_targets, point_cell_coords,
                      segmentation_loss)
 from .second import SECOND, SECONDConfig, second_voxelize
+from .voxelnext import (VoxelNeXt, VoxelNeXtConfig, voxelnext_voxelize,
+                        decode_voxelnext)
 from .sst import SST, SSTConfig, window_slots
 from . import presets
 from .inference import (make_centerpoint_detector,
                         make_pointpillars_detector, make_second_detector,
+                        make_voxelnext_detector,
                         make_sst_detector)
 from .tta import make_tta_detector
 
@@ -30,6 +33,8 @@ __all__ = [
     "segmentation_loss", "panoptic_targets", "panoptic_loss",
     "group_instances", "make_panoptic_predictor",
     "SECOND", "SECONDConfig", "second_voxelize", "presets",
+    "VoxelNeXt", "VoxelNeXtConfig", "voxelnext_voxelize",
+    "decode_voxelnext", "make_voxelnext_detector",
     "SST", "SSTConfig", "window_slots",
     "make_pointpillars_detector", "make_centerpoint_detector",
     "make_second_detector", "make_sst_detector", "make_tta_detector",

@@ -17,7 +17,8 @@ from .pointpillars import decode_boxes, pillarize
 from .centerpoint import decode_centers
 
 __all__ = ["make_pointpillars_detector", "make_centerpoint_detector",
-           "make_second_detector", "make_sst_detector"]
+           "make_second_detector", "make_sst_detector",
+           "make_voxelnext_detector"]
 
 
 def _to_targets(boxes, scores, labels, keep, classes, frame, timestamp,
@@ -204,3 +205,31 @@ def make_second_detector(model, variables, cfg, anchors, classes,
     return _make_anchor_detector(model, variables, cfg, anchors, classes,
                                  second_voxelize, score_threshold,
                                  iou_threshold, top_k)
+
+
+def make_voxelnext_detector(model, variables, cfg, classes,
+                            score_threshold=0.3, iou_threshold=0.5):
+    """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
+    for a trained VoxelNeXt model (fully sparse: decode reads the active
+    BEV sites; top-k set by ``cfg.top_k``)."""
+    from .voxelnext import decode_voxelnext, voxelnext_voxelize
+
+    @jax.jit
+    def device(points):
+        feats, coords, valid = voxelnext_voxelize(points, cfg)
+        outputs = model.apply(variables, feats[None], coords[None],
+                              valid[None], train=False)
+        outputs = jax.tree.map(lambda x: x[0], outputs)
+        boxes, scores, labels = decode_voxelnext(cfg, outputs)
+        keep = ~nms2d(_bev(boxes), scores.astype(jnp.float32),
+                      iou_threshold=iou_threshold, iou_method="rbox")
+        return boxes, scores, labels, keep
+
+    def detect(points, frame=None, timestamp=0):
+        boxes, scores, labels, keep = device(
+            jnp.asarray(points, jnp.float32))
+        return _to_targets(boxes, scores, labels, keep, classes, frame,
+                           timestamp, score_threshold)
+
+    detect.device_fn = device  # exportable pipeline (d3d_tpu.export)
+    return detect

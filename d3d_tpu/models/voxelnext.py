@@ -1,0 +1,334 @@
+"""VoxelNeXt-style fully-sparse detector — sixth model family.
+
+The reference devkit (cmpute/d3d) ships no models; this family goes
+beyond parity with a FULLY SPARSE pipeline: the sparse 3D backbone
+(shared layer classes with :mod:`d3d_tpu.models.second`) is followed by
+VoxelNeXt's *sparse height compression* — features of voxels sharing a
+BEV cell are SUMMED into a 2D sparse site set — and CenterPoint-style
+heads predict directly on the active sites. No dense BEV canvas ever
+materializes, which is what makes the architecture scale to long-range
+grids (a 150 m Waymo canvas at 0.32 m is 20 MB/channel dense; the
+active set is ~20k sites).
+
+TPU-first design choices:
+
+  * fixed-capacity site arrays end to end (``max_voxels`` ->
+    ``stage_sites`` -> ``bev_sites``), masked instead of resized;
+  * height compression is one sort + segment-sum (the same
+    sort-and-segment idiom as the voxelizer) — no hash maps;
+  * the sparse head is per-site Dense layers (1x1 submanifold convs are
+    exactly per-site MLPs) — batched (B, M, C) MXU matmuls;
+  * target assignment evaluates the CenterNet gaussian AT the active
+    sites and assigns each gt to its NEAREST ACTIVE site (the gt's own
+    cell may be empty — VoxelNeXt's key training detail), as one dense
+    (sites, gt) distance computation;
+  * decode is a flat top-k over (sites, classes) scores — rotated NMS
+    happens in the detector factory like every other family.
+
+Reference: Chen et al., "VoxelNeXt: Fully Sparse VoxelNet for 3D Object
+Detection and Tracking", CVPR 2023 (arXiv:2303.11301).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.sparse_conv import (build_neighbor_map,
+                               build_neighbor_map_strided,
+                               downsample_coords)
+from .centerpoint import _gaussian_radius
+from .second import _MaskedBN, _SpConv, second_voxelize
+
+__all__ = ["VoxelNeXtConfig", "VoxelNeXt", "compress_height",
+           "assign_voxelnext_targets", "voxelnext_loss",
+           "decode_voxelnext", "voxelnext_voxelize", "make_train_step"]
+
+
+@dataclass(frozen=True)
+class VoxelNeXtConfig:
+    """Static configuration (hashable -> usable as a jit static arg)."""
+
+    bounds: Tuple[float, ...] = (0.0, 70.4, -40.0, 40.0, -3.0, 1.0)
+    grid: Tuple[int, int, int] = (352, 400, 20)
+    max_voxels: int = 16000
+    stage_channels: Tuple[int, ...] = (16, 32, 64)
+    stage_sites: Tuple[int, ...] = (16000, 8000, 4000)
+    subm_per_stage: int = 2
+    bev_sites: int = 4000         # cap of the compressed 2D site set
+    head_channels: int = 64
+    num_classes: int = 1
+    top_k: int = 100
+    gaussian_overlap: float = 0.1
+    min_radius: float = 2.0       # cells at the final stride
+    dtype: str = "float32"
+
+    @property
+    def n_stages(self):
+        return len(self.stage_channels)
+
+    @property
+    def final_grid(self):
+        g = tuple(self.grid)
+        for _ in range(self.n_stages - 1):
+            g = tuple(-(-x // 2) for x in g)
+        return g
+
+    @property
+    def bev_grid(self):
+        g = self.final_grid
+        return (g[0], g[1])
+
+    @property
+    def bev_voxel(self):
+        """BEV cell edge lengths (m) at the final stride."""
+        w, h = self.bev_grid
+        return ((self.bounds[1] - self.bounds[0]) / w,
+                (self.bounds[3] - self.bounds[2]) / h)
+
+
+# voxelization is identical to SECOND's (mean features per voxel)
+voxelnext_voxelize = second_voxelize
+
+
+@partial(jax.jit, static_argnames=("grid", "max_out"))
+def compress_height(features, coords, valid, grid, max_out):
+    """Sparse height compression: (N, C) 3D sites -> (M, C) unique-(x, y)
+    BEV sites with features SUMMED over z (VoxelNeXt replaces dense
+    sparse-to-BEV with exactly this sum; arXiv:2303.11301 §3.3).
+
+    One sort by the linearized BEV key + a segment sum — the voxelizer's
+    idiom, no hash map. Sites beyond ``max_out`` unique cells are
+    dropped (masked, not aliased).
+
+    :returns: (bev_features (M, C), bev_xy (M, 2) int32, bev_valid (M,))
+    """
+    big = jnp.int32(2 ** 30 - 1)
+    keys = jnp.where(valid, coords[:, 0] * grid[1] + coords[:, 1], big)
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    sf = features[order]
+    sxy = coords[order][:, :2]
+    ok = sk < big
+    first = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]]) & ok
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    inb = ok & (seg < max_out) & (seg >= 0)
+    segc = jnp.clip(seg, 0, max_out - 1)
+    bev_f = jax.ops.segment_sum(
+        sf * inb[:, None].astype(sf.dtype), segc, num_segments=max_out)
+    bev_xy = jax.ops.segment_max(
+        jnp.where(inb[:, None], sxy, -1), segc, num_segments=max_out)
+    nseg = jnp.minimum(jnp.sum(first), max_out)
+    bev_valid = jnp.arange(max_out, dtype=jnp.int32) < nseg
+    return (bev_f * bev_valid[:, None].astype(bev_f.dtype),
+            jnp.maximum(bev_xy, 0).astype(jnp.int32), bev_valid)
+
+
+class VoxelNeXt(nn.Module):
+    """Sparse backbone -> height compression -> per-site center heads.
+
+    Outputs (batched): ``heatmap`` (B, M, C) f32 logits, ``reg``
+    (B, M, 8) f32 [dx, dy, z, log l, log w, log h, sin, cos],
+    ``site_xy`` (B, M, 2) i32 BEV cells at the final stride,
+    ``site_valid`` (B, M). There is no dense canvas, so no spatial
+    ``constrain`` hook — the whole model is site-parallel."""
+
+    cfg: VoxelNeXtConfig
+
+    @nn.compact
+    def __call__(self, features, coords, valid, train: bool = False):
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        x, cur_coords, cur_valid = features, coords, valid
+        grid = cfg.grid
+
+        for s, ch in enumerate(cfg.stage_channels):
+            nbr = jax.vmap(lambda c, v: build_neighbor_map(c, v, grid))(
+                cur_coords, cur_valid)
+            for i in range(cfg.subm_per_stage):
+                x = _SpConv(ch, cfg.dtype, symmetric=True,
+                            name=f"subm{s}_{i}")(x, nbr, cur_valid, train)
+            if s + 1 < cfg.n_stages:
+                cap = cfg.stage_sites[s + 1]
+                oc, ov = jax.vmap(
+                    lambda c, v: downsample_coords(c, v, grid, 2, cap)
+                )(cur_coords, cur_valid)
+                nbr_s = jax.vmap(
+                    lambda o, w, c, v: build_neighbor_map_strided(
+                        o, w, c, v, grid, 2)
+                )(oc, ov, cur_coords, cur_valid)
+                x = _SpConv(cfg.stage_channels[s + 1], cfg.dtype,
+                            name=f"down{s}")(x, nbr_s, ov, train)
+                cur_coords, cur_valid = oc, ov
+                grid = tuple(-(-g // 2) for g in grid)
+
+        bev_f, bev_xy, bev_valid = jax.vmap(
+            lambda f, c, v: compress_height(f, c, v, cfg.bev_grid,
+                                            cfg.bev_sites)
+        )(x, cur_coords, cur_valid)
+
+        # per-site MLP head (1x1 subm convs == per-site Dense)
+        y = nn.Dense(cfg.head_channels, dtype=dt, name="head1")(
+            bev_f.astype(dt))
+        y = nn.relu(_MaskedBN(name="head_bn")(y, bev_valid, train))
+        heat = nn.Dense(cfg.num_classes, dtype=dt, name="head_hm",
+                        bias_init=nn.initializers.constant(-2.19))(y)
+        reg = nn.Dense(8, dtype=dt, name="head_reg")(y)
+        return dict(heatmap=heat.astype(jnp.float32),
+                    reg=reg.astype(jnp.float32),
+                    site_xy=bev_xy, site_valid=bev_valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def assign_voxelnext_targets(cfg: VoxelNeXtConfig, site_xy, site_valid,
+                             gt_boxes, gt_labels, gt_mask):
+    """Sparse CenterNet targets for ONE frame.
+
+    :param site_xy: (M2, 2) int32 active BEV cells; ``site_valid`` (M2,)
+    :param gt_boxes: (M, 7) padded [x y z l w h yaw]
+    :returns: dict(heat (M2, C) gaussian targets with 1.0 at positives,
+        vec (M, 8) regression targets, pos_site (M,) i32 assigned site
+        row (-1 when unassigned), pos_mask (M,))
+    """
+    w, h = cfg.bev_grid
+    vx, vy = cfg.bev_voxel
+    m2 = site_xy.shape[0]
+
+    cx = (gt_boxes[:, 0] - cfg.bounds[0]) / vx       # fractional cells
+    cy = (gt_boxes[:, 1] - cfg.bounds[2]) / vy
+    inside = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h) & gt_mask
+
+    radius = jnp.maximum(
+        _gaussian_radius(gt_boxes[:, 3] / vx, gt_boxes[:, 4] / vy,
+                         cfg.gaussian_overlap),
+        cfg.min_radius).astype(jnp.float32)
+    sigma2 = jnp.maximum((2 * radius / 3.0) ** 2, 1e-6)
+
+    ix = jnp.floor(cx).astype(jnp.float32)
+    iy = jnp.floor(cy).astype(jnp.float32)
+    sx = site_xy[:, 0].astype(jnp.float32)
+    sy = site_xy[:, 1].astype(jnp.float32)
+    d2 = ((sx[:, None] - ix[None, :]) ** 2
+          + (sy[:, None] - iy[None, :]) ** 2)       # (M2, M) cell dist
+    val = jnp.exp(-d2 / (2 * sigma2[None, :]))
+    val = jnp.where(site_valid[:, None] & inside[None, :], val, 0.0)
+    val = jnp.where(val > 1e-4, val, 0.0)
+
+    # nearest ACTIVE site per gt (the gt's own cell may hold no voxels)
+    d2m = jnp.where(site_valid[:, None], d2, jnp.inf)
+    pos = jnp.argmin(d2m, axis=0).astype(jnp.int32)  # (M,)
+    assignable = inside & jnp.any(site_valid)
+    pos_site = jnp.where(assignable, pos, -1)
+
+    cls = jnp.maximum(gt_labels, 0).astype(jnp.int32)
+    clsoh = jax.nn.one_hot(cls, cfg.num_classes, dtype=jnp.float32)
+    heat = jnp.max(val[:, :, None] * clsoh[None, :, :], axis=1)
+    # positives pin to exactly 1.0
+    flat = jnp.where(assignable, pos * cfg.num_classes + cls,
+                     m2 * cfg.num_classes)
+    heat = heat.reshape(-1)
+    heat = jnp.concatenate([heat, jnp.zeros(1, heat.dtype)])
+    heat = heat.at[flat].max(jnp.where(assignable, 1.0, 0.0))
+    heat = heat[:-1].reshape(m2, cfg.num_classes)
+
+    # regression target per gt, offsets measured from the ASSIGNED site
+    psx = jnp.where(assignable, sx[pos], 0.0)
+    psy = jnp.where(assignable, sy[pos], 0.0)
+    vec = jnp.stack([
+        cx - psx, cy - psy, gt_boxes[:, 2],
+        jnp.log(jnp.maximum(gt_boxes[:, 3], 1e-3)),
+        jnp.log(jnp.maximum(gt_boxes[:, 4], 1e-3)),
+        jnp.log(jnp.maximum(gt_boxes[:, 5], 1e-3)),
+        jnp.sin(gt_boxes[:, 6]), jnp.cos(gt_boxes[:, 6]),
+    ], axis=-1)
+    return dict(heat=heat, vec=vec, pos_site=pos_site,
+                pos_mask=assignable)
+
+
+def voxelnext_loss(outputs, targets):
+    """Penalty-reduced focal over active sites + L1 at assigned sites
+    (batched: every leaf carries a leading batch axis)."""
+    hm = jnp.clip(jax.nn.sigmoid(outputs["heatmap"]), 1e-5, 1 - 1e-5)
+    t = targets["heat"]
+    valid = outputs["site_valid"][..., None]
+    pos = (t >= 1.0 - 1e-6) & valid
+    npos = jnp.maximum(jnp.sum(pos), 1).astype(jnp.float32)
+    pos_l = -((1 - hm) ** 2) * jnp.log(hm) * pos
+    neg_l = -((1 - t) ** 4) * (hm ** 2) * jnp.log(1 - hm) * (~pos & valid)
+    hm_loss = (jnp.sum(pos_l) + jnp.sum(neg_l)) / npos
+
+    ps = jnp.maximum(targets["pos_site"], 0)
+    pred = jnp.take_along_axis(outputs["reg"], ps[..., None], axis=1)
+    l1 = jnp.abs(pred - targets["vec"]) \
+        * targets["pos_mask"][..., None].astype(jnp.float32)
+    reg_loss = jnp.sum(l1) / npos
+    total = hm_loss + 2.0 * reg_loss
+    return total, dict(hm=hm_loss, reg=reg_loss, total=total)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_voxelnext(cfg: VoxelNeXtConfig, outputs):
+    """Flat top-k over (sites, classes) -> (K, 7) boxes, scores, labels
+    (one frame; callers mask on scores)."""
+    vx, vy = cfg.bev_voxel
+    m2 = outputs["heatmap"].shape[0]
+    scores_all = jax.nn.sigmoid(outputs["heatmap"])
+    scores_all = scores_all * outputs["site_valid"][:, None]
+    scores, idx = jax.lax.top_k(scores_all.reshape(-1), cfg.top_k)
+    site = (idx // cfg.num_classes).astype(jnp.int32)
+    labels = (idx % cfg.num_classes).astype(jnp.int32)
+    vec = outputs["reg"][site]
+    sx = outputs["site_xy"][site, 0].astype(jnp.float32)
+    sy = outputs["site_xy"][site, 1].astype(jnp.float32)
+    boxes = jnp.stack([
+        (sx + vec[:, 0]) * vx + cfg.bounds[0],
+        (sy + vec[:, 1]) * vy + cfg.bounds[2],
+        vec[:, 2],
+        jnp.exp(vec[:, 3]), jnp.exp(vec[:, 4]), jnp.exp(vec[:, 5]),
+        jnp.arctan2(vec[:, 6], vec[:, 7]),
+    ], axis=-1)
+    return boxes, scores, labels
+
+
+def make_train_step(model, optimizer, cfg: VoxelNeXtConfig, remat=False):
+    """``step(params, batch_stats, opt_state, batch) -> (new..., aux)``.
+    ``batch``: features/coords/valid from :func:`voxelnext_voxelize`
+    (batched) + padded gt_boxes (B, M, 7), gt_labels (B, M),
+    gt_mask (B, M). Targets are assigned in-step from the ACTUAL active
+    sites of the forward pass (they depend on the voxelization, not the
+    parameters — a stop_gradient keeps them out of the backward)."""
+
+    def forward(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["features"], batch["coords"], batch["valid"],
+            train=True, mutable=["batch_stats"])
+
+    if remat:
+        forward = jax.checkpoint(
+            forward,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, updates = forward(params, batch_stats, batch)
+        targets = jax.vmap(
+            lambda xy, sv, b, l, m: assign_voxelnext_targets(
+                cfg, xy, sv, b, l, m)
+        )(jax.lax.stop_gradient(outputs["site_xy"]),
+          jax.lax.stop_gradient(outputs["site_valid"]),
+          batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+        loss, aux = voxelnext_loss(outputs, targets)
+        return loss, (updates["batch_stats"], aux)
+
+    def train_step(params, batch_stats, opt_state, batch):
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, new_bs, opt_state, aux
+
+    return train_step
