@@ -211,7 +211,11 @@ def make_voxelnext_detector(model, variables, cfg, classes,
                             score_threshold=0.3, iou_threshold=0.5):
     """Build ``detect(points, frame=None, timestamp=0) -> Target3DArray``
     for a trained VoxelNeXt model (fully sparse: decode reads the active
-    BEV sites; top-k set by ``cfg.top_k``)."""
+    BEV sites; top-k set by ``cfg.top_k``). With
+    ``cfg.predict_velocity`` the detector emits ``TrackingTarget3D`` and
+    its ``device_fn`` the 5-output contract — ready for
+    :class:`~d3d_tpu.tracking.CenterTracker` or the fused
+    :func:`~d3d_tpu.tracking.make_tracking_step`."""
     from .voxelnext import decode_voxelnext, voxelnext_voxelize
 
     @jax.jit
@@ -220,16 +224,21 @@ def make_voxelnext_detector(model, variables, cfg, classes,
         outputs = model.apply(variables, feats[None], coords[None],
                               valid[None], train=False)
         outputs = jax.tree.map(lambda x: x[0], outputs)
-        boxes, scores, labels = decode_voxelnext(cfg, outputs)
+        dec = decode_voxelnext(cfg, outputs)
+        boxes, scores, labels = dec[:3]
         keep = ~nms2d(_bev(boxes), scores.astype(jnp.float32),
                       iou_threshold=iou_threshold, iou_method="rbox")
+        if cfg.predict_velocity:
+            return boxes, scores, labels, keep, dec[3]
         return boxes, scores, labels, keep
 
     def detect(points, frame=None, timestamp=0):
-        boxes, scores, labels, keep = device(
-            jnp.asarray(points, jnp.float32))
-        return _to_targets(boxes, scores, labels, keep, classes, frame,
-                           timestamp, score_threshold)
+        out = device(jnp.asarray(points, jnp.float32))
+        if len(out) > 4:
+            return _to_tracking_targets(*out, classes, frame, timestamp,
+                                        score_threshold)
+        return _to_targets(*out, classes, frame, timestamp,
+                           score_threshold)
 
     detect.device_fn = device  # exportable pipeline (d3d_tpu.export)
     return detect

@@ -65,6 +65,7 @@ class VoxelNeXtConfig:
     top_k: int = 100
     gaussian_overlap: float = 0.1
     min_radius: float = 2.0       # cells at the final stride
+    predict_velocity: bool = False  # BEV velocity head (paper's tracking)
     dtype: str = "float32"
 
     @property
@@ -177,7 +178,8 @@ class VoxelNeXt(nn.Module):
         y = nn.relu(_MaskedBN(name="head_bn")(y, bev_valid, train))
         heat = nn.Dense(cfg.num_classes, dtype=dt, name="head_hm",
                         bias_init=nn.initializers.constant(-2.19))(y)
-        reg = nn.Dense(8, dtype=dt, name="head_reg")(y)
+        nreg = 10 if cfg.predict_velocity else 8
+        reg = nn.Dense(nreg, dtype=dt, name="head_reg")(y)
         return dict(heatmap=heat.astype(jnp.float32),
                     reg=reg.astype(jnp.float32),
                     site_xy=bev_xy, site_valid=bev_valid)
@@ -185,14 +187,17 @@ class VoxelNeXt(nn.Module):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def assign_voxelnext_targets(cfg: VoxelNeXtConfig, site_xy, site_valid,
-                             gt_boxes, gt_labels, gt_mask):
+                             gt_boxes, gt_labels, gt_mask,
+                             gt_velocity=None):
     """Sparse CenterNet targets for ONE frame.
 
     :param site_xy: (M2, 2) int32 active BEV cells; ``site_valid`` (M2,)
     :param gt_boxes: (M, 7) padded [x y z l w h yaw]
+    :param gt_velocity: (M, 2) BEV velocities, consumed when
+        ``cfg.predict_velocity`` (defaults to zeros)
     :returns: dict(heat (M2, C) gaussian targets with 1.0 at positives,
-        vec (M, 8) regression targets, pos_site (M,) i32 assigned site
-        row (-1 when unassigned), pos_mask (M,))
+        vec (M, 8 or 10) regression targets, pos_site (M,) i32 assigned
+        site row (-1 when unassigned), pos_mask (M,))
     """
     w, h = cfg.bev_grid
     vx, vy = cfg.bev_voxel
@@ -238,13 +243,19 @@ def assign_voxelnext_targets(cfg: VoxelNeXtConfig, site_xy, site_valid,
     # regression target per gt, offsets measured from the ASSIGNED site
     psx = jnp.where(assignable, sx[pos], 0.0)
     psy = jnp.where(assignable, sy[pos], 0.0)
-    vec = jnp.stack([
+    cols = [
         cx - psx, cy - psy, gt_boxes[:, 2],
         jnp.log(jnp.maximum(gt_boxes[:, 3], 1e-3)),
         jnp.log(jnp.maximum(gt_boxes[:, 4], 1e-3)),
         jnp.log(jnp.maximum(gt_boxes[:, 5], 1e-3)),
         jnp.sin(gt_boxes[:, 6]), jnp.cos(gt_boxes[:, 6]),
-    ], axis=-1)
+    ]
+    if cfg.predict_velocity:
+        m = gt_boxes.shape[0]
+        gv = (jnp.zeros((m, 2), jnp.float32) if gt_velocity is None
+              else gt_velocity.astype(jnp.float32))
+        cols += [gv[:, 0], gv[:, 1]]
+    vec = jnp.stack(cols, axis=-1)
     return dict(heat=heat, vec=vec, pos_site=pos_site,
                 pos_mask=assignable)
 
@@ -273,7 +284,8 @@ def voxelnext_loss(outputs, targets):
 @partial(jax.jit, static_argnames=("cfg",))
 def decode_voxelnext(cfg: VoxelNeXtConfig, outputs):
     """Flat top-k over (sites, classes) -> (K, 7) boxes, scores, labels
-    (one frame; callers mask on scores)."""
+    (+ (K, 2) velocities when ``cfg.predict_velocity``; one frame,
+    callers mask on scores)."""
     vx, vy = cfg.bev_voxel
     m2 = outputs["heatmap"].shape[0]
     scores_all = jax.nn.sigmoid(outputs["heatmap"])
@@ -291,6 +303,8 @@ def decode_voxelnext(cfg: VoxelNeXtConfig, outputs):
         jnp.exp(vec[:, 3]), jnp.exp(vec[:, 4]), jnp.exp(vec[:, 5]),
         jnp.arctan2(vec[:, 6], vec[:, 7]),
     ], axis=-1)
+    if cfg.predict_velocity:
+        return boxes, scores, labels, vec[:, 8:10]
     return boxes, scores, labels
 
 
@@ -315,12 +329,16 @@ def make_train_step(model, optimizer, cfg: VoxelNeXtConfig, remat=False):
 
     def loss_fn(params, batch_stats, batch):
         outputs, updates = forward(params, batch_stats, batch)
+        gv = batch.get("gt_velocity")
+        if gv is None:
+            gv = jnp.zeros(batch["gt_boxes"].shape[:2] + (2,),
+                           jnp.float32)
         targets = jax.vmap(
-            lambda xy, sv, b, l, m: assign_voxelnext_targets(
-                cfg, xy, sv, b, l, m)
+            lambda xy, sv, b, l, m, v: assign_voxelnext_targets(
+                cfg, xy, sv, b, l, m, v)
         )(jax.lax.stop_gradient(outputs["site_xy"]),
           jax.lax.stop_gradient(outputs["site_valid"]),
-          batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
+          batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"], gv)
         loss, aux = voxelnext_loss(outputs, targets)
         return loss, (updates["batch_stats"], aux)
 

@@ -199,6 +199,43 @@ class TestModel:
         for obj in out:
             assert np.isfinite(obj.position).all()
 
+    def test_velocity_variant_tracks(self, rng):
+        """predict_velocity: train step consumes gt_velocity, the
+        detector emits TrackingTarget3D, and the fused device tracking
+        step accepts the 5-output device_fn."""
+        import dataclasses
+
+        from d3d_tpu.abstraction import TrackingTarget3D
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+        from d3d_tpu.tracking.device_tracker import make_tracking_step
+
+        cfg = dataclasses.replace(TINY, predict_velocity=True)
+        batch = _batch(rng, b=1)
+        batch["gt_velocity"] = jnp.asarray(
+            rng.normal(0, 2, (1, 3, 2)), jnp.float32)
+        model = VoxelNeXt(cfg)
+        var = model.init(jax.random.PRNGKey(0), batch["features"],
+                         batch["coords"], batch["valid"])
+        assert var["params"]["head_reg"]["kernel"].shape[-1] == 10
+        opt = optax.adam(1e-3)
+        step = jax.jit(make_train_step(model, opt, cfg))
+        params, bstats, opt_state, aux = step(
+            var["params"], var["batch_stats"], opt.init(var["params"]),
+            batch)
+        assert np.isfinite(float(aux["total"]))
+
+        detect = make_voxelnext_detector(
+            model, dict(params=params, batch_stats=bstats), cfg,
+            [KittiObjectClass.Car, KittiObjectClass.Pedestrian],
+            score_threshold=0.0)
+        pts = _cloud(rng)
+        out = detect(pts, frame="velo")
+        assert all(isinstance(o, TrackingTarget3D) for o in out)
+        tstep = make_tracking_step(detect.device_fn, thresholds=[2.0, 2.0],
+                                   capacity=32)
+        state, _ = tstep(tstep.init(), jnp.asarray(pts), jnp.float32(0.0))
+        assert int(np.asarray(state["active"]).sum()) >= 0
+
     def test_dp_sharded_step(self, rng):
         from d3d_tpu.parallel import make_mesh, shard_train_step
 
