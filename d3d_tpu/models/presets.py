@@ -20,11 +20,13 @@ from .bevseg import BEVSegConfig
 from .centerpoint import CenterPointConfig
 from .pointpillars import PointPillarsConfig
 from .second import SECONDConfig
+from .voxelnext import VoxelNeXtConfig
 from .sst import SSTConfig
 
 __all__ = ["pointpillars_kitti", "pointpillars_kitti_3class", "sst_kitti",
            "centerpoint_nuscenes", "centerpoint_nuscenes_10sweep",
-           "centerpoint_waymo", "second_kitti", "bevseg_semantickitti"]
+           "centerpoint_waymo", "second_kitti", "bevseg_semantickitti",
+           "voxelnext_nuscenes"]
 
 # KITTI car/pedestrian/cyclist anchor sizes (l, w, h) from the
 # PointPillars paper (Lang et al., CVPR 2019, Sec. 4.1)
@@ -99,6 +101,21 @@ def second_kitti(**overrides):
         stage_sites=(16000, 8000, 4000), subm_per_stage=2,
         head_channels=128, num_classes=1, anchor_sizes=(_KITTI_CAR,),
         dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
+def voxelnext_nuscenes(**overrides):
+    """nuScenes VoxelNeXt: 0.1 m voxels over the 108 m square, 10
+    classes, velocity head on (the paper's detection-and-tracking
+    configuration) — fully sparse, so the long-range grid costs active
+    sites, not canvas memory."""
+    cfg = VoxelNeXtConfig(
+        bounds=(-54.0, 54.0, -54.0, 54.0, -5.0, 3.0),
+        grid=(1080, 1080, 40), max_voxels=60000,
+        stage_channels=(16, 32, 64, 128),
+        stage_sites=(60000, 30000, 15000, 8000), subm_per_stage=2,
+        bev_sites=8000, head_channels=128, num_classes=10, top_k=200,
+        predict_velocity=True, dtype="bfloat16")
     return replace(cfg, **overrides)
 
 
