@@ -46,7 +46,8 @@ import flax.linen as nn
 from .pointpillars import (PointPillarsConfig, _PFN, _ConvBlock,
                            scatter_to_bev)
 
-__all__ = ["SSTConfig", "SST", "window_slots"]
+__all__ = ["SSTConfig", "SST", "window_slots", "pipeline_sst_trunk",
+           "route_tokens", "detok_tokens"]
 
 
 @dataclass(frozen=True)
@@ -113,6 +114,35 @@ def window_slots(coords, valid, grid, window, capacity, shift=False):
     inv = jnp.full(n_windows * capacity + 1, p, jnp.int32)
     inv = inv.at[slot].set(ar)  # trash writes land in the overflow row
     return slot, inv[:-1]
+
+
+
+
+def route_tokens(pf, inv, capacity):
+    """Tokenize pillars into window slots: gather rows of ``pf`` by the
+    ``inv`` slot table ((B, L) with L a multiple of ``capacity``; value P
+    = empty slot). Returns tok (B, L/cap, cap, C), tmask."""
+    b, p, c = pf.shape
+    nw = inv.shape[1] // capacity
+    pf_pad = jnp.concatenate(
+        [pf, jnp.zeros((b, 1, c), pf.dtype)], axis=1)
+    tok = jnp.take_along_axis(pf_pad, inv[..., None], axis=1)
+    return (tok.reshape(b, nw, capacity, c),
+            (inv < p).reshape(b, nw, capacity))
+
+
+def detok_tokens(pf, tok, slot, nwcap):
+    """Scatter window tokens back to pillar rows via the ``slot`` table;
+    pillars with ``slot >= nwcap`` (overflow/trash) keep their residual
+    ``pf``. ``nwcap`` is this tiling's n_windows * capacity — with an
+    inv table PADDED beyond it (the pipeline's homogeneous-shape trick)
+    the trash slot may alias a padding token, which this mask drops."""
+    b, p, c = pf.shape
+    tok_flat = jnp.concatenate(
+        [tok.reshape(b, -1, c), jnp.zeros((b, 1, c), tok.dtype)], axis=1)
+    idx = jnp.minimum(slot, tok_flat.shape[1] - 1)
+    upd = jnp.take_along_axis(tok_flat, idx[..., None], axis=1)
+    return jnp.where((slot < nwcap)[..., None], upd, pf)
 
 
 class _WindowBlock(nn.Module):
@@ -190,6 +220,10 @@ class SST(nn.Module):
     cfg: SSTConfig
     constrain: Callable = None
     moe_constrain: Callable = None
+    # "embed" returns the post-PFN/pos-embed pillar features, "trunk"
+    # the features after the windowed-transformer stack (pre-mask) —
+    # the split points :func:`pipeline_sst_trunk` validates against
+    stage: str = "full"
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -207,6 +241,8 @@ class SST(nn.Module):
         # (shared across the alternating tilings: offsets mod window)
         cell = jnp.mod(coords, cfg.window).astype(dt) / cfg.window
         pf = pf + nn.Dense(c, dtype=dt, name="pos_embed")(cell)
+        if self.stage == "embed":
+            return pf
 
         for d in range(cfg.depth):
             shift = bool(d % 2)
@@ -214,13 +250,7 @@ class SST(nn.Module):
                 lambda cd, vl: window_slots(cd, vl, cfg.grid, cfg.window,
                                             cfg.capacity, shift)
             )(coords, valid)
-            p = pf.shape[1]
-            nw = inv.shape[1] // cfg.capacity
-            pf_pad = jnp.concatenate(
-                [pf, jnp.zeros((b, 1, c), pf.dtype)], axis=1)
-            tok = jnp.take_along_axis(pf_pad, inv[..., None], axis=1)
-            tok = tok.reshape(b, nw, cfg.capacity, c)
-            tmask = (inv < p).reshape(b, nw, cfg.capacity)
+            tok, tmask = route_tokens(pf, inv, cfg.capacity)
             tok = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
                                moe_experts=cfg.moe_experts,
                                moe_capacity=cfg.moe_capacity,
@@ -229,12 +259,9 @@ class SST(nn.Module):
                                name=f"block{d}")(tok, tmask)
             # detokenize: slot gather; overflow pillars keep their
             # residual-path features (slot == trash reads the zero row)
-            tok_flat = jnp.concatenate(
-                [tok.reshape(b, nw * cfg.capacity, c),
-                 jnp.zeros((b, 1, c), tok.dtype)], axis=1)
-            upd = jnp.take_along_axis(tok_flat, slot[..., None], axis=1)
-            routed = (slot < nw * cfg.capacity)[..., None]
-            pf = jnp.where(routed, upd, pf)
+            pf = detok_tokens(pf, tok, slot, inv.shape[1])
+        if self.stage == "trunk":
+            return pf
         pf = pf * valid[..., None].astype(pf.dtype)
 
         # single-stride BEV neck + SSD head (full-resolution detection)
@@ -253,3 +280,64 @@ class SST(nn.Module):
             box_preds.reshape(b, wh * a, 7).astype(jnp.float32),
             dir_logits.reshape(b, wh * a, 2).astype(jnp.float32),
         )
+
+
+def pipeline_sst_trunk(variables, cfg: SSTConfig, mesh, pf_mb, coords_mb,
+                       valid_mb, batch_axis=None, axis="pp"):
+    """Run a trained SST's windowed-transformer trunk PIPELINED over the
+    mesh's pipeline axis (the realistic pp workload: ``cfg.depth``
+    shape-homogeneous blocks, one contiguous chunk per rank).
+
+    Per-depth state = that block's params + its routing tables per
+    microbatch (the alternating-shift tilings differ, so the ``inv``
+    tables pad to the larger tiling and ``detok_tokens``' ``nwcap`` mask
+    drops the padding — see the helper docstrings). The load-balance
+    sow of an MoE trunk is a no-op here (inference path).
+
+    :param pf_mb: (M, mb, P, C) post-embed features from
+        ``SST(cfg, stage="embed").apply(variables, ...)``, microbatched
+    :param coords_mb / valid_mb: (M, mb, P, 2) / (M, mb, P)
+    :returns: (M, mb, P, C) trunk outputs == 
+        ``SST(cfg, stage="trunk")`` on the same inputs
+    """
+    from ..parallel.pipeline import pipeline_apply
+
+    depth = cfg.depth
+    slots, invs, nwcaps = [], [], []
+    for d in range(depth):
+        sl, iv = jax.vmap(jax.vmap(
+            lambda cd, vl: window_slots(cd, vl, cfg.grid, cfg.window,
+                                        cfg.capacity, bool(d % 2))
+        ))(coords_mb, valid_mb)
+        slots.append(sl)
+        invs.append(iv)
+        nwcaps.append(iv.shape[-1])
+    L = max(nwcaps)
+    p = pf_mb.shape[-2]
+    invs = [jnp.concatenate(
+        [iv, jnp.full(iv.shape[:-1] + (L - iv.shape[-1],), p, iv.dtype)],
+        axis=-1) for iv in invs]
+    state = dict(
+        params=jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[variables["params"][f"block{d}"] for d in range(depth)]),
+        slot=jnp.stack(slots),                    # (depth, M, mb, P)
+        inv=jnp.stack(invs),                      # (depth, M, mb, L)
+        nwcap=jnp.asarray(nwcaps, jnp.int32),     # (depth,)
+    )
+    block = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                         moe_experts=cfg.moe_experts,
+                         moe_capacity=cfg.moe_capacity,
+                         moe_group=cfg.moe_group)
+
+    def stage(st, pf, mb):
+        sl = jax.lax.dynamic_index_in_dim(st["slot"], mb, 0,
+                                          keepdims=False)
+        iv = jax.lax.dynamic_index_in_dim(st["inv"], mb, 0,
+                                          keepdims=False)
+        tok, tmask = route_tokens(pf, iv, cfg.capacity)
+        tok = block.apply({"params": st["params"]}, tok, tmask)
+        return detok_tokens(pf, tok, sl, st["nwcap"])
+
+    return pipeline_apply(stage, state, pf_mb, mesh,
+                          axis=axis, batch_axis=batch_axis)

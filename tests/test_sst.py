@@ -245,3 +245,33 @@ class TestSSTMoE:
         for a, b in zip(run_d(variables), run_s(variables)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0, atol=1e-5)
+
+
+class TestPipelinedTrunk:
+    def test_pipelined_trunk_matches_model(self, rng):
+        """SST's transformer trunk run through the GPipe schedule over a
+        4-rank pp mesh must reproduce the model's own trunk output (the
+        realistic pipeline-parallel workload: per-depth routing tables
+        as per-microbatch stage state, alternating tilings padded to a
+        homogeneous shape)."""
+        import dataclasses
+
+        from d3d_tpu.models.sst import pipeline_sst_trunk
+        from d3d_tpu.parallel.pipeline import (make_pp_mesh, microbatch,
+                                               unmicrobatch)
+
+        cfg = dataclasses.replace(TINY, depth=4)
+        batch = _batch(rng, b=4)
+        model = SST(cfg)
+        var = model.init(jax.random.PRNGKey(0), batch["features"],
+                         batch["coords"], batch["valid"])
+        args = (batch["features"], batch["coords"], batch["valid"])
+        pf0 = SST(cfg, stage="embed").apply(var, *args, train=False)
+        want = SST(cfg, stage="trunk").apply(var, *args, train=False)
+
+        mesh = make_pp_mesh(4)
+        got = unmicrobatch(pipeline_sst_trunk(
+            var, cfg, mesh, microbatch(pf0, 2),
+            microbatch(batch["coords"], 2), microbatch(batch["valid"], 2)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-5)
