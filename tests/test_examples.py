@@ -46,3 +46,17 @@ def test_accumulate_frames_compensation(tmp_path, monkeypatch):
     assert len(cloud) == 3 * n
     ages = np.unique(cloud[:, 4])
     assert len(ages) == 3 and ages.min() == 0.0
+
+
+def test_serve_tracking_example(monkeypatch, capsys):
+    """examples/serve_tracking.py: the fused detect+track serving loop
+    runs, reports live tracks, and the export roundtrip works."""
+    monkeypatch.syspath_prepend(str(EXAMPLES))
+    monkeypatch.setattr(sys, "argv",
+                        ["serve_tracking.py", "--frames", "3"])
+    import serve_tracking as demo
+
+    demo.main()
+    out = capsys.readouterr().out
+    assert "frame   2:" in out
+    assert "export roundtrip:" in out
