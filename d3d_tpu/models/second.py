@@ -33,7 +33,7 @@ from .pointpillars import (PointPillarsConfig, _ConvBlock, assign_targets,
                            detection_loss, make_anchors)
 
 __all__ = ["SECONDConfig", "SECOND", "second_voxelize", "make_train_step",
-           "head_config"]
+           "head_config", "sparse_stage_loop"]
 
 
 @dataclass(frozen=True)
@@ -158,6 +158,40 @@ class _SpConv(nn.Module):
         return nn.relu(y)
 
 
+def sparse_stage_loop(cfg, x, coords, valid, train):
+    """The shared sparse-backbone stage loop (SECOND and VoxelNeXt):
+    submanifold convs on the active set, strided downsample between
+    stages. Must run inside a module's ``@nn.compact`` ``__call__`` —
+    the ``_SpConv`` submodules auto-parent there under the established
+    ``subm{s}_{i}`` / ``down{s}`` names. Requires cfg fields
+    ``stage_channels/stage_sites/subm_per_stage/n_stages/grid/dtype``.
+
+    :returns: (features, coords, valid, final_grid)
+    """
+    cur_coords, cur_valid = coords, valid
+    grid = cfg.grid
+    for s, ch in enumerate(cfg.stage_channels):
+        nbr = jax.vmap(lambda c, v: build_neighbor_map(c, v, grid))(
+            cur_coords, cur_valid)
+        for i in range(cfg.subm_per_stage):
+            x = _SpConv(ch, cfg.dtype, symmetric=True,
+                        name=f"subm{s}_{i}")(x, nbr, cur_valid, train)
+        if s + 1 < cfg.n_stages:
+            cap = cfg.stage_sites[s + 1]
+            oc, ov = jax.vmap(
+                lambda c, v: downsample_coords(c, v, grid, 2, cap)
+            )(cur_coords, cur_valid)
+            nbr_s = jax.vmap(
+                lambda o, w, c, v: build_neighbor_map_strided(
+                    o, w, c, v, grid, 2)
+            )(oc, ov, cur_coords, cur_valid)
+            x = _SpConv(cfg.stage_channels[s + 1], cfg.dtype,
+                        name=f"down{s}")(x, nbr_s, ov, train)
+            cur_coords, cur_valid = oc, ov
+            grid = tuple(-(-g // 2) for g in grid)
+    return x, cur_coords, cur_valid, grid
+
+
 class SECOND(nn.Module):
     """Sparse middle extractor + BEV RPN head (PointPillars-compatible
     outputs: cls logits, box deltas, direction logits per anchor).
@@ -177,30 +211,8 @@ class SECOND(nn.Module):
         """
         cfg = self.cfg
         b = features.shape[0]
-        x, cur_coords, cur_valid = features, coords, valid
-        grid = cfg.grid
-
-        for s, ch in enumerate(cfg.stage_channels):
-            # submanifold layers on the current active set
-            nbr = jax.vmap(lambda c, v: build_neighbor_map(c, v, grid))(
-                cur_coords, cur_valid)
-            for _ in range(cfg.subm_per_stage):
-                x = _SpConv(ch, cfg.dtype, symmetric=True,
-                            name=f"subm{s}_{_}")(x, nbr, cur_valid, train)
-            if s + 1 < cfg.n_stages:
-                # strided sparse conv to the next stage's active set
-                cap = cfg.stage_sites[s + 1]
-                oc, ov = jax.vmap(
-                    lambda c, v: downsample_coords(c, v, grid, 2, cap)
-                )(cur_coords, cur_valid)
-                nbr_s = jax.vmap(
-                    lambda o, w, c, v: build_neighbor_map_strided(
-                        o, w, c, v, grid, 2)
-                )(oc, ov, cur_coords, cur_valid)
-                x = _SpConv(cfg.stage_channels[s + 1], cfg.dtype,
-                            name=f"down{s}")(x, nbr_s, ov, train)
-                cur_coords, cur_valid = oc, ov
-                grid = tuple(-(-g // 2) for g in grid)
+        x, cur_coords, cur_valid, _ = sparse_stage_loop(
+            cfg, features, coords, valid, train)
 
         # densify the final small stage and fold z into channels
         fg = cfg.final_grid

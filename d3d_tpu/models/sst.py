@@ -303,27 +303,29 @@ def pipeline_sst_trunk(variables, cfg: SSTConfig, mesh, pf_mb, coords_mb,
     from ..parallel.pipeline import pipeline_apply
 
     depth = cfg.depth
-    slots, invs, nwcaps = [], [], []
-    for d in range(depth):
+    # only TWO distinct tilings exist (shift alternates with d % 2):
+    # sort once per parity, stack per depth (the stacking is what makes
+    # the stage state shape-homogeneous across ranks)
+    par = []
+    for shift in (False, True):
         sl, iv = jax.vmap(jax.vmap(
             lambda cd, vl: window_slots(cd, vl, cfg.grid, cfg.window,
-                                        cfg.capacity, bool(d % 2))
+                                        cfg.capacity, shift)
         ))(coords_mb, valid_mb)
-        slots.append(sl)
-        invs.append(iv)
-        nwcaps.append(iv.shape[-1])
-    L = max(nwcaps)
+        par.append((sl, iv, iv.shape[-1]))
+    L = max(p[2] for p in par[:min(depth, 2)])
     p = pf_mb.shape[-2]
-    invs = [jnp.concatenate(
+    pad = lambda iv: jnp.concatenate(
         [iv, jnp.full(iv.shape[:-1] + (L - iv.shape[-1],), p, iv.dtype)],
-        axis=-1) for iv in invs]
+        axis=-1)
     state = dict(
         params=jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[variables["params"][f"block{d}"] for d in range(depth)]),
-        slot=jnp.stack(slots),                    # (depth, M, mb, P)
-        inv=jnp.stack(invs),                      # (depth, M, mb, L)
-        nwcap=jnp.asarray(nwcaps, jnp.int32),     # (depth,)
+        slot=jnp.stack([par[d % 2][0] for d in range(depth)]),
+        inv=jnp.stack([pad(par[d % 2][1]) for d in range(depth)]),
+        nwcap=jnp.asarray([par[d % 2][2] for d in range(depth)],
+                          jnp.int32),
     )
     block = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
                          moe_experts=cfg.moe_experts,
@@ -339,5 +341,15 @@ def pipeline_sst_trunk(variables, cfg: SSTConfig, mesh, pf_mb, coords_mb,
         tok = block.apply({"params": st["params"]}, tok, tmask)
         return detok_tokens(pf, tok, sl, st["nwcap"])
 
-    return pipeline_apply(stage, state, pf_mb, mesh,
-                          axis=axis, batch_axis=batch_axis)
+    from jax.sharding import PartitionSpec as P
+
+    # routing tables carry the microbatch dim (axis 2): shard it over
+    # the batch axis alongside the activations
+    specs = dict(
+        params=jax.tree.map(lambda _: P(axis), state["params"]),
+        slot=P(axis, None, batch_axis),
+        inv=P(axis, None, batch_axis),
+        nwcap=P(axis),
+    )
+    return pipeline_apply(stage, state, pf_mb, mesh, axis=axis,
+                          batch_axis=batch_axis, state_specs=specs)

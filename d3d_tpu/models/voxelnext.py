@@ -38,11 +38,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.sparse_conv import (build_neighbor_map,
-                               build_neighbor_map_strided,
-                               downsample_coords)
 from .centerpoint import _gaussian_radius
-from .second import _MaskedBN, _SpConv, second_voxelize
+from .second import (_MaskedBN, second_voxelize, sparse_stage_loop)
 
 __all__ = ["VoxelNeXtConfig", "VoxelNeXt", "compress_height",
            "assign_voxelnext_targets", "voxelnext_loss",
@@ -144,28 +141,8 @@ class VoxelNeXt(nn.Module):
     def __call__(self, features, coords, valid, train: bool = False):
         cfg = self.cfg
         dt = jnp.dtype(cfg.dtype)
-        x, cur_coords, cur_valid = features, coords, valid
-        grid = cfg.grid
-
-        for s, ch in enumerate(cfg.stage_channels):
-            nbr = jax.vmap(lambda c, v: build_neighbor_map(c, v, grid))(
-                cur_coords, cur_valid)
-            for i in range(cfg.subm_per_stage):
-                x = _SpConv(ch, cfg.dtype, symmetric=True,
-                            name=f"subm{s}_{i}")(x, nbr, cur_valid, train)
-            if s + 1 < cfg.n_stages:
-                cap = cfg.stage_sites[s + 1]
-                oc, ov = jax.vmap(
-                    lambda c, v: downsample_coords(c, v, grid, 2, cap)
-                )(cur_coords, cur_valid)
-                nbr_s = jax.vmap(
-                    lambda o, w, c, v: build_neighbor_map_strided(
-                        o, w, c, v, grid, 2)
-                )(oc, ov, cur_coords, cur_valid)
-                x = _SpConv(cfg.stage_channels[s + 1], cfg.dtype,
-                            name=f"down{s}")(x, nbr_s, ov, train)
-                cur_coords, cur_valid = oc, ov
-                grid = tuple(-(-g // 2) for g in grid)
+        x, cur_coords, cur_valid, _ = sparse_stage_loop(
+            cfg, features, coords, valid, train)
 
         bev_f, bev_xy, bev_valid = jax.vmap(
             lambda f, c, v: compress_height(f, c, v, cfg.bev_grid,
@@ -287,7 +264,6 @@ def decode_voxelnext(cfg: VoxelNeXtConfig, outputs):
     (+ (K, 2) velocities when ``cfg.predict_velocity``; one frame,
     callers mask on scores)."""
     vx, vy = cfg.bev_voxel
-    m2 = outputs["heatmap"].shape[0]
     scores_all = jax.nn.sigmoid(outputs["heatmap"])
     scores_all = scores_all * outputs["site_valid"][:, None]
     scores, idx = jax.lax.top_k(scores_all.reshape(-1), cfg.top_k)

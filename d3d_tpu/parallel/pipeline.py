@@ -63,7 +63,7 @@ def unmicrobatch(x):
 
 
 def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
-                   batch_axis=None):
+                   batch_axis=None, state_specs=None):
     """Run ``S = mesh.shape[axis]`` pipeline stages over ``M`` microbatches.
 
     :param stage_fn: ``(state_slice, x, mb_index) -> y`` with ``y`` shaped
@@ -79,7 +79,12 @@ def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
     :param xs: activation pytree with leading axes ``(M, mb, ...)``
         (see :func:`microbatch`); replicated over ``axis``.
     :param batch_axis: optional mesh axis name sharding the microbatch
-        dimension (``mb``) for combined dp x pp execution.
+        dimension (``mb``) for combined dp x pp execution. State leaves
+        carrying per-microbatch data (routing tables etc.) must then be
+        sharded over it too — pass ``state_specs``.
+    :param state_specs: optional pytree of ``PartitionSpec`` matching
+        ``stage_state`` (default ``P(axis)`` on the leading stage dim);
+        every spec must still shard dim 0 over ``axis``.
     :returns: outputs shaped like ``xs``, replicated over ``axis``.
     """
     S = mesh.shape[axis]
@@ -94,7 +99,14 @@ def pipeline_apply(stage_fn, stage_state, xs, mesh, axis="pp",
                 % (S, axis, leaf.shape[0], nstages))
     spr = nstages // S  # stages per rank, applied back-to-back per tick
     ba = batch_axis
-    state_spec = jax.tree.map(lambda _: P(axis), stage_state)
+    if state_specs is None:
+        state_spec = jax.tree.map(lambda _: P(axis), stage_state)
+    else:
+        state_spec = state_specs
+        for sp in jax.tree.leaves(
+                state_spec, is_leaf=lambda x: isinstance(x, P)):
+            assert sp and sp[0] == axis, (
+                "state_specs must shard dim 0 over the pipeline axis")
     x_spec = jax.tree.map(lambda _: P(None, ba), xs)
     leaves = jax.tree.leaves(xs)
     M = leaves[0].shape[0]

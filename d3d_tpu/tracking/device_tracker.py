@@ -171,6 +171,9 @@ def tracker_scan_sequence(state, boxes, scores, labels, vel, valid, dts,
         are stacked snapshots AFTER each frame (slot tables; fetch once
         and slice per frame for reports/evaluation)
     """
+    thresholds = jnp.asarray(thresholds, jnp.float32).reshape(-1)
+    lost_time = jnp.asarray(lost_time, jnp.float32)
+
     def step(st, frame):
         b, s, l, v, va, dt = frame
         st = tracker_update(st, b, s, l, v, va, dt, thresholds,

@@ -43,19 +43,24 @@ def make_optimizer(total_steps, base_lr=1e-3, schedule="onecycle",
         (decay-only) or ``"constant"``
     :param accumulate: microbatches per optimizer update; the returned
         optimizer's update only applies every ``accumulate``-th step
-        (gradients average in between)
+        (gradients average in between). ``total_steps`` stays counted in
+        TRAINING steps: the inner schedule runs over
+        ``total_steps // accumulate`` optimizer updates (MultiSteps only
+        advances it on applied updates), and the returned lr schedule is
+        training-step-indexed either way.
     :returns: ``(optimizer, lr_schedule)`` — the schedule is returned so
         metrics can log the current LR
     """
     import optax
 
+    upd_steps = max(total_steps // max(accumulate, 1), 1)
     if schedule == "onecycle":
         lr = optax.cosine_onecycle_schedule(
-            transition_steps=total_steps, peak_value=base_lr,
+            transition_steps=upd_steps, peak_value=base_lr,
             pct_start=warmup_frac, div_factor=10.0,
             final_div_factor=100.0)
     elif schedule == "cosine":
-        lr = optax.cosine_decay_schedule(base_lr, total_steps)
+        lr = optax.cosine_decay_schedule(base_lr, upd_steps)
     elif schedule == "constant":
         lr = optax.constant_schedule(base_lr)
     else:
@@ -66,6 +71,7 @@ def make_optimizer(total_steps, base_lr=1e-3, schedule="onecycle",
     )
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        return tx, (lambda step: lr(step // accumulate))
     return tx, lr
 
 

@@ -275,3 +275,30 @@ class TestPipelinedTrunk:
             microbatch(batch["coords"], 2), microbatch(batch["valid"], 2)))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-5)
+
+    def test_pipelined_trunk_dp_times_pp(self, rng):
+        """batch_axis='dp': the routing-table state shards its
+        microbatch dim alongside the activations (regression: the
+        tables used to stay full-size and shape-mismatch in the scan)."""
+        import dataclasses
+
+        from d3d_tpu.models.sst import pipeline_sst_trunk
+        from d3d_tpu.parallel.pipeline import (make_pp_mesh, microbatch,
+                                               unmicrobatch)
+
+        cfg = dataclasses.replace(TINY, depth=4)
+        batch = _batch(rng, b=4)
+        model = SST(cfg)
+        var = model.init(jax.random.PRNGKey(0), batch["features"],
+                         batch["coords"], batch["valid"])
+        args = (batch["features"], batch["coords"], batch["valid"])
+        pf0 = SST(cfg, stage="embed").apply(var, *args, train=False)
+        want = SST(cfg, stage="trunk").apply(var, *args, train=False)
+
+        mesh = make_pp_mesh(4, dp=2)
+        got = unmicrobatch(pipeline_sst_trunk(
+            var, cfg, mesh, microbatch(pf0, 2),
+            microbatch(batch["coords"], 2), microbatch(batch["valid"], 2),
+            batch_axis="dp"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-5)

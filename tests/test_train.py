@@ -290,3 +290,17 @@ class TestMakeOptimizer:
             w = optax.apply_updates(w, up)
         np.testing.assert_allclose(np.asarray(w), np.asarray(w_full),
                                    rtol=0, atol=1e-6)
+
+    def test_accumulated_schedule_completes(self):
+        """With accumulate=k the one-cycle must still complete over
+        total_steps TRAINING steps (MultiSteps advances the inner
+        schedule only on applied updates)."""
+        from d3d_tpu.train import make_optimizer
+
+        _, lr = make_optimizer(100, base_lr=1e-2, warmup_frac=0.4,
+                               accumulate=4)
+        vals = [float(lr(s)) for s in range(100)]
+        peak = int(np.argmax(vals))
+        assert abs(peak - 40) <= 4
+        assert max(vals) == pytest.approx(1e-2, rel=1e-6)
+        assert vals[-1] < 2e-3  # decayed by the END of training
