@@ -10,6 +10,8 @@ from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      group_instances, make_panoptic_predictor,
                      panoptic_loss, panoptic_targets, point_cell_coords,
                      segmentation_loss)
+from .mono3d import (Mono3D, Mono3DConfig, decode_mono3d,
+                     make_mono3d_detector)
 from .second import SECOND, SECONDConfig, second_voxelize
 from .voxelnext import (VoxelNeXt, VoxelNeXtConfig, voxelnext_voxelize,
                         decode_voxelnext)
@@ -33,6 +35,7 @@ __all__ = [
     "segmentation_loss", "panoptic_targets", "panoptic_loss",
     "group_instances", "make_panoptic_predictor",
     "SECOND", "SECONDConfig", "second_voxelize", "presets",
+    "Mono3D", "Mono3DConfig", "decode_mono3d", "make_mono3d_detector",
     "VoxelNeXt", "VoxelNeXtConfig", "voxelnext_voxelize",
     "decode_voxelnext", "make_voxelnext_detector",
     "SST", "SSTConfig", "window_slots",

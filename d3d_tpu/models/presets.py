@@ -19,6 +19,7 @@ from dataclasses import replace
 from .bevseg import BEVSegConfig
 from .centerpoint import CenterPointConfig
 from .pointpillars import PointPillarsConfig
+from .mono3d import Mono3DConfig
 from .second import SECONDConfig
 from .voxelnext import VoxelNeXtConfig
 from .sst import SSTConfig
@@ -26,7 +27,7 @@ from .sst import SSTConfig
 __all__ = ["pointpillars_kitti", "pointpillars_kitti_3class", "sst_kitti",
            "centerpoint_nuscenes", "centerpoint_nuscenes_10sweep",
            "centerpoint_waymo", "second_kitti", "bevseg_semantickitti",
-           "voxelnext_nuscenes"]
+           "voxelnext_nuscenes", "mono3d_kitti"]
 
 # KITTI car/pedestrian/cyclist anchor sizes (l, w, h) from the
 # PointPillars paper (Lang et al., CVPR 2019, Sec. 4.1)
@@ -101,6 +102,16 @@ def second_kitti(**overrides):
         stage_sites=(16000, 8000, 4000), subm_per_stage=2,
         head_channels=128, num_classes=1, anchor_sizes=(_KITTI_CAR,),
         dtype="bfloat16")
+    return replace(cfg, **overrides)
+
+
+def mono3d_kitti(**overrides):
+    """KITTI monocular 3D (SMOKE recipe): 384x1280 resized images,
+    stride-4 heads, car/ped/cyclist dimension priors."""
+    cfg = Mono3DConfig(
+        image_size=(384, 1280), stride=4,
+        backbone_channels=(32, 64, 128, 256), head_channels=64,
+        num_classes=3, top_k=50, dtype="bfloat16")
     return replace(cfg, **overrides)
 
 

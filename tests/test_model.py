@@ -326,7 +326,7 @@ class TestPresets:
                    presets.pointpillars_kitti_3class,
                    presets.centerpoint_nuscenes, presets.centerpoint_waymo,
                    presets.sst_kitti, presets.second_kitti,
-                   presets.voxelnext_nuscenes,
+                   presets.voxelnext_nuscenes, presets.mono3d_kitti,
                    presets.bevseg_semantickitti):
             cfg = fn()
             hash(cfg)  # jit-static usable
