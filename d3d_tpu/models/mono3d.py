@@ -33,7 +33,8 @@ from .centerpoint import _gaussian_radius
 
 __all__ = ["Mono3DConfig", "Mono3D", "assign_mono3d_targets",
            "mono3d_loss", "decode_mono3d", "make_train_step",
-           "mono3d_to_targets", "make_mono3d_detector"]
+           "mono3d_to_targets", "make_mono3d_detector",
+           "mono3d_gt_from_targets"]
 
 
 @dataclass(frozen=True)
@@ -371,3 +372,43 @@ def make_mono3d_detector(model, variables, cfg: Mono3DConfig, classes,
 
     detect.device_fn = device  # exportable pipeline (d3d_tpu.export)
     return detect
+
+
+def mono3d_gt_from_targets(targets, cam_to_velo=None):
+    """Velo-frame ``Target3DArray`` ground truth -> (M, 7) camera-frame
+    [x, y, z, l, w, h, ry] bottom-center boxes + (M,) int labels — the
+    training-data path from the dataset loaders (which emit velo-frame
+    objects) into :func:`assign_mono3d_targets`. Exact inverse of
+    :func:`mono3d_to_targets` (roundtrip-tested against the KITTI
+    loader's convention).
+
+    :param cam_to_velo: ``(rrect, hr, ht)`` calib trio; None = targets
+        already in the camera frame's convention
+    """
+    from scipy.spatial.transform import Rotation
+
+    n = len(targets)
+    boxes = np.zeros((n, 7), np.float32)
+    labels = np.zeros(n, np.int64)
+    if not n:
+        return boxes, labels
+    cols = targets.columns()
+    pos = cols["position"].astype(np.float64)
+    base = Rotation.identity()
+    if cam_to_velo is not None:
+        rrect, hr, ht = cam_to_velo
+        pos = pos @ hr.as_matrix().T + ht
+        pos = pos @ rrect.as_matrix().T
+        base = hr.inv() * rrect.inv()
+    rot = Rotation.from_quat(cols["quat"].astype(np.float64))
+    # orientation = base * R_y(ry) * R_x(pi/2)  =>  recover ry
+    ry_rot = base.inv() * rot * Rotation.from_euler("x", -np.pi / 2)
+    ry = ry_rot.as_euler("yxz")[..., 0]
+    dims = cols["dimension"]
+    boxes[:, 0] = pos[:, 0]
+    boxes[:, 1] = pos[:, 1] + dims[:, 2] / 2     # center -> bottom
+    boxes[:, 2] = pos[:, 2]
+    boxes[:, 3:6] = dims
+    boxes[:, 6] = ry
+    labels[:] = cols["label"]
+    return boxes, labels

@@ -186,3 +186,39 @@ class TestModel:
         for o in out:
             assert np.isfinite(o.position).all()
             assert o.position[2] > 0  # in front of the camera
+
+
+def test_loader_gt_roundtrip(rng, tmp_path):
+    """KITTI loader velo gt -> camera training boxes -> back to velo
+    targets must reproduce the loader's objects exactly (the full
+    training-data loop through the real calib chain)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import kitti_fixture as fx
+
+    from d3d_tpu.dataset.kitti.object import KittiObjectLoader, _cam_to_velo
+    from d3d_tpu.models.mono3d import (mono3d_gt_from_targets,
+                                       mono3d_to_targets)
+
+    fx.build_unzipped(tmp_path, nframes=2)
+    loader = KittiObjectLoader(tmp_path, trainval_split=1.0)
+    arr = loader.annotation_3dobject(0)
+    assert len(arr) >= 1
+    raw = loader.calibration_data(0, raw=True)
+    trio = _cam_to_velo(raw)
+
+    boxes, labels = mono3d_gt_from_targets(arr, cam_to_velo=trio)
+    classes = sorted({o.tag_top for o in arr}, key=lambda c: c.value)
+    lut = {int(c.value): i for i, c in enumerate(classes)}
+    back = mono3d_to_targets(
+        boxes, np.ones(len(arr)), np.asarray(
+            [lut[int(l)] for l in labels], np.int32),
+        classes, cam_to_velo=trio, frame="velo", score_threshold=0.0)
+    assert len(back) == len(arr)
+    for a, b in zip(arr, back):
+        np.testing.assert_allclose(b.position, a.position, atol=1e-5)
+        np.testing.assert_allclose(b.dimension, a.dimension, atol=1e-5)
+        d = (a.orientation.inv() * b.orientation).magnitude()
+        # ry only captures the yaw-about-camera-y part; the fixture's
+        # objects are yaw-only, so the full orientation must return
+        assert float(d) < 1e-5
