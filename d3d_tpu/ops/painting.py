@@ -1,0 +1,74 @@
+"""PointPainting: camera -> lidar feature fusion.
+
+Vora et al., "PointPainting: Sequential Fusion for 3D Object Detection"
+(CVPR 2020, arXiv:1911.10150): project every lidar point into a camera
+feature map (typically per-class semantic scores) and append the
+bilinearly-sampled features to the point's channels; the painted cloud
+then feeds ANY lidar detector unchanged. d3d_tpu's voxelizers carry
+arbitrary point-feature columns (``pillarize``/``second_voxelize`` keep
+all F input channels and the PFN is a Dense layer), so painting composes
+with every lidar family in :mod:`d3d_tpu.models` with zero model
+changes.
+
+TPU shape: one jitted program — a (3, 3)/(4, 4) matmul, an elementwise
+projection, and four clamped gathers for the bilinear sample. No host
+round-trip between the camera net and the lidar net when both run on
+device.
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["paint_points", "bilinear_sample"]
+
+
+@jax.jit
+def bilinear_sample(image, u, v, valid=None, fill=0.0):
+    """Bilinearly sample ``image`` (H, W, C) at pixel coordinates
+    (u = column, v = row); out-of-bounds or ``~valid`` samples return
+    ``fill``. Border-clamped gathers, mask applied after."""
+    h, w = image.shape[0], image.shape[1]
+    inb = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)
+    if valid is not None:
+        inb = inb & valid
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    fu = (u - u0.astype(u.dtype))[:, None]
+    fv = (v - v0.astype(v.dtype))[:, None]
+    s = (image[v0, u0] * (1 - fu) * (1 - fv)
+         + image[v0, u1] * fu * (1 - fv)
+         + image[v1, u0] * (1 - fu) * fv
+         + image[v1, u1] * fu * fv)
+    return jnp.where(inb[:, None], s, jnp.asarray(fill, s.dtype))
+
+
+@jax.jit
+def paint_points(points, image_feats, intrinsics, extrinsic=None,
+                 fill=0.0):
+    """Append camera-plane features to every point (PointPainting).
+
+    :param points: (N, F) cloud, xyz first (lidar frame — or already
+        camera frame when ``extrinsic`` is None)
+    :param image_feats: (H, W, C) feature map in the camera plane
+        (semantic scores, heatmaps, learned features)
+    :param intrinsics: (3, 3) camera matrix
+    :param extrinsic: optional (4, 4) lidar->camera homogeneous
+        transform
+    :param fill: feature value for points behind the camera or
+        projecting outside the image
+    :returns: (N, F + C) painted cloud
+    """
+    xyz = points[:, :3]
+    if extrinsic is not None:
+        xyz = xyz @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    z = xyz[:, 2]
+    ahead = z > 1e-3
+    zs = jnp.where(ahead, z, 1.0)
+    u = intrinsics[0, 0] * xyz[:, 0] / zs + intrinsics[0, 2]
+    v = intrinsics[1, 1] * xyz[:, 1] / zs + intrinsics[1, 2]
+    feats = bilinear_sample(image_feats, u, v, valid=ahead, fill=fill)
+    return jnp.concatenate([points, feats.astype(points.dtype)], axis=-1)

@@ -1,0 +1,82 @@
+"""PointPainting fusion: bilinear oracle vs scipy, projection gating,
+and the painted cloud flowing through PointPillars unchanged."""
+
+import numpy as np
+from scipy.ndimage import map_coordinates
+
+import jax
+import jax.numpy as jnp
+
+from d3d_tpu.ops.painting import bilinear_sample, paint_points
+
+
+class TestBilinear:
+    def test_matches_scipy_oracle(self, rng):
+        img = rng.normal(size=(12, 17, 3)).astype(np.float32)
+        u = rng.uniform(0, 16, 40).astype(np.float32)
+        v = rng.uniform(0, 11, 40).astype(np.float32)
+        got = np.asarray(bilinear_sample(
+            jnp.asarray(img), jnp.asarray(u), jnp.asarray(v)))
+        for c in range(3):
+            want = map_coordinates(img[:, :, c], [v, u], order=1)
+            np.testing.assert_allclose(got[:, c], want, rtol=0, atol=1e-5)
+
+    def test_out_of_bounds_fill(self, rng):
+        img = jnp.ones((8, 8, 2), jnp.float32)
+        u = jnp.asarray([-1.0, 3.0, 9.0], jnp.float32)
+        v = jnp.asarray([4.0, 4.0, 4.0], jnp.float32)
+        out = np.asarray(bilinear_sample(img, u, v, fill=-5.0))
+        np.testing.assert_array_equal(out[0], [-5.0, -5.0])
+        np.testing.assert_array_equal(out[1], [1.0, 1.0])
+        np.testing.assert_array_equal(out[2], [-5.0, -5.0])
+
+
+class TestPainting:
+    K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]],
+                 np.float32)
+
+    def test_projection_and_gating(self, rng):
+        # one point straight ahead -> principal point; one behind -> fill
+        pts = np.array([[0.0, 0.0, 10.0, 0.5],
+                        [0.0, 0.0, -5.0, 0.5]], np.float32)
+        img = rng.normal(size=(48, 64, 4)).astype(np.float32)
+        out = np.asarray(paint_points(
+            jnp.asarray(pts), jnp.asarray(img), jnp.asarray(self.K),
+            fill=0.0))
+        assert out.shape == (2, 8)
+        np.testing.assert_allclose(out[0, 4:], img[24, 32], atol=1e-5)
+        np.testing.assert_array_equal(out[1, 4:], 0.0)
+
+    def test_extrinsic_transform(self, rng):
+        # lidar FLU -> camera RDF (x_c = -y_l, y_c = -z_l, z_c = x_l)
+        ext = np.zeros((4, 4), np.float32)
+        ext[0, 1] = -1.0
+        ext[1, 2] = -1.0
+        ext[2, 0] = 1.0
+        ext[3, 3] = 1.0
+        pts = np.array([[10.0, 0.0, 0.0, 1.0]], np.float32)  # ahead
+        img = rng.normal(size=(48, 64, 2)).astype(np.float32)
+        out = np.asarray(paint_points(
+            jnp.asarray(pts), jnp.asarray(img), jnp.asarray(self.K),
+            extrinsic=jnp.asarray(ext)))
+        np.testing.assert_allclose(out[0, 4:], img[24, 32], atol=1e-5)
+
+    def test_painted_cloud_through_pointpillars(self, rng):
+        """The painted (N, 4 + C) cloud runs through pillarize + the
+        model with no config/model changes (the PFN is a Dense)."""
+        from tests.test_model import TINY
+        from d3d_tpu.models import PointPillars, pillarize
+
+        pts = np.stack([rng.random(512) * 16, rng.random(512) * 16 - 8,
+                        rng.random(512) * 4 - 3, rng.random(512)],
+                       axis=1).astype(np.float32)
+        img = rng.random((48, 64, 3)).astype(np.float32)
+        painted = paint_points(jnp.asarray(pts), jnp.asarray(img),
+                               jnp.asarray(self.K))
+        assert painted.shape == (512, 7)
+        f, c, v = pillarize(painted, TINY)
+        assert f.shape[-1] == 7 + 5  # features + decorations
+        model = PointPillars(TINY)
+        var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+        cls, box, dirs = model.apply(var, f[None], c[None], v[None])
+        assert np.isfinite(np.asarray(cls)).all()
