@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["global_augment", "perobject_augment", "build_gt_database",
+           "flip_camera_frame",
            "sample_ground_truths", "class_balanced_frame_indices"]
 
 
@@ -254,3 +255,31 @@ def sample_ground_truths(rng, db, points, gt_boxes, gt_labels,
     return (np.asarray(points, np.float32),
             np.stack(cur_boxes) if cur_boxes else np.zeros((0, 7), np.float32),
             np.asarray(cur_labels))
+
+
+def flip_camera_frame(image, intrinsics, gt_boxes, gt_mask=None):
+    """Horizontal-mirror augmentation for camera 3D detection (the one
+    safe geometric augmentation for monocular depth — rotations and
+    crops break the projective geometry the network must learn).
+
+    Mirrors the image columns, reflects the principal point
+    (``cx' = W - 1 - cx``), negates camera-frame x and reflects the
+    yaw about the camera y axis (``ry' = pi - ry``, wrapped) — so
+    ``assign_mono3d_targets`` on the flipped triple produces exactly
+    the mirrored supervision.
+
+    :param image: (H, W, 3); ``intrinsics`` (3, 3); ``gt_boxes`` (M, 7)
+        camera-frame [x, y, z, l, w, h, ry]
+    :returns: (image', intrinsics', gt_boxes')
+    """
+    import jax.numpy as jnp
+
+    w = image.shape[1]
+    img = image[:, ::-1]
+    k = jnp.asarray(intrinsics)
+    k = k.at[0, 2].set(w - 1.0 - k[0, 2])
+    b = jnp.asarray(gt_boxes)
+    ry = jnp.pi - b[:, 6]
+    ry = jnp.where(ry > jnp.pi, ry - 2 * jnp.pi, ry)
+    b = b.at[:, 0].set(-b[:, 0]).at[:, 6].set(ry)
+    return img, k, b

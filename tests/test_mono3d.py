@@ -222,3 +222,40 @@ def test_loader_gt_roundtrip(rng, tmp_path):
         # ry only captures the yaw-about-camera-y part; the fixture's
         # objects are yaw-only, so the full orientation must return
         assert float(d) < 1e-5
+
+
+def test_flip_augmentation_mirrors_targets(rng):
+    """assign_mono3d_targets on the flipped (image, K, boxes) must place
+    centers at mirrored cells with identical depth/dim targets."""
+    from d3d_tpu.augment import flip_camera_frame
+
+    gt = _gt_cam(rng, 3)
+    img = rng.random((96, 128, 3)).astype(np.float32)
+    t0 = assign_mono3d_targets(TINY, jnp.asarray(K), jnp.asarray(gt),
+                               jnp.zeros(3, jnp.int32), jnp.ones(3, bool))
+    img2, k2, gt2 = flip_camera_frame(img, K, gt)
+    t1 = assign_mono3d_targets(TINY, k2, gt2, jnp.zeros(3, jnp.int32),
+                               jnp.ones(3, bool))
+    assert bool(np.asarray(t1["mask"]).all())
+    # image mirrored
+    np.testing.assert_array_equal(np.asarray(img2), img[:, ::-1])
+    # the projected center pixel mirrors EXACTLY in continuous coords
+    # (cells quantize by floor, so compare cell*stride + offset)
+    w_img = img.shape[1]
+    for m in range(3):
+        c0, c1 = int(t0["cell"][m]), int(t1["cell"][m])
+        u0 = (c0 % TINY.out_size[1] + float(t0["vec"][m, 0])) * TINY.stride
+        u1 = (c1 % TINY.out_size[1] + float(t1["vec"][m, 0])) * TINY.stride
+        np.testing.assert_allclose(u1, (w_img - 1) - u0, atol=1e-3)
+        # same row
+        assert c0 // TINY.out_size[1] == c1 // TINY.out_size[1]
+    # depth and dimension targets unchanged; flip twice = identity
+    np.testing.assert_allclose(np.asarray(t1["vec"])[:, 2:6],
+                               np.asarray(t0["vec"])[:, 2:6], atol=1e-6)
+    img3, k3, gt3 = flip_camera_frame(img2, k2, gt2)
+    np.testing.assert_array_equal(np.asarray(img3), img)
+    np.testing.assert_allclose(np.asarray(k3), K, atol=1e-6)
+    d = np.angle(np.exp(1j * (np.asarray(gt3)[:, 6] - gt[:, 6])))
+    np.testing.assert_allclose(np.asarray(gt3)[:, :6], gt[:, :6],
+                               atol=1e-6)
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
