@@ -36,6 +36,8 @@ def export_detector(device_fn, example_points, platforms=None, meta=None):
         ``make_*_detector`` factories build — weights are closed over and
         get baked into the artifact as constants)
     :param example_points: example (N, F) input fixing the traced shape
+        — or a TUPLE of example inputs for multi-input pipelines (e.g.
+        Mono3D's ``(image, intrinsics)``)
     :param platforms: optional lowering platforms tuple, e.g.
         ``("tpu",)`` or ``("cpu", "tpu")``; defaults to the current
         backend
@@ -47,9 +49,11 @@ def export_detector(device_fn, example_points, platforms=None, meta=None):
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
-    exp = jax_export.export(fn, **kw)(
-        jax.ShapeDtypeStruct(np.shape(example_points),
-                             np.asarray(example_points).dtype))
+    args = (example_points if isinstance(example_points, tuple)
+            else (example_points,))
+    sds = tuple(jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype)
+                for a in args)
+    exp = jax_export.export(fn, **kw)(*sds)
     return ExportedDetector(exp, dict(meta or {}))
 
 
@@ -68,8 +72,8 @@ class ExportedDetector:
     def platforms(self):
         return tuple(self._exported.platforms)
 
-    def __call__(self, points):
-        return self._exported.call(points)
+    def __call__(self, *inputs):
+        return self._exported.call(*inputs)
 
     def save(self, path):
         """Write a self-contained artifact: zip(meta.json, StableHLO)."""

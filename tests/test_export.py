@@ -83,3 +83,53 @@ def test_export_wrong_shape_raises(tiny_detector, tmp_path):
     loaded = load_detector(art)
     with pytest.raises(ValueError):
         loaded(jnp.zeros((pts.shape[0] + 1, 4), jnp.float32))
+
+
+def test_export_multi_input_mono3d(tmp_path, rng):
+    """Multi-input pipelines (Mono3D's (image, intrinsics)) export and
+    reload through the same artifact path."""
+    from tests.test_mono3d import K, TINY as MCFG
+    from d3d_tpu.export import load_detector, save_detector
+    from d3d_tpu.models import Mono3D, make_mono3d_detector
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+    model = Mono3D(MCFG)
+    img = jnp.asarray(rng.random((1, 96, 128, 3)), jnp.float32)
+    var = model.init(jax.random.PRNGKey(0), img)
+    det = make_mono3d_detector(model, var, MCFG,
+                               [KittiObjectClass.Car,
+                                KittiObjectClass.Pedestrian])
+    kj = jnp.asarray(K)
+    want = det.device_fn(img[0], kj)
+    path = tmp_path / "mono3d.zip"
+    save_detector(det.device_fn, (img[0], kj), path,
+                  meta={"family": "mono3d"})
+    re = load_detector(path)
+    assert re.meta["family"] == "mono3d"
+    got = re(img[0], kj)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+
+
+def test_export_voxelnext(tmp_path, rng):
+    from tests.test_voxelnext import TINY as VCFG, _cloud
+    from d3d_tpu.export import load_detector, save_detector
+    from d3d_tpu.models import (VoxelNeXt, make_voxelnext_detector,
+                                voxelnext_voxelize)
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+    pts = _cloud(rng)
+    f, c, v = voxelnext_voxelize(jnp.asarray(pts), VCFG)
+    model = VoxelNeXt(VCFG)
+    var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+    det = make_voxelnext_detector(
+        model, var, VCFG,
+        [KittiObjectClass.Car, KittiObjectClass.Pedestrian])
+    want = det.device_fn(jnp.asarray(pts))
+    path = tmp_path / "vnext.zip"
+    save_detector(det.device_fn, pts, path)
+    got = load_detector(path)(jnp.asarray(pts))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)

@@ -119,3 +119,27 @@ def test_second_quantized_inference(rng):
         score_threshold=0.0, top_k=8)
     out = det(pts)
     assert len(out) <= 8
+
+
+def test_voxelnext_quantized_inference(rng):
+    """Weight-only int8 works family-agnostically: VoxelNeXt's sparse
+    conv + Dense head kernels quantize and the detector still runs."""
+    from tests.test_voxelnext import TINY as VCFG, _cloud
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+    from d3d_tpu.models import (VoxelNeXt, make_voxelnext_detector,
+                                voxelnext_voxelize)
+
+    pts = _cloud(rng)
+    f, c, v = voxelnext_voxelize(jnp.asarray(pts), VCFG)
+    model = VoxelNeXt(VCFG)
+    var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+    q = quantize_params(var["params"])
+    assert quantized_bytes(q) < 0.35 * quantized_bytes(var["params"])
+    dq = dequantize_params(q)
+    det = make_voxelnext_detector(
+        model, {"params": dq, "batch_stats": var["batch_stats"]}, VCFG,
+        [KittiObjectClass.Car, KittiObjectClass.Pedestrian],
+        score_threshold=0.0)
+    out = det(pts)
+    for o in out:
+        assert np.isfinite(o.position).all()
