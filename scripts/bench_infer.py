@@ -127,6 +127,103 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
     return ms
 
 
+def bench_voxelnext(rng, reps, probes, quick, dtype="bfloat16"):
+    """The fully-sparse serving pipeline (no dense canvas)."""
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+    from d3d_tpu.models import (VoxelNeXt, VoxelNeXtConfig,
+                                make_voxelnext_detector,
+                                voxelnext_voxelize)
+
+    cfg = VoxelNeXtConfig(dtype=dtype) if not quick else VoxelNeXtConfig(
+        bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32, 8),
+        max_voxels=512, stage_channels=(8, 16, 32),
+        stage_sites=(512, 256, 128), subm_per_stage=1, bev_sites=128,
+        head_channels=16, top_k=16, dtype=dtype)
+    pts = make_cloud(rng, cfg, 120_000 if not quick else 8_192)
+    f, c, v = voxelnext_voxelize(jnp.asarray(pts), cfg)
+    model = VoxelNeXt(cfg)
+    variables = model.init(jax.random.PRNGKey(0), f[None], c[None],
+                           v[None], train=False)
+    detect = make_voxelnext_detector(model, variables, cfg,
+                                     [KittiObjectClass.Car],
+                                     score_threshold=0.3)
+    pipeline = detect.device_fn
+
+    @jax.jit
+    def looped(points):
+        def body(_, carry):
+            chk, = carry
+            boxes, scores, labels, keep = pipeline(points + chk * 1e-20)
+            chk = (jnp.sum(boxes[:4, 0].astype(jnp.float32))
+                   + jnp.sum(scores[:4].astype(jnp.float32))
+                   + jnp.sum(keep[:8])).astype(points.dtype)
+            return (chk,)
+
+        return lax.fori_loop(0, reps, body, (jnp.float32(0),))
+
+    copies = [jnp.asarray(pts) + np.float32(i) * 1e-6
+              for i in range(probes + 1)]
+    ms = time_device(looped, [(c,) for c in copies], reps) * 1e3
+    print(f"voxelnext dtype={dtype}: {ms:8.3f} ms/frame device "
+          f"(fully sparse)")
+    return ms
+
+
+def bench_fused_tracking(rng, reps, probes, quick):
+    """Detector + device tracker as ONE program per frame."""
+    from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+    from d3d_tpu.models import pillarize
+    from d3d_tpu.models.centerpoint import CenterPoint, CenterPointConfig
+    from d3d_tpu.models.inference import make_centerpoint_detector
+    from d3d_tpu.models.pointpillars import PointPillarsConfig
+    from d3d_tpu.tracking.device_tracker import make_tracking_step
+
+    cfg = CenterPointConfig(
+        bounds=(0.0, 69.12, -39.68, 39.68, -3.0, 1.0),
+        grid=(432, 496) if not quick else (64, 64),
+        max_pillars=12000 if not quick else 512,
+        max_points_per_pillar=32 if not quick else 16,
+        pfn_features=64 if not quick else 32,
+        backbone_channels=(64, 128) if not quick else (32, 64),
+        backbone_blocks=(2, 2) if not quick else (1, 1),
+        upsample_channels=64 if not quick else 32,
+        head_channels=64 if not quick else 16, window=9,
+        top_k=100 if not quick else 16,
+        predict_velocity=True, dtype="bfloat16")
+    pcfg = PointPillarsConfig(
+        bounds=cfg.bounds, grid=cfg.grid, max_pillars=cfg.max_pillars,
+        max_points_per_pillar=cfg.max_points_per_pillar,
+        pfn_features=cfg.pfn_features, dtype=cfg.dtype)
+    pts = make_cloud(rng, cfg, 120_000 if not quick else 8_192)
+    f, c, v = pillarize(jnp.asarray(pts), pcfg)
+    model = CenterPoint(cfg)
+    variables = model.init(jax.random.PRNGKey(0), f[None], c[None],
+                           v[None])
+    det = make_centerpoint_detector(model, variables, cfg, pcfg,
+                                    [KittiObjectClass.Car],
+                                    score_threshold=0.3)
+    step = make_tracking_step(det.device_fn, thresholds=[2.0])
+    state0 = step.init()
+
+    @jax.jit
+    def looped(points, state):
+        def body(_, carry):
+            st, chk = carry
+            st, out = step(st, points + chk * 1e-20, jnp.float32(0.1))
+            chk = jnp.sum(st["boxes"][:4, 0]).astype(jnp.float32)
+            return (st, chk)
+
+        st, chk = lax.fori_loop(0, reps, body, (state, jnp.float32(0)))
+        return chk
+
+    copies = [(jnp.asarray(pts) + np.float32(i) * 1e-6, state0)
+              for i in range(probes + 1)]
+    ms = time_device(looped, copies, reps) * 1e3
+    print(f"centerpoint+tracker fused: {ms:8.3f} ms/frame device "
+          f"(detect+associate, zero host hops)")
+    return ms
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=32)
@@ -150,6 +247,8 @@ def main():
         bench_pointpillars(rng, args.reps, args.probes, args.quick, **kw)
     bench_pointpillars(rng, args.reps, args.probes, args.quick,
                        dtype="bfloat16", family="sst")
+    bench_voxelnext(rng, args.reps, args.probes, args.quick)
+    bench_fused_tracking(rng, args.reps, args.probes, args.quick)
     print(f"baseline f32: {base:.3f} ms/frame")
 
 
