@@ -60,3 +60,15 @@ def test_serve_tracking_example(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "frame   2:" in out
     assert "export roundtrip:" in out
+
+
+def test_train_mono3d_example(monkeypatch, capsys):
+    """examples/train_mono3d.py: the camera training loop runs end to
+    end (smoke steps) and reports the center-distance AP."""
+    monkeypatch.syspath_prepend(str(EXAMPLES))
+    monkeypatch.setattr(sys, "argv", ["train_mono3d.py", "--steps", "3"])
+    import train_mono3d as demo
+
+    demo.main()
+    out = capsys.readouterr().out
+    assert "AP@4m center distance" in out
