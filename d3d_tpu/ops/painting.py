@@ -19,7 +19,7 @@ device.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["paint_points", "bilinear_sample"]
+__all__ = ["paint_points", "paint_points_multi", "bilinear_sample"]
 
 
 @jax.jit
@@ -72,3 +72,42 @@ def paint_points(points, image_feats, intrinsics, extrinsic=None,
     v = intrinsics[1, 1] * xyz[:, 1] / zs + intrinsics[1, 2]
     feats = bilinear_sample(image_feats, u, v, valid=ahead, fill=fill)
     return jnp.concatenate([points, feats.astype(points.dtype)], axis=-1)
+
+
+@jax.jit
+def paint_points_multi(points, image_feats, intrinsics, extrinsics,
+                       fill=0.0):
+    """Paint from a CAMERA RIG (e.g. nuScenes' six cameras): each point
+    takes its features from the first camera (in stacking order) that
+    sees it in front of the lens and inside the image; points no camera
+    sees get ``fill``. One vmapped program — per-camera projections run
+    as a batched matmul + gather.
+
+    :param image_feats: (Ncam, H, W, C) per-camera feature maps
+    :param intrinsics: (Ncam, 3, 3); ``extrinsics`` (Ncam, 4, 4)
+        lidar->camera transforms
+    :returns: (N, F + C) painted cloud
+    """
+    xyz = points[:, :3]
+
+    def one(feats, k, ext):
+        p = xyz @ ext[:3, :3].T + ext[:3, 3]
+        z = p[:, 2]
+        ahead = z > 1e-3
+        zs = jnp.where(ahead, z, 1.0)
+        u = k[0, 0] * p[:, 0] / zs + k[0, 2]
+        v = k[1, 1] * p[:, 1] / zs + k[1, 2]
+        h, w = feats.shape[0], feats.shape[1]
+        seen = ahead & (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)
+        return bilinear_sample(feats, u, v, valid=ahead, fill=fill), seen
+
+    feats, seen = jax.vmap(one)(image_feats, intrinsics, extrinsics)
+    # first seeing camera wins; unseen points -> fill
+    first = jnp.argmax(seen, axis=0)                      # (N,)
+    any_seen = jnp.any(seen, axis=0)
+    chosen = jnp.take_along_axis(
+        feats, first[None, :, None], axis=0)[0]           # (N, C)
+    chosen = jnp.where(any_seen[:, None], chosen,
+                       jnp.asarray(fill, chosen.dtype))
+    return jnp.concatenate([points, chosen.astype(points.dtype)],
+                           axis=-1)

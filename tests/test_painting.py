@@ -80,3 +80,47 @@ class TestPainting:
         var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
         cls, box, dirs = model.apply(var, f[None], c[None], v[None])
         assert np.isfinite(np.asarray(cls)).all()
+
+
+class TestMultiCamera:
+    def test_first_seeing_camera_wins(self, rng):
+        """Two opposite-facing cameras: each point painted by the one
+        that sees it; a sideways point by neither -> fill."""
+        K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]],
+                     np.float32)
+        from d3d_tpu.ops.painting import paint_points_multi
+
+        fwd = np.eye(4, dtype=np.float32)        # cam z = world z
+        back = np.eye(4, dtype=np.float32)       # looks along -z
+        back[0, 0] = -1.0
+        back[2, 2] = -1.0
+        img0 = np.full((48, 64, 2), 1.0, np.float32)
+        img1 = np.full((48, 64, 2), 2.0, np.float32)
+        pts = np.array([[0.0, 0.0, 10.0, 0.1],   # ahead of cam0
+                        [0.0, 0.0, -10.0, 0.1],  # ahead of cam1
+                        [100.0, 0.0, 0.0, 0.1]], np.float32)  # neither
+        out = np.asarray(paint_points_multi(
+            jnp.asarray(pts), jnp.asarray(np.stack([img0, img1])),
+            jnp.asarray(np.stack([K, K])),
+            jnp.asarray(np.stack([fwd, back])), fill=-1.0))
+        np.testing.assert_array_equal(out[0, 4:], [1.0, 1.0])
+        np.testing.assert_array_equal(out[1, 4:], [2.0, 2.0])
+        np.testing.assert_array_equal(out[2, 4:], [-1.0, -1.0])
+
+    def test_matches_single_camera(self, rng):
+        from d3d_tpu.ops.painting import paint_points, paint_points_multi
+
+        K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]],
+                     np.float32)
+        ext = np.eye(4, dtype=np.float32)
+        img = rng.normal(size=(48, 64, 3)).astype(np.float32)
+        pts = np.stack([rng.uniform(-5, 5, 64), rng.uniform(-4, 4, 64),
+                        rng.uniform(2, 30, 64), rng.random(64)],
+                       axis=1).astype(np.float32)
+        a = np.asarray(paint_points(jnp.asarray(pts), jnp.asarray(img),
+                                    jnp.asarray(K),
+                                    extrinsic=jnp.asarray(ext)))
+        b = np.asarray(paint_points_multi(
+            jnp.asarray(pts), jnp.asarray(img)[None],
+            jnp.asarray(K)[None], jnp.asarray(ext)[None]))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-6)
