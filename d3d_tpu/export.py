@@ -49,7 +49,8 @@ def export_detector(device_fn, example_points, platforms=None, meta=None):
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
-    args = (example_points if isinstance(example_points, tuple)
+    args = (tuple(example_points)
+            if isinstance(example_points, (tuple, list))
             else (example_points,))
     sds = tuple(jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype)
                 for a in args)
@@ -66,7 +67,14 @@ class ExportedDetector:
 
     @property
     def input_shape(self):
+        """Shape of the FIRST input (the points/image tensor); see
+        :attr:`input_shapes` for multi-input pipelines."""
         return tuple(self._exported.in_avals[0].shape)
+
+    @property
+    def input_shapes(self):
+        """Shapes of every input, in call order."""
+        return tuple(tuple(a.shape) for a in self._exported.in_avals)
 
     @property
     def platforms(self):

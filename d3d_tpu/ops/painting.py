@@ -22,6 +22,19 @@ import jax.numpy as jnp
 __all__ = ["paint_points", "paint_points_multi", "bilinear_sample"]
 
 
+def _project(xyz, intrinsics, extrinsic=None):
+    """Pinhole projection shared by the single- and multi-camera
+    painters: returns (u, v, ahead) with behind-lens rows guarded."""
+    if extrinsic is not None:
+        xyz = xyz @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    z = xyz[:, 2]
+    ahead = z > 1e-3
+    zs = jnp.where(ahead, z, 1.0)
+    u = intrinsics[0, 0] * xyz[:, 0] / zs + intrinsics[0, 2]
+    v = intrinsics[1, 1] * xyz[:, 1] / zs + intrinsics[1, 2]
+    return u, v, ahead
+
+
 @jax.jit
 def bilinear_sample(image, u, v, valid=None, fill=0.0):
     """Bilinearly sample ``image`` (H, W, C) at pixel coordinates
@@ -62,14 +75,7 @@ def paint_points(points, image_feats, intrinsics, extrinsic=None,
         projecting outside the image
     :returns: (N, F + C) painted cloud
     """
-    xyz = points[:, :3]
-    if extrinsic is not None:
-        xyz = xyz @ extrinsic[:3, :3].T + extrinsic[:3, 3]
-    z = xyz[:, 2]
-    ahead = z > 1e-3
-    zs = jnp.where(ahead, z, 1.0)
-    u = intrinsics[0, 0] * xyz[:, 0] / zs + intrinsics[0, 2]
-    v = intrinsics[1, 1] * xyz[:, 1] / zs + intrinsics[1, 2]
+    u, v, ahead = _project(points[:, :3], intrinsics, extrinsic)
     feats = bilinear_sample(image_feats, u, v, valid=ahead, fill=fill)
     return jnp.concatenate([points, feats.astype(points.dtype)], axis=-1)
 
@@ -91,12 +97,7 @@ def paint_points_multi(points, image_feats, intrinsics, extrinsics,
     xyz = points[:, :3]
 
     def one(feats, k, ext):
-        p = xyz @ ext[:3, :3].T + ext[:3, 3]
-        z = p[:, 2]
-        ahead = z > 1e-3
-        zs = jnp.where(ahead, z, 1.0)
-        u = k[0, 0] * p[:, 0] / zs + k[0, 2]
-        v = k[1, 1] * p[:, 1] / zs + k[1, 2]
+        u, v, ahead = _project(xyz, k, ext)
         h, w = feats.shape[0], feats.shape[1]
         seen = ahead & (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)
         return bilinear_sample(feats, u, v, valid=ahead, fill=fill), seen

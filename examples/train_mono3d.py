@@ -85,11 +85,12 @@ def main():
             imgs.append(img)
             ks.append(k)
             gts.append(gt)
+        m = gts[0].shape[0]
         return dict(images=jnp.asarray(np.stack(imgs)),
                     intrinsics=jnp.asarray(np.stack(ks)),
                     gt_boxes=jnp.asarray(np.stack(gts)),
-                    gt_labels=jnp.zeros((b, 2), jnp.int32),
-                    gt_mask=jnp.ones((b, 2), bool))
+                    gt_labels=jnp.zeros((b, m), jnp.int32),
+                    gt_mask=jnp.ones((b, m), bool))
 
     model = Mono3D(cfg)
     b0 = batch()

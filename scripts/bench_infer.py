@@ -48,6 +48,27 @@ def time_device(fn, args_list, reps):
     return float(np.median(ts)) / reps
 
 
+def detector_loop_ms(pipeline, pts, reps, probes, dtype=np.float32):
+    """Shared timing harness for 4-output detector pipelines: fori_loop
+    with a per-iteration checksum data dependence (no hoisting), probed
+    over perturbed input copies, median per-rep milliseconds."""
+    @jax.jit
+    def looped(points):
+        def body(_, carry):
+            chk, = carry
+            boxes, scores, labels, keep = pipeline(points + chk * 1e-20)
+            chk = (jnp.sum(boxes[:4, 0].astype(jnp.float32))
+                   + jnp.sum(scores[:4].astype(jnp.float32))
+                   + jnp.sum(keep[:8])).astype(points.dtype)
+            return (chk,)
+
+        return lax.fori_loop(0, reps, body, (jnp.float32(0),))
+
+    copies = [jnp.asarray(pts) + np.float32(i) * 1e-6
+              for i in range(probes + 1)]
+    return time_device(looped, [(c,) for c in copies], reps) * 1e3
+
+
 def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
                        fold=False, int8=False, family="pointpillars"):
     from dataclasses import replace
@@ -93,22 +114,7 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
         model, variables, cfg, make_anchors(cfg), [KittiObjectClass.Car],
         score_threshold=0.3, top_k=100)
     pipeline = detect.device_fn
-
-    @jax.jit
-    def looped(points):
-        def body(_, carry):
-            chk, = carry
-            boxes, scores, labels, keep = pipeline(points + chk * 1e-20)
-            chk = (jnp.sum(boxes[:4, 0].astype(jnp.float32))
-                   + jnp.sum(scores[:4].astype(jnp.float32))
-                   + jnp.sum(keep[:8])).astype(points.dtype)
-            return (chk,)
-
-        return lax.fori_loop(0, reps, body, (jnp.float32(0),))
-
-    copies = [jnp.asarray(pts) + np.float32(i) * 1e-6
-              for i in range(probes + 1)]
-    ms = time_device(looped, [(c,) for c in copies], reps) * 1e3
+    ms = detector_loop_ms(pipeline, pts, reps, probes)
 
     # host assembly cost (from_columns fast path)
     from d3d_tpu.models.inference import _to_targets
@@ -147,23 +153,7 @@ def bench_voxelnext(rng, reps, probes, quick, dtype="bfloat16"):
     detect = make_voxelnext_detector(model, variables, cfg,
                                      [KittiObjectClass.Car],
                                      score_threshold=0.3)
-    pipeline = detect.device_fn
-
-    @jax.jit
-    def looped(points):
-        def body(_, carry):
-            chk, = carry
-            boxes, scores, labels, keep = pipeline(points + chk * 1e-20)
-            chk = (jnp.sum(boxes[:4, 0].astype(jnp.float32))
-                   + jnp.sum(scores[:4].astype(jnp.float32))
-                   + jnp.sum(keep[:8])).astype(points.dtype)
-            return (chk,)
-
-        return lax.fori_loop(0, reps, body, (jnp.float32(0),))
-
-    copies = [jnp.asarray(pts) + np.float32(i) * 1e-6
-              for i in range(probes + 1)]
-    ms = time_device(looped, [(c,) for c in copies], reps) * 1e3
+    ms = detector_loop_ms(detect.device_fn, pts, reps, probes)
     print(f"voxelnext dtype={dtype}: {ms:8.3f} ms/frame device "
           f"(fully sparse)")
     return ms
