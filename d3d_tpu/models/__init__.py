@@ -12,6 +12,7 @@ from .bevseg import (BEVSeg, BEVSegConfig, bevseg_pillarize,
                      segmentation_loss)
 from .mono3d import (Mono3D, Mono3DConfig, decode_mono3d,
                      make_mono3d_detector)
+from .seg2d import Seg2D, Seg2DConfig, make_segmenter
 from .second import SECOND, SECONDConfig, second_voxelize
 from .voxelnext import (VoxelNeXt, VoxelNeXtConfig, voxelnext_voxelize,
                         decode_voxelnext)
@@ -36,6 +37,7 @@ __all__ = [
     "group_instances", "make_panoptic_predictor",
     "SECOND", "SECONDConfig", "second_voxelize", "presets",
     "Mono3D", "Mono3DConfig", "decode_mono3d", "make_mono3d_detector",
+    "Seg2D", "Seg2DConfig", "make_segmenter",
     "VoxelNeXt", "VoxelNeXtConfig", "voxelnext_voxelize",
     "decode_voxelnext", "make_voxelnext_detector",
     "SST", "SSTConfig", "window_slots",
