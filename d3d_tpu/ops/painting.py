@@ -19,7 +19,8 @@ device.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["paint_points", "paint_points_multi", "bilinear_sample"]
+__all__ = ["paint_points", "paint_points_multi", "painting_rig",
+           "bilinear_sample"]
 
 
 def _project(xyz, intrinsics, extrinsic=None):
@@ -112,3 +113,33 @@ def paint_points_multi(points, image_feats, intrinsics, extrinsics,
                        jnp.asarray(fill, chosen.dtype))
     return jnp.concatenate([points, chosen.astype(points.dtype)],
                            axis=-1)
+
+
+def painting_rig(calib, cameras, frame_from=None):
+    """Build :func:`paint_points_multi`'s ``(intrinsics, extrinsics)``
+    stacks from a dataset calibration (``TransformSet``): K from each
+    camera's pinhole metadata, extrinsic = the lidar->camera RT chain.
+    Host-side numpy, once per calibration. Lens distortion is ignored —
+    painting samples a FEATURE map, for which the few-pixel error at
+    image borders is noise (use ``project_points_to_camera`` when exact
+    distorted pixels matter).
+
+    :returns: (intrinsics (Ncam, 3, 3) f32, extrinsics (Ncam, 4, 4) f32)
+    """
+    import numpy as np
+
+    ks, exts = [], []
+    for cam in cameras:
+        meta = calib.intrinsics_meta[cam]
+        # loaders store the projection matrix either on the metadata or
+        # as the TransformSet intrinsic entry itself
+        k = getattr(meta, "intri_matrix", None)
+        if k is None:
+            k = calib.intrinsics.get(cam)
+        if k is None:
+            raise ValueError(f"{cam!r} has no pinhole intrinsics")
+        ks.append(np.asarray(k, np.float32)[:3, :3])
+        exts.append(np.asarray(
+            calib.get_extrinsic(frame_to=cam, frame_from=frame_from),
+            np.float32))
+    return np.stack(ks), np.stack(exts)

@@ -124,3 +124,38 @@ class TestMultiCamera:
             jnp.asarray(pts), jnp.asarray(img)[None],
             jnp.asarray(K)[None], jnp.asarray(ext)[None]))
         np.testing.assert_allclose(b, a, rtol=0, atol=1e-6)
+
+
+def test_painting_rig_matches_transformset(rng, tmp_path):
+    """The rig built from a KITTI calibration must project points to
+    the same pixels as TransformSet.project_points_to_camera (the
+    fixture has no distortion)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    import kitti_fixture as fx
+
+    from d3d_tpu.dataset.kitti.object import KittiObjectLoader
+    from d3d_tpu.ops.painting import _project, painting_rig
+
+    fx.build_unzipped(tmp_path, nframes=1)
+    calib = KittiObjectLoader(tmp_path, trainval_split=1.0) \
+        .calibration_data(0)
+    ks, exts = painting_rig(calib, ["cam2", "cam3"], frame_from="velo")
+    assert ks.shape == (2, 3, 3) and exts.shape == (2, 4, 4)
+
+    pts = np.stack([rng.uniform(5, 40, 32), rng.uniform(-8, 8, 32),
+                    rng.uniform(-2, 1, 32)], axis=1)
+    for i, cam in enumerate(["cam2", "cam3"]):
+        uv, mask, dmask = calib.project_points_to_camera(
+            pts, frame_to=cam, frame_from="velo", remove_outlier=False,
+            return_dmask=True)
+        u, v, ahead = _project(jnp.asarray(pts, jnp.float32),
+                               jnp.asarray(ks[i]), jnp.asarray(exts[i]))
+        sel = np.zeros(32, bool)
+        sel[dmask] = True
+        np.testing.assert_array_equal(np.asarray(ahead), sel)
+        np.testing.assert_allclose(np.asarray(u)[sel], uv[sel, 0],
+                                   rtol=1e-4, atol=0.2)
+        np.testing.assert_allclose(np.asarray(v)[sel], uv[sel, 1],
+                                   rtol=1e-4, atol=0.2)
