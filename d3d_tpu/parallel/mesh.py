@@ -113,18 +113,26 @@ def _path_str(path):
                     for p in path)
 
 
-def param_partition_spec(path, leaf, tp_size):
-    """Explicit per-leaf tensor-parallel rule (replaces the round-1 shape
-    heuristic, which silently replicated on a miss).
+def param_partition_spec(path, leaf, tp_size, ep_size=1):
+    """Explicit per-leaf tensor/expert-parallel rule (replaces the
+    round-1 shape heuristic, which silently replicated on a miss).
 
     Every flax ``Dense``/``Conv``/``ConvTranspose`` weight is named
     ``kernel`` with the output-channel axis last; those shard their output
-    channels over ``tp`` whenever divisible. Norm scale/bias, biases,
-    batch-stat vectors and anything 1-D replicate (they are KiB-scale).
-    A kernel whose output channels do NOT divide tp_size replicates — see
-    :func:`tp_param_report` to audit exactly which leaves partitioned.
+    channels over ``tp`` whenever divisible. Stacked Switch-MoE expert
+    weights (``moe_w1/b1/w2/b2``, leading expert axis — see
+    :mod:`d3d_tpu.parallel.moe`) shard that axis over ``ep`` whenever
+    the mesh has one (the router replicates: every rank routes). Norm
+    scale/bias, biases, batch-stat vectors and anything 1-D replicate
+    (they are KiB-scale). A kernel whose output channels do NOT divide
+    tp_size replicates — see :func:`tp_param_report` to audit exactly
+    which leaves partitioned.
     """
     name = str(getattr(path[-1], "key", "")) if path else ""
+    if name.startswith("moe_") and name != "moe_router" \
+            and ep_size > 1 and leaf.ndim >= 1 \
+            and leaf.shape[0] % ep_size == 0:
+        return P(*(["ep"] + [None] * (leaf.ndim - 1)))
     if name == "kernel" and leaf.ndim >= 2 and tp_size > 1 \
             and leaf.shape[-1] % tp_size == 0:
         return P(*([None] * (leaf.ndim - 1) + ["tp"]))
@@ -132,14 +140,16 @@ def param_partition_spec(path, leaf, tp_size):
 
 
 def tp_param_report(params, mesh):
-    """Audit the tp layout: returns (sharded_paths, replicated_kernel_paths)
-    so a silent all-replicated layout is detectable instead of silent."""
-    tp = mesh.shape["tp"]
+    """Audit the tp/ep layout: returns (sharded_paths,
+    replicated_kernel_paths) so a silent all-replicated layout is
+    detectable instead of silent."""
+    tp = dict(mesh.shape).get("tp", 1)
+    ep = dict(mesh.shape).get("ep", 1)
     sharded, repl_kernels = [], []
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        spec = param_partition_spec(path, leaf, tp)
+        spec = param_partition_spec(path, leaf, tp, ep)
         name = str(getattr(path[-1], "key", "")) if path else ""
-        if any(ax == "tp" for ax in spec):
+        if any(ax in ("tp", "ep") for ax in spec):
             sharded.append(_path_str(path))
         elif name == "kernel":
             repl_kernels.append(_path_str(path))
@@ -158,12 +168,13 @@ def shard_train_step(train_step, mesh, donate=True, check_tp=True):
         waste the axis).
     """
     batch_sh = NamedSharding(mesh, P("dp"))
-    tp = mesh.shape["tp"]
+    tp = dict(mesh.shape).get("tp", 1)
+    ep = dict(mesh.shape).get("ep", 1)
 
     def spec_of(tree):
         return jax.tree_util.tree_map_with_path(
             lambda path, leaf: NamedSharding(
-                mesh, param_partition_spec(path, leaf, tp)),
+                mesh, param_partition_spec(path, leaf, tp, ep)),
             tree)
 
     def wrapped(params, batch_stats, opt_state, batch):

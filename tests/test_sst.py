@@ -302,3 +302,35 @@ class TestPipelinedTrunk:
             batch_axis="dp"))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-5)
+
+    def test_ep_sharded_train_step(self, rng):
+        """Expert weights physically partition over an 'ep' mesh axis in
+        TRAINING: param_partition_spec's moe_* rule + shard_train_step
+        on a ('dp', 'ep') mesh."""
+        import dataclasses
+
+        from jax.sharding import Mesh
+        from d3d_tpu.parallel import (expert_constrain, shard_train_step,
+                                      tp_param_report)
+
+        cfg = dataclasses.replace(TINY, moe_experts=2)
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                    axis_names=("dp", "ep"))
+        model = SST(cfg, moe_constrain=expert_constrain(mesh))
+        batch = _batch(rng, b=4)
+        variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                               batch["coords"], batch["valid"])
+        sharded, _ = tp_param_report(variables["params"], mesh)
+        assert any("moe_w1" in p for p in sharded)
+        assert not any("moe_router" in p for p in sharded)
+
+        opt = optax.adam(1e-3)
+        step = shard_train_step(
+            make_train_step(model, opt, cfg, make_anchors(cfg)),
+            mesh, donate=False)
+        params, bstats, opt_state, aux = step(
+            variables["params"], variables["batch_stats"],
+            opt.init(variables["params"]), batch)
+        assert np.isfinite(float(aux["total"]))
+        w1 = params["block0"]["moe_w1"]
+        assert w1.addressable_shards[0].data.shape[0] == 1  # 2 experts / 2
