@@ -117,3 +117,61 @@ def test_voxelize_sparse_cross_validation(rng):
                                   want["coords"])
     np.testing.assert_array_equal(np.asarray(got.voxel_npoints)[:nv],
                                   want["voxel_npoints"])
+
+
+def _adversarial_boxes(rng, n):
+    """Edge-case generator: degenerate aspect ratios, tiny/huge dims,
+    yaws at exact multiples of pi/2, coincident centers, shared edges."""
+    kinds = rng.integers(0, 6, n)
+    cx = rng.random(n) * 20
+    cy = rng.random(n) * 20
+    l = rng.random(n) * 6 + 1
+    w = rng.random(n) * 6 + 1
+    yaw = rng.random(n) * 6 - 3
+    # thin slivers
+    w = np.where(kinds == 0, 1e-3, w)
+    # huge boxes
+    l = np.where(kinds == 1, 500.0, l)
+    # exact axis-aligned yaw
+    yaw = np.where(kinds == 2,
+                   rng.integers(-2, 3, n) * (np.pi / 2), yaw)
+    # near-identical pairs: copy the previous row with a 1e-7 nudge
+    b = np.stack([cx, cy, l, w, yaw], axis=1)
+    dup = np.nonzero(kinds == 3)[0]
+    dup = dup[dup > 0]
+    b[dup] = b[dup - 1] + 1e-7
+    # edge-sharing squares
+    edge = np.nonzero(kinds == 4)[0]
+    b[edge, 2:4] = 2.0
+    b[edge, 4] = 0.0
+    edge2 = edge[edge > 0]
+    b[edge2, 0] = b[edge2 - 1, 0] + b[edge2 - 1, 2] / 2 + 1.0
+    return b
+
+
+def test_iou_adversarial_cross_validation(rng):
+    """Degenerate geometry must agree with the independent C++ clip to
+    f64 tolerance (slivers, pi/2 yaws, coincident boxes, shared edges)."""
+    for trial in range(6):
+        b1 = _adversarial_boxes(rng, 40)
+        b2 = _adversarial_boxes(rng, 24)
+        jax_iou = np.asarray(box2d_iou(b1, b2, method="rbox"))
+        cpp_iou = native.rbox_iou_matrix(b1, b2)
+        np.testing.assert_allclose(jax_iou, cpp_iou, rtol=0, atol=1e-7,
+                                   err_msg=f"trial {trial}")
+        assert (jax_iou >= -1e-12).all() and (jax_iou <= 1 + 1e-9).all()
+        # self-IoU of every box is 1 (or 0 only for zero-area slivers)
+        self_iou = np.diag(np.asarray(box2d_iou(b1, b1, method="rbox")))
+        assert np.all((np.abs(self_iou - 1) < 1e-6) | (b1[:, 2] * b1[:, 3] < 1e-9))
+
+
+def test_nms_adversarial_cross_validation(rng):
+    for trial in range(4):
+        b = _adversarial_boxes(rng, 64)
+        s = rng.random(64)
+        for thr in (0.05, 0.5):
+            jax_keep = np.asarray(box2d_nms(b, s, iou_method="rbox",
+                                            iou_threshold=thr))
+            cpp_keep = native.nms2d(b, s, iou_method="rbox",
+                                    iou_threshold=thr)
+            assert np.array_equal(jax_keep, cpp_keep), (trial, thr)
