@@ -175,3 +175,42 @@ def test_nms_adversarial_cross_validation(rng):
             cpp_keep = native.nms2d(b, s, iou_method="rbox",
                                     iou_threshold=thr)
             assert np.array_equal(jax_keep, cpp_keep), (trial, thr)
+
+
+def test_voxelize_boundary_points_cross_validation(rng):
+    """Points EXACTLY on cell boundaries (the classic floor-vs-round
+    divergence) and duplicated/out-of-bounds points must bucket
+    identically to the C++ oracle, which mirrors the device's f32 cell
+    arithmetic."""
+    import jax.numpy as jnp
+
+    from d3d_tpu.ops.voxel import voxelize_dense_padded
+
+    xmin, xmax, ymin, ymax, zmin, zmax = BOUNDS
+    vx = (xmax - xmin) / SHAPE[0]
+    vy = (ymax - ymin) / SHAPE[1]
+    # grid-line lattice points + exact bounds corners + duplicates + oob
+    gx = xmin + np.arange(0, SHAPE[0] + 1) * vx
+    gy = ymin + np.arange(0, SHAPE[1] + 1) * vy
+    xs = rng.choice(gx, 256)
+    ys = rng.choice(gy, 256)
+    zs = rng.choice([zmin, 0.0, zmax - 1e-6, zmax], 256)
+    pts = np.stack([xs, ys, zs, rng.random(256)], axis=1)
+    pts = np.concatenate([pts, pts[:32],                      # duplicates
+                          pts[:16] + [1e3, 0, 0, 0]])         # far oob
+    pts = pts.astype(np.float32)
+
+    got = voxelize_dense_padded(jnp.asarray(pts), SHAPE,
+                                jnp.asarray(BOUNDS, jnp.float32),
+                                8, 300, "mean")
+    want = native.voxelize_dense(pts, SHAPE, BOUNDS, 8, 300,
+                                 reduction="mean")
+    nv = want["nvoxels"]
+    assert int(got.nvoxels) == nv
+    np.testing.assert_array_equal(np.asarray(got.coords)[:nv],
+                                  want["coords"][:nv])
+    np.testing.assert_array_equal(np.asarray(got.voxel_npoints)[:nv],
+                                  want["voxel_npoints"][:nv])
+    # every in-bounds coord is inside the grid
+    c = want["coords"][:nv]
+    assert (c >= 0).all() and (c < np.asarray(SHAPE)).all()
