@@ -7,7 +7,6 @@ host-side Python; the TPU work happens after loading).
 import functools
 import inspect
 from collections import defaultdict
-from enum import Enum
 from multiprocessing import Manager, Pool
 from pathlib import Path
 from threading import Event

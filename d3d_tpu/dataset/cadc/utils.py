@@ -4,7 +4,6 @@ d3d/dataset/cadc/utils.py)."""
 
 from collections import namedtuple
 from enum import IntFlag
-from pathlib import Path
 
 import numpy as np
 from scipy.spatial.transform import Rotation

@@ -10,7 +10,6 @@ devkit; reference object.py:43-73). ``DontCare`` boxes are dropped from
 """
 
 import zipfile
-from io import RawIOBase
 from pathlib import Path
 from zipfile import ZipFile
 

@@ -17,7 +17,7 @@ from ...abstraction import ObjectTag, ObjectTarget3D, Target3DArray, TransformSe
 from ..base import TrackingDatasetBase, expand_idx, expand_idx_name, split_trainval_seq
 from ..zip import PatchedZipFile
 from . import utils
-from .utils import KittiObjectClass, OxtData
+from .utils import KittiObjectClass
 
 __all__ = ["KittiTrackingLoader", "parse_label"]
 

@@ -11,7 +11,6 @@ aggregated windows with a multiprocessing KD-tree pipeline
 points around the frame directly (cropped by radius in the world frame),
 which serves the same training use without the heavyweight cache build."""
 
-from itertools import chain
 from pathlib import Path
 from zipfile import ZipFile
 

@@ -5,7 +5,6 @@ data follows the public kitti360Scripts definitions)."""
 import xml.etree.ElementTree as ET
 from collections import namedtuple
 from enum import IntFlag
-from pathlib import Path
 
 import numpy as np
 

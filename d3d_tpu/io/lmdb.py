@@ -1,7 +1,6 @@
 """LMDB dataset dump (reference d3d/io/lmdb.py is an empty stub; this is a
 working implementation gated on the optional ``lmdb`` package)."""
 
-from pathlib import Path
 
 __all__ = ["dump_dataset"]
 

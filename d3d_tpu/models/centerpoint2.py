@@ -22,7 +22,6 @@ Score fusion at inference follows the CenterPoint++ geometric mean:
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -18,9 +18,9 @@ Reference: Lang et al., "PointPillars: Fast Encoders for Object Detection
 from Point Clouds", CVPR 2019 (arXiv:1812.05784).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 import jax

@@ -18,7 +18,7 @@ via :func:`d3d_tpu.parallel.shard_train_step` like every other family.
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 import jax

@@ -36,7 +36,7 @@ Liu et al., Swin Transformer (ICCV 2021).
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 import jax

@@ -31,7 +31,7 @@ Detection and Tracking", CVPR 2023 (arXiv:2303.11301).
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -14,7 +14,6 @@ import numpy.linalg as npl
 from scipy.spatial.transform import Rotation
 from scipy.special import fresnel
 
-from ..abstraction import ObjectTarget3D, TrackingTarget3D
 from .kalman import JulierSigmaPoints, KalmanFilter, UnscentedKalmanFilter
 
 _logger = logging.getLogger("d3d_tpu")

@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def main():
