@@ -71,7 +71,7 @@ class _ConvBNAct(nn.Module):
         dt = jnp.dtype(self.dtype)
         x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding="SAME", use_bias=False, dtype=dt)(x)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=jnp.float32)(x)
         return nn.relu(x)
 
@@ -103,6 +103,7 @@ class Mono3D(nn.Module):
                                  strides=(2, 2), padding="SAME",
                                  dtype=dt)(x)
             x = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                     epsilon=1e-3,
                                      dtype=jnp.float32)(x))
 
         def head(n_out, name, bias_init=0.0):

@@ -45,7 +45,7 @@ class _Block(nn.Module):
                   use_bias=False, dtype=dt)
         x = conv(self.features, (4, 4) if self.transpose else (3, 3),
                  **kw)(x)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=jnp.float32)(x)
         return nn.relu(x)
 

@@ -259,3 +259,23 @@ def test_flip_augmentation_mirrors_targets(rng):
     np.testing.assert_allclose(np.asarray(gt3)[:, :6], gt[:, :6],
                                atol=1e-6)
     np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+def test_batchnorm_folding(rng):
+    """fold_batchnorm folds the camera model's Conv/ConvTranspose + BN
+    pairs; train=False outputs identical to float rounding."""
+    from d3d_tpu.models.fold import fold_batchnorm
+
+    model = Mono3D(TINY)
+    img = jnp.asarray(rng.random((1, 96, 128, 3)), jnp.float32)
+    var = model.init(jax.random.PRNGKey(0), img)
+    # move batch stats off init values so the fold is non-trivial
+    var = dict(var, batch_stats=jax.tree.map(
+        lambda a: a + 0.25, var["batch_stats"]))
+    want = model.apply(var, img, train=False)
+    folded = fold_batchnorm(var)
+    got = model.apply(folded, img, train=False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]), rtol=0,
+                                   atol=2e-5, err_msg=k)
