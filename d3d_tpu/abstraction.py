@@ -1168,7 +1168,12 @@ class TransformSet:
         rt = self.get_extrinsic(frame_to=frame_to, frame_from=frame_from)
         homo_xyz = np.insert(points[:, :3], 3, 1, axis=1)
 
-        homo_uv = self.intrinsics[frame_to].dot(rt.dot(homo_xyz.T)[:3])
+        # a stored 3x4 projection (KITTI-360 P_rect_0x) consumes the full
+        # homogeneous row — the reference slices to 3 unconditionally and
+        # crashes on these cameras (abstraction.pyx:994, latent bug)
+        proj = self.intrinsics[frame_to]
+        txyz = rt.dot(homo_xyz.T)
+        homo_uv = proj.dot(txyz if proj.shape[1] == 4 else txyz[:3])
         d = homo_uv[2, :]
         u, v = homo_uv[0, :] / d, homo_uv[1, :] / d
 

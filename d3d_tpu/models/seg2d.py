@@ -12,7 +12,6 @@ contract is the (H, W, C) score map).
 from dataclasses import dataclass
 from typing import Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -25,7 +24,7 @@ __all__ = ["Seg2DConfig", "Seg2D", "make_seg2d_train_step",
 class Seg2DConfig:
     """Static configuration (hashable -> usable as a jit static arg)."""
 
-    image_size: Tuple[int, int] = (384, 1280)  # divisible by 2^depth
+    image_size: Tuple[int, int] = (384, 1280)  # checked at __call__
     channels: Tuple[int, ...] = (16, 32, 64)   # encoder stages (stride 2)
     num_classes: int = 4
     dtype: str = "float32"
@@ -58,6 +57,13 @@ class Seg2D(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False):
         cfg = self.cfg
+        if tuple(images.shape[1:3]) != tuple(cfg.image_size):
+            raise ValueError(
+                "images %s != cfg.image_size %s"
+                % (images.shape[1:3], cfg.image_size))
+        if any(v % (2 ** len(cfg.channels)) for v in cfg.image_size):
+            raise ValueError("image_size must divide by 2^depth = %d"
+                             % (2 ** len(cfg.channels)))
         dt = jnp.dtype(cfg.dtype)
         x = images.astype(dt)
         skips = []

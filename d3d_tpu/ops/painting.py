@@ -117,29 +117,48 @@ def paint_points_multi(points, image_feats, intrinsics, extrinsics,
 
 def painting_rig(calib, cameras, frame_from=None):
     """Build :func:`paint_points_multi`'s ``(intrinsics, extrinsics)``
-    stacks from a dataset calibration (``TransformSet``): K from each
-    camera's pinhole metadata, extrinsic = the lidar->camera RT chain.
-    Host-side numpy, once per calibration. Lens distortion is ignored —
-    painting samples a FEATURE map, for which the few-pixel error at
-    image borders is noise (use ``project_points_to_camera`` when exact
-    distorted pixels matter).
+    stacks from a dataset calibration (``TransformSet``). The stored
+    camera "intrinsic" is a PROJECTION matrix that may carry a folded
+    axis conversion (``rotate=True`` FLU->RDF, e.g. Waymo/nuScenes) or
+    a 3x4 fourth column (a stereo baseline, e.g. KITTI-360's
+    ``P_rect_01``); both are factored OUT here — RQ-decompose into the
+    pure upper-triangular K and move the rotation + baseline into the
+    returned extrinsic — so ``_project``'s plain-pinhole math sees
+    exactly what ``project_points_to_camera`` computes. Host-side
+    numpy, once per calibration. Lens distortion is ignored — painting
+    samples a FEATURE map, for which the few-pixel distortion error is
+    noise (use ``project_points_to_camera`` when exact distorted pixels
+    matter).
 
     :returns: (intrinsics (Ncam, 3, 3) f32, extrinsics (Ncam, 4, 4) f32)
     """
     import numpy as np
+    import scipy.linalg
 
     ks, exts = [], []
     for cam in cameras:
-        meta = calib.intrinsics_meta[cam]
-        # loaders store the projection matrix either on the metadata or
-        # as the TransformSet intrinsic entry itself
-        k = getattr(meta, "intri_matrix", None)
-        if k is None:
-            k = calib.intrinsics.get(cam)
-        if k is None:
-            raise ValueError(f"{cam!r} has no pinhole intrinsics")
-        ks.append(np.asarray(k, np.float32)[:3, :3])
-        exts.append(np.asarray(
+        m = calib.intrinsics.get(cam)
+        if m is None:
+            m = getattr(calib.intrinsics_meta[cam], "intri_matrix", None)
+        if m is None:
+            raise ValueError(f"{cam!r} has no camera projection matrix")
+        m = np.asarray(m, np.float64)
+        rt = np.asarray(
             calib.get_extrinsic(frame_to=cam, frame_from=frame_from),
-            np.float32))
+            np.float64)
+        k3 = m[:, :3]
+        # fourth column = K * extra translation (stereo baseline)
+        off = (np.linalg.solve(k3, m[:, 3]) if m.shape[1] == 4
+               else np.zeros(3))
+        # k3 = K (upper triangular) @ C (folded axis-conversion rotation)
+        kp, crot = scipy.linalg.rq(k3)
+        sgn = np.sign(np.diag(kp))
+        sgn[sgn == 0] = 1.0
+        kp = kp * sgn[None, :]          # positive-diagonal K ...
+        crot = crot * sgn[:, None]      # ... sign absorbed into C
+        conv = np.eye(4)
+        conv[:3, :3] = crot
+        conv[:3, 3] = crot @ off
+        ks.append((kp / kp[2, 2]).astype(np.float32))
+        exts.append((conv @ rt).astype(np.float32))
     return np.stack(ks), np.stack(exts)

@@ -179,8 +179,14 @@ def shard_train_step(train_step, mesh, donate=True, check_tp=True):
 
     def wrapped(params, batch_stats, opt_state, batch):
         if check_tp and tp > 1:
-            sharded, _ = tp_param_report(params, mesh)
-            if not sharded:
+            # specifically tp: an ep-sharded MoE leaf must not mask an
+            # entirely wasted tensor-parallel axis
+            tp_leaves = [
+                path for path, leaf
+                in jax.tree_util.tree_leaves_with_path(params)
+                if any(ax == "tp"
+                       for ax in param_partition_spec(path, leaf, tp, ep))]
+            if not tp_leaves:
                 raise ValueError(
                     "mesh has tp=%d but no parameter partitions over tp; "
                     "check param_partition_spec against this model" % tp)

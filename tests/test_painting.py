@@ -159,3 +159,46 @@ def test_painting_rig_matches_transformset(rng, tmp_path):
                                    rtol=1e-4, atol=0.2)
         np.testing.assert_allclose(np.asarray(v)[sel], uv[sel, 1],
                                    rtol=1e-4, atol=0.2)
+
+
+def test_painting_rig_rotated_and_baseline_calibrations(rng):
+    """The rig must factor out both the rotate=True FLU->RDF conversion
+    (Waymo/nuScenes-style pinhole cams) and a 3x4 projection's baseline
+    column (KITTI-360-style), matching project_points_to_camera."""
+    from d3d_tpu.abstraction import TransformSet
+    from d3d_tpu.ops.painting import _project, painting_rig
+
+    ts = TransformSet("base")
+    ts.set_intrinsic_lidar("velo")
+    ts.set_extrinsic(np.eye(4), frame_to="velo")
+    # FLU pinhole camera 1 m to the left, rotate=True folds FLU->RDF
+    ts.set_intrinsic_pinhole("camflu", (1280, 960), 640, 480, 700, 700)
+    t = np.eye(4)
+    t[:3, 3] = [0.0, 1.0, 0.2]
+    ts.set_extrinsic(t, frame_to="camflu")
+    # RDF camera with a stereo baseline folded into a 3x4 projection
+    p34 = np.array([[700.0, 0, 640, -350.0],
+                    [0, 700.0, 480, 0],
+                    [0, 0, 1, 0]])
+    ts.set_intrinsic_camera("camstereo", p34, (1280, 960), rotate=False)
+    t2 = np.eye(4)
+    t2[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    ts.set_extrinsic(t2, frame_to="camstereo")
+
+    ks, exts = painting_rig(ts, ["camflu", "camstereo"],
+                            frame_from="velo")
+    pts = np.stack([rng.uniform(5, 40, 48), rng.uniform(-6, 6, 48),
+                    rng.uniform(-2, 1, 48)], axis=1)
+    for i, cam in enumerate(["camflu", "camstereo"]):
+        uv, mask, dmask = ts.project_points_to_camera(
+            pts, frame_to=cam, frame_from="velo", remove_outlier=False,
+            return_dmask=True)
+        u, v, ahead = _project(jnp.asarray(pts, jnp.float32),
+                               jnp.asarray(ks[i]), jnp.asarray(exts[i]))
+        sel = np.zeros(len(pts), bool)
+        sel[dmask] = True
+        np.testing.assert_array_equal(np.asarray(ahead), sel, err_msg=cam)
+        np.testing.assert_allclose(np.asarray(u)[sel], uv[sel, 0],
+                                   rtol=1e-4, atol=0.3, err_msg=cam)
+        np.testing.assert_allclose(np.asarray(v)[sel], uv[sel, 1],
+                                   rtol=1e-4, atol=0.3, err_msg=cam)
