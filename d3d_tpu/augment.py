@@ -257,7 +257,7 @@ def sample_ground_truths(rng, db, points, gt_boxes, gt_labels,
             np.asarray(cur_labels))
 
 
-def flip_camera_frame(image, intrinsics, gt_boxes, gt_mask=None):
+def flip_camera_frame(image, intrinsics, gt_boxes):
     """Horizontal-mirror augmentation for camera 3D detection (the one
     safe geometric augmentation for monocular depth — rotations and
     crops break the projective geometry the network must learn).

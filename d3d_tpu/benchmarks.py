@@ -730,7 +730,10 @@ class TrackingEvaluator(DetectionEvaluator):
             consts = self._device_consts = (jnp.asarray(md),
                                             jnp.asarray(md_strict))
         nd = _bucket(max((len(a) for a in dt_frames), default=1))
-        ng = max((len(a) for a in gt_frames), default=1)
+        # bucket the gt width too: otherwise every sequence's distinct
+        # max-gt count retraces the shared jit (and an all-empty-gt
+        # sequence would produce zero-width arrays)
+        ng = _bucket(max(max((len(a) for a in gt_frames), default=1), 1))
         batched = batched_matching_tables
 
         out = []

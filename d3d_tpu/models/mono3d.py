@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .centerpoint import _gaussian_radius
+from .seg2d import _Block
 
 __all__ = ["Mono3DConfig", "Mono3D", "assign_mono3d_targets",
            "mono3d_loss", "decode_mono3d", "make_train_step",
@@ -53,27 +54,15 @@ class Mono3DConfig:
     max_depth: float = 80.0
     gaussian_overlap: float = 0.7
     min_radius: float = 2.0
+    window: int = 25              # gaussian splat window (cells); near
+                                  # objects project LARGE — too small a
+                                  # window truncates the focal discount
     dtype: str = "float32"
 
     @property
     def out_size(self):
         return (self.image_size[0] // self.stride,
                 self.image_size[1] // self.stride)
-
-
-class _ConvBNAct(nn.Module):
-    features: int
-    stride: int
-    dtype: str
-
-    @nn.compact
-    def __call__(self, x, train):
-        dt = jnp.dtype(self.dtype)
-        x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, dtype=dt)(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         dtype=jnp.float32)(x)
-        return nn.relu(x)
 
 
 class Mono3D(nn.Module):
@@ -93,18 +82,15 @@ class Mono3D(nn.Module):
         dt = jnp.dtype(cfg.dtype)
         x = images.astype(dt)
         # /2 stem, then one stride-2 stage per backbone channel entry
-        x = _ConvBNAct(cfg.backbone_channels[0], 2, cfg.dtype)(x, train)
+        # (the conv+BN+relu block is shared with Seg2D)
+        x = _Block(cfg.backbone_channels[0], 2, cfg.dtype)(x, train)
         for ch in cfg.backbone_channels:
-            x = _ConvBNAct(ch, 2, cfg.dtype)(x, train)
+            x = _Block(ch, 2, cfg.dtype)(x, train)
         # transpose-conv back up to the output stride
         ups = len(cfg.backbone_channels) + 1 - int(np.log2(cfg.stride))
         for _ in range(ups):
-            x = nn.ConvTranspose(cfg.head_channels, (4, 4),
-                                 strides=(2, 2), padding="SAME",
-                                 dtype=dt)(x)
-            x = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                     epsilon=1e-3,
-                                     dtype=jnp.float32)(x))
+            x = _Block(cfg.head_channels, 2, cfg.dtype,
+                       transpose=True)(x, train)
 
         def head(n_out, name, bias_init=0.0):
             y = nn.Conv(cfg.head_channels, (3, 3), padding="SAME",
@@ -170,7 +156,7 @@ def assign_mono3d_targets(cfg: Mono3DConfig, intrinsics, gt_boxes,
         cfg.min_radius).astype(jnp.float32)
     sigma2 = jnp.maximum((2 * radius / 3.0) ** 2, 1e-6)
 
-    win = 15
+    win = cfg.window
     half = win // 2
     dxs = jnp.arange(win, dtype=jnp.int32) - half
     gu = iu[:, None, None] + dxs[None, :, None]

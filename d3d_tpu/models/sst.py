@@ -307,13 +307,13 @@ def pipeline_sst_trunk(variables, cfg: SSTConfig, mesh, pf_mb, coords_mb,
     # sort once per parity, stack per depth (the stacking is what makes
     # the stage state shape-homogeneous across ranks)
     par = []
-    for shift in (False, True):
+    for shift in (False, True)[:min(depth, 2)]:
         sl, iv = jax.vmap(jax.vmap(
             lambda cd, vl: window_slots(cd, vl, cfg.grid, cfg.window,
                                         cfg.capacity, shift)
         ))(coords_mb, valid_mb)
         par.append((sl, iv, iv.shape[-1]))
-    L = max(p[2] for p in par[:min(depth, 2)])
+    L = max(p[2] for p in par)
     p = pf_mb.shape[-2]
     pad = lambda iv: jnp.concatenate(
         [iv, jnp.full(iv.shape[:-1] + (L - iv.shape[-1],), p, iv.dtype)],

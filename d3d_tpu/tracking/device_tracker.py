@@ -185,15 +185,22 @@ def tracker_scan_sequence(state, boxes, scores, labels, vel, valid, dts,
 
 
 def make_tracking_step(device_fn, thresholds, lost_time=0.3,
-                       capacity=128):
+                       capacity=128, score_threshold=0.3):
     """Fuse a detector's ``device_fn`` with the tracker into ONE jitted
     ``step(state, points, dt) -> (state, (boxes, scores, labels, keep,
     vel))`` — the serving loop body (exportable via ``d3d_tpu.export``,
     state threaded by the caller). The detector must emit the 5-output
     velocity contract (``predict_velocity`` CenterPoint or a TTA wrap
-    of one)."""
+    of one).
+
+    :param score_threshold: admission gate on top of the detector's NMS
+        ``keep`` — the device_fn's keep mask carries NO score cut (that
+        normally happens host-side in ``_to_targets``), and without one
+        every low-score candidate would allocate a track and saturate
+        the slot table."""
     thresholds = jnp.asarray(thresholds, jnp.float32).reshape(-1)
     lt = jnp.float32(lost_time)
+    st_gate = jnp.float32(score_threshold)
 
     @jax.jit
     def step(state, points, dt):
@@ -201,9 +208,10 @@ def make_tracking_step(device_fn, thresholds, lost_time=0.3,
         boxes, scores, labels, keep = out[:4]
         vel = out[4] if len(out) > 4 else jnp.zeros(
             (boxes.shape[0], 3), jnp.float32)
-        state = tracker_update(state, boxes,
-                               scores.astype(jnp.float32), labels,
-                               vel, keep, dt, thresholds, lt)
+        scores = scores.astype(jnp.float32)
+        admit = keep & (scores >= st_gate)
+        state = tracker_update(state, boxes, scores, labels,
+                               vel, admit, dt, thresholds, lt)
         return state, (boxes, scores, labels, keep, vel)
 
     step.init = partial(tracker_init, capacity)

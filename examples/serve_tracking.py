@@ -71,8 +71,10 @@ def main():
     var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
     detect = make_centerpoint_detector(model, var, cfg, pcfg, [CAR],
                                        score_threshold=0.0)
+    # untrained demo net: scores hover near the focal prior (~0.1), so
+    # lower the admission gate the serving default (0.3) would apply
     step = make_tracking_step(detect.device_fn, thresholds=[3.0],
-                              capacity=64)
+                              capacity=64, score_threshold=0.05)
     state = step.init()
 
     print(f"backend={jax.default_backend()}; streaming "

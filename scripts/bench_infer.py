@@ -48,7 +48,7 @@ def time_device(fn, args_list, reps):
     return float(np.median(ts)) / reps
 
 
-def detector_loop_ms(pipeline, pts, reps, probes, dtype=np.float32):
+def detector_loop_ms(pipeline, pts, reps, probes):
     """Shared timing harness for 4-output detector pipelines: fori_loop
     with a per-iteration checksum data dependence (no hoisting), probed
     over perturbed input copies, median per-rep milliseconds."""
@@ -192,7 +192,9 @@ def bench_fused_tracking(rng, reps, probes, quick):
     det = make_centerpoint_detector(model, variables, cfg, pcfg,
                                     [KittiObjectClass.Car],
                                     score_threshold=0.3)
-    step = make_tracking_step(det.device_fn, thresholds=[2.0])
+    # untrained weights: gate at 0 so the association path does real work
+    step = make_tracking_step(det.device_fn, thresholds=[2.0],
+                              score_threshold=0.0)
     state0 = step.init()
 
     @jax.jit

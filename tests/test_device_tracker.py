@@ -239,7 +239,7 @@ class TestFusedStep:
         det = make_centerpoint_detector(model, var, VEL_CFG, pcfg, [CAR],
                                         score_threshold=0.0)
         step = make_tracking_step(det.device_fn, thresholds=[2.0],
-                                  capacity=32)
+                                  capacity=32, score_threshold=0.0)
         state = step.init()
         state, out = step(state, jnp.asarray(pts), jnp.float32(0.0))
         n0 = int(np.asarray(state["active"]).sum())

@@ -231,8 +231,9 @@ class TestModel:
         pts = _cloud(rng)
         out = detect(pts, frame="velo")
         assert all(isinstance(o, TrackingTarget3D) for o in out)
-        tstep = make_tracking_step(detect.device_fn, thresholds=[2.0, 2.0],
-                                   capacity=32)
+        tstep = make_tracking_step(detect.device_fn,
+                                   thresholds=[2.0, 2.0], capacity=32,
+                                   score_threshold=0.0)
         state, _ = tstep(tstep.init(), jnp.asarray(pts), jnp.float32(0.0))
         assert int(np.asarray(state["active"]).sum()) >= 0
 
