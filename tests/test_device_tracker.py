@@ -264,3 +264,23 @@ class TestFusedStep:
         state2, out2 = re.call(state, jnp.asarray(pts), jnp.float32(0.1))
         np.testing.assert_array_equal(np.asarray(state2["tid"]),
                                       np.asarray(state["tid"]))
+
+
+def test_fused_step_score_gate(rng):
+    """make_tracking_step's admission gate: low-score NMS survivors must
+    NOT allocate tracks (they would saturate the slot table)."""
+    boxes = jnp.asarray(rng.normal(0, 10, (8, 7)), jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.2, 0.1, 0.05, 0.4, 0.01, 0.6],
+                         jnp.float32)
+    labels = jnp.zeros(8, jnp.int32)
+    keep = jnp.ones(8, bool)
+
+    def fake_detector(points):
+        del points
+        return boxes, scores, labels, keep
+
+    step = make_tracking_step(fake_detector, thresholds=[0.5],
+                              capacity=16, score_threshold=0.3)
+    state, _ = step(step.init(), jnp.zeros((4, 4), jnp.float32),
+                    jnp.float32(0.0))
+    assert int(np.asarray(state["active"]).sum()) == 4  # 0.9/0.8/0.4/0.6
