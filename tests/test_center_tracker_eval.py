@@ -92,3 +92,57 @@ def test_track_ids_stable_under_missed_frame():
     assert ev.id_switches()[CAR] == 0
     # one frame of coasting output still matches GT (positions predicted)
     assert len(trk_frames[3]) == 2
+
+
+def test_device_tracker_matches_host_through_evaluator():
+    """DeviceCenterTracker driven through the SAME crossing sequence
+    must produce the same CLEAR-MOT outcome as the host tracker:
+    perfect MOTA, zero switches — the device tracker closes the
+    detector -> tracker -> evaluator loop too."""
+    from d3d_tpu.tracking import DeviceCenterTracker
+
+    gt, det = _sequence()
+    trk = DeviceCenterTracker([CAR], distance_threshold=1.2,
+                              lost_time=0.15)
+    out = []
+    for d in det:
+        trk.update(d)
+        out.append(trk.report())
+    ev = _evaluate(gt, out)
+    assert ev.id_switches()[CAR] == 0
+    assert ev.fragments()[CAR] == 0
+    assert ev.mota()[CAR] == pytest.approx(1.0, abs=1e-9)
+
+    # and the whole-sequence device scan gives the same MOTA
+    from d3d_tpu.tracking.device_tracker import (tracker_init,
+                                                 tracker_report,
+                                                 tracker_scan_sequence)
+    import jax.numpy as jnp
+
+    F, D = len(det), 2
+    boxes = np.zeros((F, D, 7), np.float32)
+    vel = np.zeros((F, D, 3), np.float32)
+    scores = np.zeros((F, D), np.float32)
+    for f, d in enumerate(det):
+        for j, o in enumerate(d):
+            boxes[f, j, :3] = o.position
+            boxes[f, j, 3:6] = o.dimension
+            vel[f, j] = np.asarray(o.velocity)
+            scores[f, j] = o.tag_top_score
+    dts = np.full(F, DT_S, np.float32)
+    dts[0] = 0.0
+    _, per_frame = tracker_scan_sequence(
+        tracker_init(16), jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.zeros((F, D), jnp.int32), jnp.asarray(vel),
+        jnp.ones((F, D), bool), jnp.asarray(dts),
+        jnp.asarray([1.2], jnp.float32), jnp.float32(0.15))
+    ev2 = TrackingEvaluator([CAR], [0.5])
+    import jax
+    pf = jax.tree.map(np.asarray, per_frame)
+    for f, g in enumerate(gt):
+        snap = jax.tree.map(lambda a: a[f], pf)
+        rep = tracker_report(snap, [CAR], frame="velo",
+                             timestamp=g.timestamp)
+        ev2.add_stats(ev2.calc_stats(g, rep))
+    assert ev2.mota()[CAR] == pytest.approx(1.0, abs=1e-9)
+    assert ev2.id_switches()[CAR] == 0
