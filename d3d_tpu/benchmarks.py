@@ -667,6 +667,17 @@ class TrackingEvaluator(DetectionEvaluator):
         self._stats = TrackingEvalStats(self._classes, self._pr_nsamples)
         self._clear_track_state()
 
+    def new_sequence(self):
+        """Start a NEW sequence: clear the cross-frame id bookkeeping
+        while KEEPING the accumulated stats. Without this, evaluating a
+        second sequence on the same evaluator treats its first frame as
+        continuing the previous sequence's tracks — with per-sequence
+        tid spaces (KITTI tracking restarts ids at 0) that fabricates
+        id switches at every boundary. (The reference sidesteps this by
+        using one evaluator per multiprocessing worker and merging
+        pickled stats; ``add_stats`` composition works here too.)"""
+        self._clear_track_state()
+
     def _device_tables(self, dt_boxes, gt_boxes, nd):
         """Pack both arrays and compute (dist, dist_ok, rank) in one device
         call. The returned context carries everything the later batched
@@ -777,7 +788,11 @@ class TrackingEvaluator(DetectionEvaluator):
         """Evaluate a whole sequence with the device-match path and
         sequence-batched table precomputation, accumulating into this
         evaluator (frames stay ordered — the cross-frame id state
-        requires it). Returns the evaluator's merged stats."""
+        requires it). Starts a fresh sequence (:meth:`new_sequence`) so
+        back-to-back calls over different sequences do not leak id
+        state across the boundary. Returns the evaluator's merged
+        stats."""
+        self.new_sequence()
         # The tables are computed from the dt boxes AS MATCHED, so any
         # frame mismatch must be resolved BEFORE precomputation — a table
         # built on untransformed coordinates would silently mis-match.

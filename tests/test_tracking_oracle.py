@@ -107,3 +107,38 @@ def test_sequence_tables_respect_calib():
     with pytest.raises(ValueError, match="Calibration"):
         TrackingEvaluator(classes, [0.5, 0.5, 0.5]).calc_stats_sequence(
             gts, dts_ego, calib=None)
+
+
+def test_multi_sequence_no_id_leak():
+    """Two sequences with OVERLAPPING tid spaces (KITTI restarts ids per
+    sequence) evaluated back-to-back on one evaluator must equal two
+    fresh evaluators merged via add_stats — no fabricated switches at
+    the boundary."""
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts1, dts1 = make_tracking_sequence(seed=21, nframes=6)
+    _, gts2, dts2 = make_tracking_sequence(seed=22, nframes=6)
+
+    ev = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev.calc_stats_sequence(gts1, dts1)
+    ev.calc_stats_sequence(gts2, dts2)
+
+    ref = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ref.calc_stats_sequence(gts1, dts1)
+    ref2 = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ref2.calc_stats_sequence(gts2, dts2)
+    # merge the second evaluator's accumulated stats into the first
+    ref.add_stats(ref2._stats)
+
+    fa = evaluator_fingerprint(ev)
+    fb = evaluator_fingerprint(ref)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        a, b = fa[k], fb[k]
+        if np.issubdtype(np.asarray(b).dtype, np.integer):
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            # the wmean accuracy merge reorders f64 ops vs per-frame
+            # accumulation — identical to rounding
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-9,
+                                       equal_nan=True, err_msg=k)
