@@ -243,6 +243,16 @@ class DeviceCenterTracker:
         st = jax.tree.map(np.asarray, self._state)
         return [int(t) for t in st["tid"][st["active"]]]
 
+    def reset(self):
+        """Start a fresh sequence: empty slot table, timestamps
+        cleared (tids keep counting up — uniqueness across sequences)."""
+        nt = self._state["next_tid"]
+        cap = self._state["boxes"].shape[0]
+        self._state = dict(tracker_init(cap), next_tid=nt)
+        self._last_ts = None
+        self._last_ts_us = 0
+        self._last_frame = None
+
     def update(self, detections):
         """Feed a frame (``Target3DArray``, timestamp in microseconds;
         elements with a ``velocity`` attribute backcast by it).

@@ -284,3 +284,15 @@ def test_fused_step_score_gate(rng):
     state, _ = step(step.init(), jnp.zeros((4, 4), jnp.float32),
                     jnp.float32(0.0))
     assert int(np.asarray(state["active"]).sum()) == 4  # 0.9/0.8/0.4/0.6
+
+
+def test_reset_starts_fresh_sequence():
+    dev = DeviceCenterTracker([CAR], distance_threshold=1.5)
+    dev.update(_frame([_det(0.0, 0.0), _det(5.0, 0.0)], 0))
+    assert len(dev.report()) == 2
+    dev.reset()
+    assert len(dev.report()) == 0
+    dev.update(_frame([_det(1.0, 1.0)], 0))
+    rep = dev.report()
+    assert len(rep) == 1
+    assert rep[0].tid == 3  # tids keep counting across sequences
