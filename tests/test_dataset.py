@@ -269,6 +269,42 @@ class TestKittiTracking:
                                            atol=0.02)
 
 
+
+    def test_multi_sequence_evaluation(self, dataset):
+        """Loader -> per-sequence calc_stats_sequence on ONE evaluator:
+        KITTI tracking tids restart per sequence, so the automatic
+        sequence boundary must prevent cross-sequence id fabrication —
+        perfect detections give MOTA 1.0 and zero switches."""
+        from d3d_tpu.abstraction import Target3DArray, TrackingTarget3D
+        from d3d_tpu.benchmarks import TrackingEvaluator
+        from d3d_tpu.dataset.kitti import KittiTrackingLoader
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+        loader = KittiTrackingLoader(dataset, phase="training",
+                                     trainval_split=1.0)
+        ev = TrackingEvaluator([KittiObjectClass.Car], [0.5])
+        for seq in loader.sequence_ids:
+            gts, dts = [], []
+            for f in range(loader.sequence_sizes[seq]):
+                gt = loader.annotation_3dobject((seq, f))
+                gt.timestamp = loader.timestamp((seq, f))
+                dt = Target3DArray([
+                    TrackingTarget3D(
+                        o.position, o.orientation, o.dimension,
+                        [0, 0, 0], [0, 0, 0],
+                        type(o.tag)(o.tag.labels[0], type(o.tag_top),
+                                    scores=0.9),
+                        tid=o.tid + 1000)  # detector's own id space
+                    for o in gt], frame=gt.frame,
+                    timestamp=gt.timestamp)
+                gts.append(gt)
+                dts.append(dt)
+            ev.calc_stats_sequence(gts, dts)
+        assert ev.mota()[KittiObjectClass.Car] == pytest.approx(1.0)
+        assert ev.id_switches()[KittiObjectClass.Car] == 0
+        assert ev.fragments()[KittiObjectClass.Car] == 0
+
+
 class TestNuscenes:
     @pytest.fixture(scope="class")
     def dataset(self, tmp_path_factory):
@@ -554,3 +590,4 @@ def test_locate_windowed_frame_short_sequences():
         assert locate_windowed_frame(i, counts, nframes) == ("B", i)
     with pytest.raises(KeyError):
         locate_windowed_frame(5, counts, nframes)
+
