@@ -14,7 +14,10 @@ wedged tunnel cannot hang the runner), then executes, in order:
   train    scripts/bench_train.py (flagship configs incl. bf16 ext-targets)
   eval     scripts/bench_eval.py + --tracking (per-frame numbers)
   sparse   scripts/bench_sparse.py (SECOND neighbor-map + conv)
-  infer    scripts/bench_infer.py (serving configs)
+  infer    scripts/bench_infer.py (serving configs incl. voxelnext and
+           the fused detect+track step)
+  track    scripts/bench_track.py (host vs device vs fused tracker)
+  serve    examples/serve_tracking.py (live fused-serving latency)
 
 Each step's stdout tail, wall time and rc land in the JSON report; steps
 run in subprocesses with hard timeouts, so one hung step does not lose
@@ -44,6 +47,9 @@ STEPS = [
                        "--frames", "64"], 1200),
     ("sparse", [sys.executable, "scripts/bench_sparse.py"], 1200),
     ("infer", [sys.executable, "scripts/bench_infer.py"], 1800),
+    ("track", [sys.executable, "scripts/bench_track.py"], 1200),
+    ("serve", [sys.executable, "examples/serve_tracking.py",
+               "--frames", "20"], 1200),
 ]
 
 
