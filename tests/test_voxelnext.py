@@ -252,3 +252,27 @@ class TestModel:
             var["params"], var["batch_stats"], opt.init(var["params"]),
             batch)
         assert np.isfinite(float(aux["total"]))
+
+    def test_dp_sharded_inference(self, rng):
+        """shard_inference batches the fully-sparse pipeline over dp."""
+        from d3d_tpu.parallel import make_mesh
+        from d3d_tpu.parallel.mesh import shard_inference
+        from d3d_tpu.dataset.kitti.utils import KittiObjectClass
+
+        batch = _batch(rng, b=1)
+        model = VoxelNeXt(TINY)
+        var = model.init(jax.random.PRNGKey(0), batch["features"],
+                         batch["coords"], batch["valid"])
+        detect = make_voxelnext_detector(
+            model, var, TINY,
+            [KittiObjectClass.Car, KittiObjectClass.Pedestrian])
+        mesh = make_mesh(8, dp=8, tp=1)
+        clouds = np.stack([_cloud(rng) for _ in range(8)])
+        boxes, scores, labels, keep = shard_inference(detect.device_fn,
+                                                      mesh)(clouds)
+        assert boxes.shape == (8, TINY.top_k, 7)
+        assert np.isfinite(np.asarray(scores)).all()
+        # per-row outputs match the unsharded pipeline
+        b0 = detect.device_fn(jnp.asarray(clouds[3]))
+        np.testing.assert_allclose(np.asarray(boxes)[3],
+                                   np.asarray(b0[0]), atol=1e-5)
