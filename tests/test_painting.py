@@ -202,3 +202,44 @@ def test_painting_rig_rotated_and_baseline_calibrations(rng):
                                    rtol=1e-4, atol=0.3, err_msg=cam)
         np.testing.assert_allclose(np.asarray(v)[sel], uv[sel, 1],
                                    rtol=1e-4, atol=0.3, err_msg=cam)
+
+
+def test_painting_rig_waymo_loader(rng, tmp_path):
+    """The Waymo loader's rotate=True FLU pinhole calibrations (the
+    exact style the RQ factorization exists for) must pixel-match
+    project_points_to_camera through the rig."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    import dataset_fixtures as dfx
+
+    from d3d_tpu.dataset.waymo import WaymoLoader
+    from d3d_tpu.ops.painting import _project, painting_rig
+
+    dfx.build_waymo(tmp_path, nframes=1)
+    loader = WaymoLoader(tmp_path, phase="training", trainval_split=1.0)
+    calib = loader.calibration_data(0)
+    cams = [c for c in loader.VALID_CAM_NAMES
+            if c in calib.intrinsics]  # the fixture builds one camera
+    # the rig documentedly ignores lens distortion: compare against a
+    # distortion-free twin of the same calibration
+    for cam in cams:
+        meta = calib.intrinsics_meta[cam]
+        meta.distort_coeffs = np.asarray([])
+    ks, exts = painting_rig(calib, cams,
+                            frame_from=loader.VALID_LIDAR_NAMES[0])
+    pts = np.stack([rng.uniform(5, 40, 32), rng.uniform(-8, 8, 32),
+                    rng.uniform(-2, 1, 32)], axis=1)
+    for i, cam in enumerate(cams):
+        uv, mask, dmask = calib.project_points_to_camera(
+            pts, frame_to=cam, frame_from=loader.VALID_LIDAR_NAMES[0],
+            remove_outlier=False, return_dmask=True)
+        u, v, ahead = _project(jnp.asarray(pts, jnp.float32),
+                               jnp.asarray(ks[i]), jnp.asarray(exts[i]))
+        sel = np.zeros(len(pts), bool)
+        sel[dmask] = True
+        np.testing.assert_array_equal(np.asarray(ahead), sel, err_msg=cam)
+        np.testing.assert_allclose(np.asarray(u)[sel], uv[sel, 0],
+                                   rtol=1e-4, atol=0.5, err_msg=cam)
+        np.testing.assert_allclose(np.asarray(v)[sel], uv[sel, 1],
+                                   rtol=1e-4, atol=0.5, err_msg=cam)
