@@ -675,7 +675,15 @@ class TrackingEvaluator(DetectionEvaluator):
         tid spaces (KITTI tracking restarts ids at 0) that fabricates
         id switches at every boundary. (The reference sidesteps this by
         using one evaluator per multiprocessing worker and merging
-        pickled stats; ``add_stats`` composition works here too.)"""
+        pickled stats; ``add_stats`` composition works here too.)
+
+        .. note:: the per-TRAJECTORY tables behind ``tracked_ratio`` /
+           ``lost_ratio`` (MT/ML) are keyed by raw tid — exactly like
+           the reference's ``add_stats`` merge — so trajectories from
+           different sequences that share a tid merge into one row.
+           For correct MT/ML over multiple sequences give tids a
+           globally unique space (offset per sequence); id switches,
+           fragments, MOTA and AMOTA are unaffected either way."""
         self._clear_track_state()
 
     def _device_tables(self, dt_boxes, gt_boxes, nd):
@@ -784,15 +792,16 @@ class TrackingEvaluator(DetectionEvaluator):
         return out
 
     def calc_stats_sequence(self, gt_frames, dt_frames, calib=None,
-                            chunk=32):
+                            chunk=32, continue_sequence=False):
         """Evaluate a whole sequence with the device-match path and
         sequence-batched table precomputation, accumulating into this
         evaluator (frames stay ordered — the cross-frame id state
         requires it). Starts a fresh sequence (:meth:`new_sequence`) so
         back-to-back calls over different sequences do not leak id
-        state across the boundary. Returns the evaluator's merged
-        stats."""
-        self.new_sequence()
+        state across the boundary; pass ``continue_sequence=True`` when
+        streaming ONE long sequence through windowed calls so id
+        switches still count across the window boundary. Returns the
+        evaluator's merged stats."""
         # The tables are computed from the dt boxes AS MATCHED, so any
         # frame mismatch must be resolved BEFORE precomputation — a table
         # built on untransformed coordinates would silently mis-match.
@@ -805,6 +814,10 @@ class TrackingEvaluator(DetectionEvaluator):
                         "gt_boxes are in different frames!")
                 d = calib.transform_objects(d, frame_to=g.frame)
             aligned.append(d)
+        # clear id state only AFTER validation: a raising call must not
+        # destroy a mid-sequence evaluator's bookkeeping as a side effect
+        if not continue_sequence:
+            self.new_sequence()
         tables = self.precompute_tables(gt_frames, aligned, chunk=chunk)
         for g, d, t in zip(gt_frames, aligned, tables):
             self.add_stats(self.calc_stats(g, d, device_match=True,

@@ -41,6 +41,14 @@ class CenterTracker:
     def tracked_ids(self):
         return list(self._tracks)
 
+    def reset(self):
+        """Start a fresh sequence: drop all tracks and timestamps (tids
+        keep counting up — uniqueness across sequences)."""
+        self._tracks = {}
+        self._last_ts = None
+        self._last_ts_us = 0
+        self._last_frame = None
+
     def _thr(self, label):
         if isinstance(self._threshold, dict):
             return float(self._threshold[label])

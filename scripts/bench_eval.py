@@ -148,7 +148,6 @@ def bench_tracking(args, rng):
     ev_s = TrackingEvaluator(classes, [0.7, 0.5, 0.5])
     ev_s.calc_stats_sequence(wg, wd)
     ev_s.reset()
-    ev_s._clear_track_state()
     t0 = time.perf_counter()
     ev_s.calc_stats_sequence(gts, dts)
     seq_s = time.perf_counter() - t0

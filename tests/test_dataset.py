@@ -269,7 +269,6 @@ class TestKittiTracking:
                                            atol=0.02)
 
 
-
     def test_multi_sequence_evaluation(self, dataset):
         """Loader -> per-sequence calc_stats_sequence on ONE evaluator:
         KITTI tracking tids restart per sequence, so the automatic
@@ -590,4 +589,3 @@ def test_locate_windowed_frame_short_sequences():
         assert locate_windowed_frame(i, counts, nframes) == ("B", i)
     with pytest.raises(KeyError):
         locate_windowed_frame(5, counts, nframes)
-

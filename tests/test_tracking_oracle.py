@@ -142,3 +142,27 @@ def test_multi_sequence_no_id_leak():
             # accumulation — identical to rounding
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-9,
                                        equal_nan=True, err_msg=k)
+
+
+def test_windowed_continuation():
+    """continue_sequence=True: streaming one sequence through windowed
+    calc_stats_sequence calls must fingerprint-match the single call
+    (id state carries across the window boundary)."""
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_sequence(seed=31, nframes=12)
+    ev_a = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_a.calc_stats_sequence(gts, dts)
+    ev_b = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_b.calc_stats_sequence(gts[:6], dts[:6])
+    ev_b.calc_stats_sequence(gts[6:], dts[6:], continue_sequence=True)
+
+    fa = evaluator_fingerprint(ev_a)
+    fb = evaluator_fingerprint(ev_b)
+    for k in fa:
+        a, b = fa[k], fb[k]
+        if np.issubdtype(np.asarray(b).dtype, np.integer):
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-9,
+                                       equal_nan=True, err_msg=k)
