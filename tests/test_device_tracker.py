@@ -296,3 +296,34 @@ def test_reset_starts_fresh_sequence():
     rep = dev.report()
     assert len(rep) == 1
     assert rep[0].tid == 3  # tids keep counting across sequences
+
+
+@pytest.mark.parametrize("seed", [1, 7, 13])
+def test_trajectory_isomorphism_seeds(seed):
+    """Parity soak across seeds: separated random tracks (no borderline
+    distances) must produce identical trajectory signatures."""
+    rng = np.random.default_rng(seed)
+    ntr = 5
+    # centers snapped to a 6 m lattice: every cross-track distance is
+    # far from the 2 m gate, so f32-vs-f64 cannot flip a decision
+    pos = rng.permutation(36)[:ntr]
+    pos = np.stack([pos // 6, pos % 6], axis=1) * 6.0 - 15.0
+    vel = rng.normal(0, 1.0, (ntr, 2)).round(1)
+    host = CenterTracker(distance_threshold=2.0, lost_time=0.25)
+    dev = DeviceCenterTracker([CAR], distance_threshold=2.0,
+                              lost_time=0.25)
+    hr, dr = [], []
+    for f in range(6):
+        dets = [_det(pos[i][0] + 0.1 * f * vel[i][0],
+                     pos[i][1] + 0.1 * f * vel[i][1],
+                     vel[i][0], vel[i][1],
+                     score=0.5 + 0.08 * i)
+                for i in range(ntr) if not (f == 3 and i == seed % ntr)]
+        fr = _frame(dets, f * 100_000)
+        host.update(fr)
+        dev.update(fr)
+        hr.append(host.report())
+        dr.append(dev.report())
+    th, td = _trajectories(hr), _trajectories(dr)
+    assert sorted(map(tuple, th.values())) == \
+        sorted(map(tuple, td.values()))
