@@ -243,3 +243,25 @@ def test_painting_rig_waymo_loader(rng, tmp_path):
                                    rtol=1e-4, atol=0.5, err_msg=cam)
         np.testing.assert_allclose(np.asarray(v)[sel], uv[sel, 1],
                                    rtol=1e-4, atol=0.5, err_msg=cam)
+
+
+def test_painted_cloud_through_voxelnext(rng):
+    """Painted channels flow through the SPARSE family too (the voxel
+    means carry all point columns; _SpConv is input-dim agnostic)."""
+    from tests.test_voxelnext import TINY as VCFG, _cloud
+    from d3d_tpu.models import VoxelNeXt, voxelnext_voxelize
+    from d3d_tpu.ops.painting import paint_points
+
+    K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]],
+                 np.float32)
+    pts = _cloud(rng, n=1024)
+    img = rng.random((48, 64, 2)).astype(np.float32)
+    painted = paint_points(jnp.asarray(pts), jnp.asarray(img),
+                           jnp.asarray(K))
+    assert painted.shape == (1024, 6)
+    f, c, v = voxelnext_voxelize(painted, VCFG)
+    assert f.shape[-1] == 6  # per-voxel means of every channel
+    model = VoxelNeXt(VCFG)
+    var = model.init(jax.random.PRNGKey(0), f[None], c[None], v[None])
+    out = model.apply(var, f[None], c[None], v[None], train=False)
+    assert np.isfinite(np.asarray(out["heatmap"])).all()
