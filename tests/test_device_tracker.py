@@ -327,3 +327,31 @@ def test_trajectory_isomorphism_seeds(seed):
     th, td = _trajectories(hr), _trajectories(dr)
     assert sorted(map(tuple, th.values())) == \
         sorted(map(tuple, td.values()))
+
+
+def test_scan_sequence_exports(rng):
+    """The whole-sequence tracking scan serializes through jax.export
+    (the offline-tracking serving artifact)."""
+    from jax import export as jax_export
+    from d3d_tpu.tracking.device_tracker import (tracker_init,
+                                                 tracker_scan_sequence)
+
+    F, D = 4, 8
+    args = (tracker_init(16),
+            jnp.asarray(rng.normal(0, 10, (F, D, 7)), jnp.float32),
+            jnp.asarray(rng.random((F, D)), jnp.float32),
+            jnp.zeros((F, D), jnp.int32),
+            jnp.zeros((F, D, 3), jnp.float32),
+            jnp.ones((F, D), bool),
+            jnp.asarray([0.0, 0.1, 0.1, 0.1], jnp.float32),
+            jnp.asarray([2.0], jnp.float32),
+            jnp.float32(0.3))
+    sds = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                      args)
+    exp = jax_export.export(tracker_scan_sequence)(*sds)
+    re = jax_export.deserialize(exp.serialize())
+    want_final, _ = tracker_scan_sequence(*args)
+    got_final, _ = re.call(*args)
+    for k in want_final:
+        np.testing.assert_array_equal(np.asarray(got_final[k]),
+                                      np.asarray(want_final[k]), err_msg=k)
