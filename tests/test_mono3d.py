@@ -279,3 +279,15 @@ def test_batchnorm_folding(rng):
         np.testing.assert_allclose(np.asarray(got[k]),
                                    np.asarray(want[k]), rtol=0,
                                    atol=2e-5, err_msg=k)
+
+
+def test_bfloat16_forward(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, dtype="bfloat16")
+    model = Mono3D(cfg)
+    img = jnp.asarray(rng.random((1, 96, 128, 3)), jnp.float32)
+    var = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(var, img, train=False)
+    assert out["heatmap"].dtype == jnp.float32
+    assert all(np.isfinite(np.asarray(v)).all() for v in out.values())

@@ -276,3 +276,21 @@ class TestModel:
         b0 = detect.device_fn(jnp.asarray(clouds[3]))
         np.testing.assert_allclose(np.asarray(boxes)[3],
                                    np.asarray(b0[0]), atol=1e-5)
+
+    def test_bfloat16_forward(self, rng):
+        """The preset default dtype: bf16 compute stays finite and the
+        f32 decode contract holds."""
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, dtype="bfloat16")
+        batch = _batch(rng, b=1)
+        model = VoxelNeXt(cfg)
+        var = model.init(jax.random.PRNGKey(0), batch["features"],
+                         batch["coords"], batch["valid"])
+        out = model.apply(var, batch["features"], batch["coords"],
+                          batch["valid"], train=False)
+        assert out["heatmap"].dtype == jnp.float32
+        assert np.isfinite(np.asarray(out["heatmap"])).all()
+        boxes, scores, labels = decode_voxelnext(
+            cfg, jax.tree.map(lambda x: x[0], out))
+        assert np.isfinite(np.asarray(boxes)).all()
