@@ -193,3 +193,30 @@ class TestCropAndDist:
         assert abs(d[0, 1] - 0.1) < 1e-9
         assert abs(d[0, 2] + 0.5) < 1e-9
         assert abs(d[0, 3] + np.hypot(0.5, 0.5)) < 1e-9
+
+
+class TestNMSProperties:
+    @pytest.mark.parametrize("seed", [2, 9])
+    def test_keep_set_is_maximal_independent(self, seed):
+        """Greedy-NMS invariants on random inputs: (a) every kept pair
+        overlaps below the threshold; (b) every suppressed box overlaps
+        SOME kept box with a higher score at/above the threshold."""
+        rng = np.random.default_rng(seed)
+        n, thr = 96, 0.3
+        boxes = np.stack([
+            rng.random(n) * 30, rng.random(n) * 30,
+            rng.random(n) * 5 + 1, rng.random(n) * 5 + 1,
+            rng.random(n) * 6 - 3], axis=1).astype(np.float32)
+        scores = rng.random(n).astype(np.float32)
+        keep = np.asarray(box2d_nms(boxes, scores, iou_method="rbox",
+                                    iou_threshold=thr))  # KEEP mask
+        supp = ~keep
+        iou = np.asarray(box2d_iou(boxes, boxes, method="rbox"))
+        kidx = np.nonzero(keep)[0]
+        off = iou[np.ix_(kidx, kidx)].copy()
+        np.fill_diagonal(off, 0.0)
+        assert off.max() <= thr + 1e-6                       # (a)
+        for j in np.nonzero(supp)[0]:                        # (b)
+            cover = kidx[(iou[j, kidx] > thr)
+                         & (scores[kidx] >= scores[j])]
+            assert len(cover) > 0, j
