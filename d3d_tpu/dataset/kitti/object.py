@@ -23,8 +23,9 @@ from . import utils
 from .utils import KittiObjectClass
 
 __all__ = ["KittiObjectLoader", "load_label", "parse_label",
-           "dump_detection_output", "create_submission",
-           "execute_official_evaluator", "evaluate_detection_results"]
+           "create_submission", "execute_official_evaluator",
+           "evaluate_detection_results"]
+# (dump_detection_output is a KittiObjectLoader METHOD, not module-level)
 
 
 def load_label(basepath, file):
