@@ -13,7 +13,10 @@ Exits non-zero on any mismatch; prints the max abs deviation per kernel
 (0.0 = bit-identical, the expectation for the IoU tile kernel).
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
