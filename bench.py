@@ -12,6 +12,7 @@ measured by iterating the pipeline on device inside one jit because the dev
 tunnel's round-trip latency (tens of ms) dwarfs the kernel.
 """
 
+import argparse
 import json
 import time
 
@@ -54,10 +55,19 @@ def host_reference_ms(pts, boxes, scores):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--voxelizer", choices=["fm", "exact"], default="fm",
+                    help="fm = fixed-point feature-major (headline); exact ="
+                         " full-precision segmented-scan means "
+                         "(voxelize_mean_fm_exact)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
-    from d3d_tpu.ops.voxel import voxelize_mean_fm
+    from d3d_tpu.ops.voxel import voxelize_mean_fm, voxelize_mean_fm_exact
     from d3d_tpu.ops.nms import nms2d
+    voxelize = (voxelize_mean_fm if args.voxelizer == "fm"
+                else voxelize_mean_fm_exact)
 
     rng = np.random.default_rng(42)
     n = 120_000
@@ -88,7 +98,7 @@ def main():
         # feature-major fixed-point voxelizer (see ops/voxel.py:
         # voxelize_mean_fm — 2.8x the row-major path on v5e, 1000x less
         # mean error than the f32 cumsum-difference form)
-        vox = voxelize_mean_fm(points_fm, shape, bounds, 16000)
+        vox = voxelize(points_fm, shape, bounds, 16000)
         keep = ~nms2d(boxes, scores, iou_threshold=0.25, iou_method="rbox")
         return vox.aggregates, vox.coords, vox.nvoxels, keep
 
@@ -151,12 +161,15 @@ def main():
     ms = max(med - rtt, 0.5 * med) / REPS * 1e3
 
     ref_ms = host_reference_ms(pts, boxes, scores)
-    print(json.dumps({
+    out = {
         "metric": "voxelize+rotated-NMS, 120k-pt KITTI frame, end-to-end",
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(ref_ms / ms, 2),
-    }))
+    }
+    if args.voxelizer != "fm":
+        out["voxelizer"] = args.voxelizer
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,9 +37,13 @@ PROBE = ("import jax, jax.numpy as jnp; "
          "print(float((jnp.ones((256,256)) @ jnp.ones((256,256)))[0,0]))")
 
 STEPS = [
-    ("probe", [sys.executable, "-c", PROBE], 45),
+    # first tunnel contact regularly takes 60-120 s even when healthy
+    # (observed round 3); 45 s misclassified a live tunnel as down
+    ("probe", [sys.executable, "-c", PROBE], 150),
     ("kernels", [sys.executable, "scripts/tpu_kernel_parity.py"], 1200),
     ("bench", [sys.executable, "bench.py"], 1200),
+    ("bench_exact", [sys.executable, "bench.py", "--voxelizer", "exact"],
+     1200),
     ("train", [sys.executable, "scripts/bench_train.py"], 2400),
     ("eval", [sys.executable, "scripts/bench_eval.py", "--frames", "128"],
      1200),
