@@ -20,38 +20,37 @@ import numpy as np
 
 
 def host_reference_ms(pts, boxes, scores):
-    """Reference-style host pipeline: hash-map voxelization (dict insert per
-    point, like voxelize.cpp:94-158) + exact C++ rotated NMS."""
+    """Reference-style host pipeline, implemented the way the reference
+    builds it — compiled C++ for both stages: single-threaded hash-map
+    voxelization with mean reduction (native/voxel.cpp, reference-semantics
+    mirror of the reference's voxelize.cpp:46-199) + exact C++
+    Sutherland-Hodgman rotated NMS (native/geometry.cpp). Using the in-repo
+    C++ oracles rather than a Python loop keeps ``vs_baseline`` an honest
+    C++-vs-TPU ratio (round-3 VERDICT weak item #3)."""
     from d3d_tpu import native
 
+    if not native.available():
+        return float("nan")
+    shape = (432, 496, 1)
+    bounds = np.array([0.0, 69.12, -39.68, 39.68, -3.0, 1.0], np.float64)
+    pts64 = pts.astype(np.float64)
+    bx64 = boxes.astype(np.float64)
+    sc64 = scores.astype(np.float64)
+
     def run():
-        # single-threaded first-encounter voxelization, mean reduction
-        bmin = np.array([0.0, -39.68, -3.0])
-        vsize = np.array([69.12 / 432, 79.36 / 496, 4.0])
-        cell = ((pts[:, :3] - bmin) / vsize).astype(np.int64)
-        voxels = {}
-        sums = {}
-        for i in range(len(pts)):
-            c = (cell[i, 0], cell[i, 1], cell[i, 2])
-            if c in voxels:
-                voxels[c] += 1
-                sums[c] += pts[i]
-            elif len(voxels) < 16000:
-                voxels[c] = 1
-                sums[c] = pts[i].copy()
-        agg = {c: s / voxels[c] for c, s in sums.items()}
-        if native.available():
-            keep = native.nms2d(boxes.astype(np.float64),
-                                scores.astype(np.float64),
-                                iou_method="rbox", iou_threshold=0.25)
-        else:
-            keep = None
-        return agg, keep
+        vox = native.voxelize_dense(pts64, shape, bounds, max_points=1,
+                                    max_voxels=16000, reduction="mean")
+        keep = native.nms2d(bx64, sc64, iou_method="rbox",
+                            iou_threshold=0.25)
+        return vox, keep
 
     run()  # warmup
-    t0 = time.perf_counter()
-    run()
-    return (time.perf_counter() - t0) * 1e3
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
 
 
 def main():
@@ -95,9 +94,11 @@ def main():
     from jax import lax
 
     def pipeline(points_fm, boxes, scores):
-        # feature-major fixed-point voxelizer (see ops/voxel.py:
-        # voxelize_mean_fm — 2.8x the row-major path on v5e, 1000x less
-        # mean error than the f32 cumsum-difference form)
+        # `voxelize` is the --voxelizer selection: the default "fm" path is
+        # the feature-major fixed-point voxelizer (ops/voxel.py:
+        # voxelize_mean_fm — 2.8x the row-major path on v5e, 1000x less mean
+        # error than the f32 cumsum-difference form); "exact" swaps in the
+        # full-precision segmented-scan voxelize_mean_fm_exact.
         vox = voxelize(points_fm, shape, bounds, 16000)
         keep = ~nms2d(boxes, scores, iou_threshold=0.25, iou_method="rbox")
         return vox.aggregates, vox.coords, vox.nvoxels, keep

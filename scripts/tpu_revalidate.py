@@ -4,12 +4,16 @@ checklist" as a single resumable command.
 Usage: python scripts/tpu_revalidate.py [--out /tmp/tpu_revalidate.json]
        [--only STEP[,STEP...]]
 
-Probes the tunnel first (45 s trivial-matmul timeout in a subprocess so a
-wedged tunnel cannot hang the runner), then executes, in order:
+Probes the tunnel first (150 s trivial-matmul timeout in a subprocess so a
+wedged tunnel cannot hang the runner; first contact regularly takes
+60-120 s even when healthy), then executes, in order:
 
-  probe    trivial matmul answers within 45 s
+  probe    trivial matmul answers within 150 s
   kernels  scripts/tpu_kernel_parity.py — the Pallas kernels compiled by
            Mosaic on the chip vs their XLA / host oracles
+  sparse_mosaic  scripts/tpu_sparse_parity.py — the fused Pallas
+           submanifold conv lowered through real Mosaic (fwd/grad/bf16
+           vs the XLA gather+einsum path)
   bench    python bench.py (headline north-star JSON line)
   train    scripts/bench_train.py (flagship configs incl. bf16 ext-targets)
   eval     scripts/bench_eval.py + --tracking (per-frame numbers)
@@ -41,6 +45,7 @@ STEPS = [
     # (observed round 3); 45 s misclassified a live tunnel as down
     ("probe", [sys.executable, "-c", PROBE], 150),
     ("kernels", [sys.executable, "scripts/tpu_kernel_parity.py"], 1200),
+    ("sparse_mosaic", [sys.executable, "scripts/tpu_sparse_parity.py"], 1200),
     ("bench", [sys.executable, "bench.py"], 1200),
     ("bench_exact", [sys.executable, "bench.py", "--voxelizer", "exact"],
      1200),
