@@ -244,11 +244,15 @@ def test_pcl_visualizer_branch(monkeypatch):
         def addText3D(self, *a, **kw):
             calls.append(("text", a, kw))
 
+        def addLine(self, *a, **kw):
+            calls.append(("line", a, kw))
+
     from d3d_tpu.vis.pcl import visualize_detections
 
     visualize_detections(_Vis(), "velo", _targets(), None, id_colored=True)
     kinds = [c[0] for c in calls]
     assert kinds.count("cube") == 2 and kinds.count("text") == 2
+    assert kinds.count("line") == 4  # 2 orientation-arrow lines per box
     # quaternion passed w-first
     quat = calls[0][1][1]
     assert len(quat) == 4 and abs(np.linalg.norm(quat) - 1) < 1e-6
@@ -265,7 +269,8 @@ def test_pcl_mpl_fallback():
     fig = plt.figure()
     ax = fig.add_subplot(projection="3d")
     visualize_detections(ax, "velo", _targets(), None)
-    assert len(ax.lines) == 24  # 12 wireframe edges per box
+    # 12 wireframe edges + 2 orientation-arrow lines per box
+    assert len(ax.lines) == 28
     plt.close(fig)
 
 
