@@ -149,12 +149,19 @@ class _WindowBlock(nn.Module):
     """Pre-norm windowed MHSA + MLP on (B, Nw, K, C) token grids.
 
     ``moe_experts > 0`` swaps the dense MLP for a Switch-MoE
-    (:func:`d3d_tpu.parallel.moe.moe_mlp`): padding slots are masked out
-    of routing, the load-balance aux is sown into the ``losses``
-    collection (picked up by ``make_train_step``), and
-    ``moe_constrain`` (see
-    :func:`~d3d_tpu.parallel.mesh.expert_constrain`) shards the expert
-    compute over an ``ep`` mesh axis."""
+    (:func:`d3d_tpu.parallel.moe.moe_mlp`) — run on COMPACT PILLAR ROWS,
+    not on the padded window-slot grid: the MLP is pointwise and
+    detokenization is a permutation of the real tokens, so routing after
+    detok is the same math while the dispatch tensors scale with the
+    ~12k real pillars instead of the ~214k window slots (an 18x compiled-
+    memory cut at sst_kitti scale — measured 172 GB -> single-digit GB by
+    scripts/aot_parallel_scale.py). The caller passes
+    ``pillar=(pf, valid, slot, nwcap)`` and receives the UPDATED PILLAR
+    FEATURES instead of tokens; overflow pillars (no window slot) now
+    also get the expert MLP, which only adds coverage. The load-balance
+    aux is sown into ``losses`` (picked up by ``make_train_step``) and
+    ``moe_constrain`` (:func:`~d3d_tpu.parallel.mesh.expert_constrain`)
+    shards the expert compute over an ``ep`` mesh axis."""
 
     num_heads: int
     mlp_ratio: int
@@ -165,7 +172,7 @@ class _WindowBlock(nn.Module):
     moe_constrain: Callable = None
 
     @nn.compact
-    def __call__(self, tok, tmask):
+    def __call__(self, tok, tmask, pillar=None):
         dt = jnp.dtype(self.dtype)
         c = tok.shape[-1]
         hd = c // self.num_heads
@@ -183,10 +190,14 @@ class _WindowBlock(nn.Module):
         out = out.reshape(*tok.shape[:-1], c)
         tok = tok + nn.Dense(c, dtype=dt, name="proj")(out)
 
-        y = nn.LayerNorm(dtype=jnp.float32)(tok)
         if self.moe_experts:
             from ..parallel.moe import moe_mlp
 
+            assert pillar is not None, \
+                "MoE blocks route on pillar rows: pass pillar=(pf, valid," \
+                " slot, nwcap)"
+            pf, valid, slot, nwcap = pillar
+            pf = detok_tokens(pf, tok, slot, nwcap)
             e, h = self.moe_experts, self.mlp_ratio * c
             init = nn.initializers.lecun_normal()
             p = {
@@ -198,11 +209,13 @@ class _WindowBlock(nn.Module):
             }
             p = {k: v.astype(dt) if k != "router" else v
                  for k, v in p.items()}
+            y = nn.LayerNorm(dtype=jnp.float32)(pf)
             y2, aux = moe_mlp(p, y.astype(dt), self.moe_capacity,
-                              mask=tmask, constrain=self.moe_constrain,
+                              mask=valid, constrain=self.moe_constrain,
                               group_size=self.moe_group)
             self.sow("losses", "moe_aux", aux)
-            return tok + y2
+            return pf + y2  # y2 is already zero on invalid rows
+        y = nn.LayerNorm(dtype=jnp.float32)(tok)
         y = nn.Dense(self.mlp_ratio * c, dtype=dt, name="mlp1")(y.astype(dt))
         y = nn.Dense(c, dtype=dt, name="mlp2")(nn.gelu(y))
         return tok + y
@@ -251,15 +264,21 @@ class SST(nn.Module):
                                             cfg.capacity, shift)
             )(coords, valid)
             tok, tmask = route_tokens(pf, inv, cfg.capacity)
-            tok = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+            blk = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
                                moe_experts=cfg.moe_experts,
                                moe_capacity=cfg.moe_capacity,
                                moe_group=cfg.moe_group,
                                moe_constrain=self.moe_constrain,
-                               name=f"block{d}")(tok, tmask)
-            # detokenize: slot gather; overflow pillars keep their
-            # residual-path features (slot == trash reads the zero row)
-            pf = detok_tokens(pf, tok, slot, inv.shape[1])
+                               name=f"block{d}")
+            if cfg.moe_experts:
+                # MoE blocks detok internally and route the expert MLP on
+                # the compact pillar rows (see _WindowBlock docstring)
+                pf = blk(tok, tmask, pillar=(pf, valid, slot, inv.shape[1]))
+            else:
+                tok = blk(tok, tmask)
+                # detokenize: slot gather; overflow pillars keep their
+                # residual-path features (slot == trash reads the zero row)
+                pf = detok_tokens(pf, tok, slot, inv.shape[1])
         if self.stage == "trunk":
             return pf
         pf = pf * valid[..., None].astype(pf.dtype)
@@ -327,6 +346,11 @@ def pipeline_sst_trunk(variables, cfg: SSTConfig, mesh, pf_mb, coords_mb,
         nwcap=jnp.asarray([par[d % 2][2] for d in range(depth)],
                           jnp.int32),
     )
+    if cfg.moe_experts:
+        # the expert MLP routes on pillar rows and masks by validity —
+        # carry the (M, mb, P) mask as per-depth stage state like the
+        # routing tables (it shards its microbatch dim the same way)
+        state["valid"] = jnp.stack([valid_mb] * depth)
     block = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
                          moe_experts=cfg.moe_experts,
                          moe_capacity=cfg.moe_capacity,
@@ -338,6 +362,11 @@ def pipeline_sst_trunk(variables, cfg: SSTConfig, mesh, pf_mb, coords_mb,
         iv = jax.lax.dynamic_index_in_dim(st["inv"], mb, 0,
                                           keepdims=False)
         tok, tmask = route_tokens(pf, iv, cfg.capacity)
+        if cfg.moe_experts:
+            vl = jax.lax.dynamic_index_in_dim(st["valid"], mb, 0,
+                                              keepdims=False)
+            return block.apply({"params": st["params"]}, tok, tmask,
+                               pillar=(pf, vl, sl, st["nwcap"]))
         tok = block.apply({"params": st["params"]}, tok, tmask)
         return detok_tokens(pf, tok, sl, st["nwcap"])
 
@@ -351,5 +380,7 @@ def pipeline_sst_trunk(variables, cfg: SSTConfig, mesh, pf_mb, coords_mb,
         inv=P(axis, None, batch_axis),
         nwcap=P(axis),
     )
+    if cfg.moe_experts:
+        specs["valid"] = P(axis, None, batch_axis)
     return pipeline_apply(stage, state, pf_mb, mesh, axis=axis,
                           batch_axis=batch_axis, state_specs=specs)

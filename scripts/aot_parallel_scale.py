@@ -1,0 +1,177 @@
+"""AOT-compile the pp / ep workloads at REALISTIC scale and report the
+compiled memory figures (round-3 VERDICT next-round item 7: the dryrun
+proves correctness at toy shapes; this proves the parallelism claims
+compile at KITTI-scale token counts).
+
+Workloads, over a virtual 8-device CPU mesh (sharding semantics are
+platform-independent; the driver's dryrun runs the same mesh):
+
+  pp    pipeline_sst_trunk at sst_kitti scale (12000 pillars x 128 ch,
+        depth-4 trunk, 1 block/rank over pp=4; also dp2 x pp4), GPipe
+        microbatch schedule — compile only, no execution
+  ep    the SST-MoE sharded train step at sst_kitti scale with
+        moe_experts=8 over dp4 x ep2 (96k tokens/step, grouped GShard
+        dispatch bounded by moe_group) — compile only
+
+Prints per-config: argument/output/temp bytes from XLA's
+memory_analysis, generated-code size and compile wall time. Append the
+table to docs/performance.rst ("parallelism at scale").
+
+Usage: python scripts/aot_parallel_scale.py [--workload pp|ep|both]
+       [--depth 4] [--batch 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+flags = [t for t in os.environ.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in t]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _mem_report(name, lowered, compiled, dt):
+    try:
+        ma = compiled.memory_analysis()
+        stats = dict(
+            argument_mb=round(ma.argument_size_in_bytes / 2**20, 1),
+            output_mb=round(ma.output_size_in_bytes / 2**20, 1),
+            temp_mb=round(ma.temp_size_in_bytes / 2**20, 1),
+            code_mb=round(ma.generated_code_size_in_bytes / 2**20, 1),
+        )
+    except Exception as e:  # backend without memory stats
+        stats = dict(error=str(e)[:120])
+    stats["compile_s"] = round(dt, 1)
+    print(f"{name}: {json.dumps(stats)}", flush=True)
+    return stats
+
+
+def run_pp(depth, batch):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from d3d_tpu.models.presets import sst_kitti
+    from d3d_tpu.models.sst import SST, pipeline_sst_trunk
+    from d3d_tpu.parallel.pipeline import make_pp_mesh, microbatch
+
+    cfg = dataclasses.replace(sst_kitti(), depth=depth)
+    p, c = cfg.max_pillars, cfg.pfn_features
+    nmb = 4
+
+    # symbolic shapes only — nothing is materialized or executed
+    feats = jax.ShapeDtypeStruct((batch, p, cfg.max_points_per_pillar, 10),
+                                 jnp.float32)
+    coords = jax.ShapeDtypeStruct((batch, p, 2), jnp.int32)
+    valid = jax.ShapeDtypeStruct((batch, p), jnp.bool_)
+    variables = jax.eval_shape(SST(cfg).init, jax.random.PRNGKey(0),
+                               feats, coords, valid)
+    pf = jax.ShapeDtypeStruct((batch, p, c), jnp.float32)
+
+    out = {}
+    for dp in (1, 2):
+        mesh = make_pp_mesh(4, dp=dp)
+        baxis = "dp" if dp > 1 else None
+
+        def fn(variables, pf, coords, valid):
+            return pipeline_sst_trunk(
+                variables, cfg, mesh, microbatch(pf, nmb),
+                microbatch(coords, nmb), microbatch(valid, nmb),
+                batch_axis=baxis)
+
+        t0 = time.time()
+        lowered = jax.jit(fn).lower(variables, pf, coords, valid)
+        compiled = lowered.compile()
+        label = f"pp4{' x dp2' if dp > 1 else ''} trunk depth={depth} " \
+                f"P={p} C={c} B={batch} M={nmb}"
+        out[label] = _mem_report(label, lowered, compiled, time.time() - t0)
+    return out
+
+
+def run_ep(depth, batch, group=None, experts=8, remat=False):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh
+
+    from d3d_tpu.models import SST, make_anchors, make_train_step
+    from d3d_tpu.models.presets import sst_kitti
+    from d3d_tpu.parallel import expert_constrain, shard_train_step
+
+    cfg = dataclasses.replace(sst_kitti(), depth=depth, moe_experts=experts)
+    if group:
+        cfg = dataclasses.replace(cfg, moe_group=group)
+    p = cfg.max_pillars
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                axis_names=("dp", "ep"))
+    model = SST(cfg, moe_constrain=expert_constrain(mesh))
+
+    feats = jax.ShapeDtypeStruct((batch, p, cfg.max_points_per_pillar, 10),
+                                 jnp.float32)
+    coords = jax.ShapeDtypeStruct((batch, p, 2), jnp.int32)
+    valid = jax.ShapeDtypeStruct((batch, p), jnp.bool_)
+    m = 32
+    batch_sds = dict(
+        features=feats, coords=coords, valid=valid,
+        gt_boxes=jax.ShapeDtypeStruct((batch, m, 7), jnp.float32),
+        gt_labels=jax.ShapeDtypeStruct((batch, m), jnp.int32),
+        gt_mask=jax.ShapeDtypeStruct((batch, m), jnp.bool_),
+    )
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               feats, coords, valid)
+    opt = optax.adam(1e-3)
+    opt_state = jax.eval_shape(opt.init, variables["params"])
+
+    step = shard_train_step(
+        make_train_step(model, opt, cfg, make_anchors(cfg), remat=remat),
+        mesh, donate=False)
+    t0 = time.time()
+    lowered = jax.jit(step).lower(variables["params"],
+                                  variables["batch_stats"], opt_state,
+                                  batch_sds)
+    compiled = lowered.compile()
+    tokens = batch * p
+    label = (f"dp4 x ep2 SST{'-MoE' if experts else ''} train "
+             f"experts={cfg.moe_experts} group={cfg.moe_group} "
+             f"tokens={tokens} depth={depth} remat={remat}")
+    return {label: _mem_report(label, lowered, compiled, time.time() - t0)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="both", choices=["pp", "ep", "both"])
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--group", type=int, default=None,
+                    help="override SSTConfig.moe_group for the ep workload")
+    ap.add_argument("--experts", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized backward for the ep workload")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    print("devices:", len(jax.devices()), flush=True)
+
+    results = {}
+    if args.workload in ("pp", "both"):
+        results.update(run_pp(args.depth, args.batch))
+    if args.workload in ("ep", "both"):
+        results.update(run_ep(args.depth, args.batch, args.group,
+                              args.experts, args.remat))
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
