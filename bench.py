@@ -57,7 +57,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--voxelizer", choices=["fm", "exact"], default="fm",
                     help="fm = fixed-point feature-major (headline); exact ="
-                         " full-precision segmented-scan means "
+                         " full-precision two-limb integer means "
                          "(voxelize_mean_fm_exact)")
     args = ap.parse_args()
 
@@ -98,7 +98,7 @@ def main():
         # the feature-major fixed-point voxelizer (ops/voxel.py:
         # voxelize_mean_fm — 2.8x the row-major path on v5e, 1000x less mean
         # error than the f32 cumsum-difference form); "exact" swaps in the
-        # full-precision segmented-scan voxelize_mean_fm_exact.
+        # full-precision two-limb-integer voxelize_mean_fm_exact.
         vox = voxelize(points_fm, shape, bounds, 16000)
         keep = ~nms2d(boxes, scores, iou_threshold=0.25, iou_method="rbox")
         return vox.aggregates, vox.coords, vox.nvoxels, keep

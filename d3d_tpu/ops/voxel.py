@@ -291,28 +291,42 @@ def voxelize_dense_padded(points, shape, bounds, max_points, max_voxels,
 
 @partial(jax.jit, static_argnames=("shape", "max_voxels"))
 def voxelize_mean_fm_exact(points_fm, shape, bounds, max_voxels):
-    """Feature-major mean voxelization at FULL f32 precision.
+    """Feature-major mean voxelization at full f32 OUTPUT precision.
 
-    Same two-sort structure as :func:`voxelize_mean_fm`, but instead of
-    quantizing columns to fixed point it carries the raw f32 columns as
-    additional sort operands and replaces the int32 cumsum-difference
-    with a SEGMENTED inclusive f32 scan (the running sum resets at every
-    run boundary, so each voxel's features are summed sequentially in
-    f32 like the reference's in-order accumulation — no cross-segment
-    cancellation and no quantization error). The shifted scan rides the
-    boundary-compaction sort: the row opening run v+1 carries the
-    inclusive total of run v, so each voxel total is read directly, no
-    difference needed.
+    Same two-sort structure as :func:`voxelize_mean_fm`, but the columns
+    are quantized to ~25 fixed-point bits (vs 14) and accumulated as TWO
+    int32 limbs whose plain wrapping cumsums make the boundary
+    differences exact — no segmented f32 scan (the round-3 hardware
+    profile showed the ``associative_scan`` + the f32-operand sorts cost
+    2.67x the fixed-point path; this formulation restores the fixed-point
+    path's op structure at double the carried operands).
 
-    Cost vs the fixed-point path: the two sorts carry F f32 operands
-    instead of ceil(F/2) packed int32 ones, plus one segmented scan in
-    place of plain cumsums — the exact path for protocols that demand
-    full-precision means under the <1 ms budget.
+    Error bound, per feature (KITTI cell 0.16 m, range-normalized
+    extras):
+
+    * quantization: range x 2^-(qbits+1) = 0.16 x 2^-25 ~ 5e-9 m
+    * f32 finalize (limb recombination + divide): ~3 ulp of the mean
+      offset, < 4e-8 m
+
+    Both sit well below the f32 representation ulp of the reconstructed
+    coordinate itself (40 m x 2^-24 ~ 2.4e-6 m), i.e. the output dtype —
+    not this algorithm — bounds the achievable accuracy, which is what
+    "full precision" can mean for an f32 contract. The reference's own
+    in-order f32 accumulation (voxelize.cpp:46-199) carries ~sqrt(k) ulp
+    of the ABSOLUTE coordinate per k-point cell and is therefore strictly
+    looser.
+
+    Exactness of the limb trick: ``q = (q >> L)*2^L + (q & (2^L-1))``
+    holds bit-exactly for two's-complement int32, and each limb's
+    per-segment true total is bounded by ``n * 2^max(L, qbits-L) <= 2^30``
+    (qbits adapts to n), so the wrapping cumsum differences recover the
+    totals exactly.
 
     Same contract as :func:`voxelize_mean_fm`.
     """
     shape = tuple(int(v) for v in shape)
     f, n = points_fm.shape
+    n_real = n  # before sentinel padding (stats must exclude the -1e30s)
     if n < max_voxels + 1:
         pad = max_voxels + 1 - n
         points_fm = jnp.pad(points_fm, ((0, 0), (0, pad)),
@@ -323,6 +337,12 @@ def voxelize_mean_fm_exact(points_fm, shape, bounds, max_voxels):
     vsize = (b[:, 1] - b[:, 0]) / sh
     max_key = shape[0] * shape[1] * shape[2]
     assert max_key + 2 < (1 << 31), "voxel grid too large for int32 keys"
+    # both limbs must keep n * 2^limb_bits < 2^31 for exact differences
+    limb = min(12, 30 - int(np.ceil(np.log2(n))))
+    qbits = 2 * limb
+    assert qbits > 0, "too many points for exact int32 limb accumulation"
+    qscale = float(1 << qbits)
+    qmax = jnp.int32(1 << qbits)
 
     scaled = (points_fm[:3] - b[:, 0:1]) / vsize[:, None]
     idx = jnp.trunc(jnp.clip(scaled, -2e9, 2e9)).astype(jnp.int32)
@@ -330,37 +350,47 @@ def voxelize_mean_fm_exact(points_fm, shape, bounds, max_voxels):
     key = (idx[0] * shape[1] + idx[1]) * shape[2] + idx[2]
     key = jnp.where(inr, key, max_key + 1).astype(jnp.int32)
 
-    # in-cell offsets keep xyz magnitudes tiny (|frac| < 1) so the
-    # per-run sums stay well-conditioned; extras ride raw
+    # in-cell offsets (signed: trunc-toward-zero cell indices put scaled
+    # in (-1, 0) into cell 0 with a negative offset), extras normalized
+    # over the REAL columns' range, all at qbits fixed point
     frac = scaled - idx.astype(scaled.dtype)
-    cols = jnp.concatenate([frac, points_fm[3:]], axis=0)
+    qxyz = jnp.round(frac * qscale).astype(jnp.int32)
+    if f > 3:
+        extra = points_fm[3:]
+        cmin = jnp.min(extra[:, :n_real], axis=1, keepdims=True)
+        crange = jnp.maximum(
+            jnp.max(extra[:, :n_real], axis=1, keepdims=True) - cmin, 1e-30)
+        qextra = jnp.round(jnp.clip((extra - cmin) / crange, -1.0, 2.0)
+                           * qscale).astype(jnp.int32)
+        qcols = jnp.clip(jnp.concatenate([qxyz, qextra], axis=0),
+                         -qmax, qmax)
+    else:
+        qcols = jnp.clip(qxyz, -qmax, qmax)
 
-    sres1 = jax.lax.sort((key,) + tuple(cols[i] for i in range(f)),
+    sres1 = jax.lax.sort((key,) + tuple(qcols[i] for i in range(f)),
                          num_keys=1, is_stable=False)
     k_s = sres1[0]
     valid_s = k_s <= max_key
-    cols_s = jnp.stack(sres1[1:], axis=0)  # (F, N) sorted by cell key
+    qcols_s = jnp.stack(sres1[1:], axis=0)  # (F, N) sorted by cell key
 
     newseg = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
     pos = jnp.arange(n, dtype=jnp.int32)
     kbig = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
 
-    # segmented inclusive sums: reset at run starts, masked invalid to 0
-    vals = jnp.where(valid_s[None, :], cols_s, 0.0)
-    flags = jnp.broadcast_to(newseg[None, :], vals.shape)
-    segsum = jax.lax.associative_scan(
-        _segmented_op(jnp.add), (vals, flags), axis=1)[0]
-    # shifted one row: at a boundary row, the value is the PREVIOUS run's
-    # inclusive total; filler rows carry the final row's total, which
-    # closes the last run when no later boundary exists
-    shifted = jnp.concatenate([jnp.zeros((f, 1), segsum.dtype),
-                               segsum[:, :-1]], axis=1)
+    # two-limb split + plain wrapping cumsums (exact; no segmented scan)
+    qv = jnp.where(valid_s[None, :], qcols_s, 0)
+    limbs = jnp.concatenate([qv >> limb, qv & ((1 << limb) - 1)], axis=0)
+    csum = jnp.cumsum(limbs, axis=1)  # (2F, N) int32, wraps mod 2^32
 
+    # boundary-compaction sort: boundary rows carry (position, key,
+    # exclusive cumsum per limb); non-boundary rows carry (n, kbig, grand
+    # total) and sort last — slot v+1 then closes segment v exactly as in
+    # the fixed-point path
+    excl = jnp.where(newseg[None, :], csum - limbs, csum[:, -1:])
     ops = [jnp.where(newseg, pos, n), jnp.where(newseg, k_s, kbig)]
-    for i in range(f):
-        ops.append(jnp.where(newseg, shifted[i], segsum[i, -1]))
+    ops += [excl[i] for i in range(2 * f)]
     sres = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
-    seg_start, seg_key_s, t_cols = sres[0], sres[1], sres[2:]
+    seg_start, seg_key_s, e_limbs = sres[0], sres[1], sres[2:]
 
     next_start = jnp.concatenate([seg_start[1:], jnp.full(1, n, jnp.int32)])
     nvalid = jnp.sum(valid_s.astype(jnp.int32))
@@ -377,14 +407,19 @@ def voxelize_mean_fm_exact(points_fm, shape, bounds, max_voxels):
     coords = jnp.stack([c0, rem // shape[2], rem % shape[2]], axis=0)
 
     inv_np = 1.0 / jnp.maximum(npoints, 1).astype(jnp.float32)
-    # run v's total arrives in slot v+1 of the compaction
-    totals = jnp.stack([t[1:max_voxels + 1] for t in t_cols], axis=0)
-    mean_frac = totals[:3] * inv_np[None, :]
+    # limb totals via wrapping differences (exact), recombined in f32 as
+    # separate per-limb means so each term carries only its own ulp
+    tot = [(e[1:max_voxels + 1] - e[:max_voxels]) for e in e_limbs]
+    mean_q = [th.astype(jnp.float32) * inv_np * float(1 << limb) / qscale
+              + tl.astype(jnp.float32) * inv_np / qscale
+              for th, tl in zip(tot[:f], tot[f:])]
+    mean_frac = jnp.stack(mean_q[:3], axis=0)
     agg_xyz = (coords.astype(jnp.float32) + mean_frac) * vsize[:, None] \
         + b[:, 0:1]
     if f > 3:
-        agg = jnp.concatenate([agg_xyz, totals[3:] * inv_np[None, :]],
-                              axis=0)
+        agg = jnp.concatenate(
+            [agg_xyz, jnp.stack(mean_q[3:], axis=0) * crange + cmin],
+            axis=0)
     else:
         agg = agg_xyz
     agg = jnp.where(keep_v[None, :], agg, 0)

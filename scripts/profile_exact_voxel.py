@@ -6,11 +6,13 @@ progressively truncated variants of the exact path plus the fixed-point
 headline path for reference:
 
   key        key computation + in-range mask only
-  sort1      + the first sort (key + F f32 columns)
+  sort1      the ROUND-3 exact form's first sort (key + F f32 columns)
   sort1_fm   the fixed-point sort1 (key + ceil(F/2) packed int32)
-  scan       + the segmented f32 inclusive scan
+  sort1_q    the CURRENT exact form's sort1 (key + F int32 q25 columns)
+  scan       + the round-3 segmented f32 inclusive scan (historical)
   cumsum     (the fm path's plain int32 cumsums at the same operand count)
-  full       the complete exact voxelizer
+  limbs      sort1_q + two-limb split + 2F plain int32 cumsums (current)
+  full       the complete exact voxelizer (current two-limb form)
   full_fm    the complete fixed-point voxelizer
 
 Also captures a jax.profiler xplane trace of the full exact path; feed
@@ -113,6 +115,28 @@ def main():
         csums = [jnp.cumsum(c) for c in qcols]
         return k_s + csums[0] + csums[1] + csums[2] + csums[3]
 
+    def stage_sort1_q(points_fm):
+        key, frac = keys_of(points_fm)
+        q = jnp.round(frac * 2.0 ** 24).astype(jnp.int32)
+        extra = jnp.round(points_fm[3:] * 2.0 ** 24).astype(jnp.int32)
+        qcols = jnp.concatenate([q, extra], axis=0)
+        out = lax.sort((key,) + tuple(qcols[i] for i in range(4)),
+                       num_keys=1, is_stable=False)
+        return out[0] + out[1]
+
+    def stage_limbs(points_fm):
+        key, frac = keys_of(points_fm)
+        q = jnp.round(frac * 2.0 ** 24).astype(jnp.int32)
+        extra = jnp.round(points_fm[3:] * 2.0 ** 24).astype(jnp.int32)
+        qcols = jnp.concatenate([q, extra], axis=0)
+        out = lax.sort((key,) + tuple(qcols[i] for i in range(4)),
+                       num_keys=1, is_stable=False)
+        k_s = out[0]
+        qv = jnp.stack(out[1:], axis=0)
+        limbs = jnp.concatenate([qv >> 12, qv & 4095], axis=0)
+        csum = jnp.cumsum(limbs, axis=1)
+        return k_s + jnp.sum(csum[:, -1])
+
     def stage_full(points_fm):
         out = voxelize_mean_fm_exact(points_fm, SHAPE, bounds, MAXV)
         return (jnp.sum(out.aggregates[0, :8]).astype(jnp.int32)
@@ -127,8 +151,10 @@ def main():
         ("key", stage_key),
         ("sort1", stage_sort1),
         ("sort1_fm", stage_sort1_fm),
+        ("sort1_q", stage_sort1_q),
         ("scan", stage_scan),
         ("cumsum", stage_cumsum),
+        ("limbs", stage_limbs),
         ("full", stage_full),
         ("full_fm", stage_full_fm),
     ]
@@ -175,11 +201,14 @@ def main():
 
     print("\ndeltas:", flush=True)
     print(f"  sort1 - key        = {results['sort1'] - results['key']:.4f} ms"
-          f"   (vs fm: {results['sort1_fm'] - results['key']:.4f})")
+          f"   (fm: {results['sort1_fm'] - results['key']:.4f}, "
+          f"q25: {results['sort1_q'] - results['key']:.4f})")
     print(f"  scan  - sort1      = {results['scan'] - results['sort1']:.4f} ms"
-          f"   (vs plain int32 cumsums: "
-          f"{results['cumsum'] - results['sort1']:.4f})")
-    print(f"  rest (sort2+final) = {results['full'] - results['scan']:.4f} ms")
+          f"   (plain int32 cumsums: "
+          f"{results['cumsum'] - results['sort1']:.4f}, "
+          f"two-limb cumsums: {results['limbs'] - results['sort1_q']:.4f})")
+    print(f"  rest (sort2+final) = {results['full'] - results['limbs']:.4f} "
+          f"ms")
     print(f"  full exact / fm    = {results['full']:.4f} / "
           f"{results['full_fm']:.4f} ms")
 

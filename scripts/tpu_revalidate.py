@@ -4,11 +4,13 @@ checklist" as a single resumable command.
 Usage: python scripts/tpu_revalidate.py [--out /tmp/tpu_revalidate.json]
        [--only STEP[,STEP...]]
 
-Probes the tunnel first (150 s trivial-matmul timeout in a subprocess so a
+Probes the tunnel first (300 s trivial-matmul timeout in a subprocess so a
 wedged tunnel cannot hang the runner; first contact regularly takes
-60-120 s even when healthy), then executes, in order:
+60-120 s even when healthy, and host CPU contention can double that;
+the probe retries up to 3 times before aborting), then executes, in
+order:
 
-  probe    trivial matmul answers within 150 s
+  probe    trivial matmul answers within 300 s (3 attempts)
   kernels  scripts/tpu_kernel_parity.py — the Pallas kernels compiled by
            Mosaic on the chip vs their XLA / host oracles
   sparse_mosaic  scripts/tpu_sparse_parity.py — the fused Pallas
@@ -43,7 +45,7 @@ PROBE = ("import jax, jax.numpy as jnp; "
 STEPS = [
     # first tunnel contact regularly takes 60-120 s even when healthy
     # (observed round 3); 45 s misclassified a live tunnel as down
-    ("probe", [sys.executable, "-c", PROBE], 150),
+    ("probe", [sys.executable, "-c", PROBE], 300),
     ("kernels", [sys.executable, "scripts/tpu_kernel_parity.py"], 1200),
     ("sparse_mosaic", [sys.executable, "scripts/tpu_sparse_parity.py"], 1200),
     ("bench", [sys.executable, "bench.py"], 1200),
@@ -92,9 +94,15 @@ def main():
         if only is not None and name not in only:
             continue
         report[name] = run_step(name, cmd, timeout)
-        if name == "probe" and report[name]["rc"] != 0:
-            print("tunnel DOWN — aborting (re-run when it answers)")
-            break
+        if name == "probe":
+            attempts = 1
+            while report[name]["rc"] != 0 and attempts < 3:
+                attempts += 1
+                print(f"probe retry {attempts}/3", flush=True)
+                report[name] = run_step(name, cmd, timeout)
+            if report[name]["rc"] != 0:
+                print("tunnel DOWN — aborting (re-run when it answers)")
+                break
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)
     print("report:", args.out)
