@@ -74,7 +74,7 @@ def _fwd_kernel(featT_ref, nbr_ref, wT_ref, outT_ref):
         outT_ref[:] = jnp.zeros_like(outT_ref)
 
     c, n = featT_ref.shape
-    idx = jnp.broadcast_to(nbr_ref[:], (c, n))        # (C, N) per-lane rows
+    idx = jnp.broadcast_to(nbr_ref[0], (c, n))        # (C, N) per-lane rows
     mask = idx >= 0
     safe = jnp.where(mask, idx, 0)
     g = jnp.take_along_axis(featT_ref[:], safe, axis=1,
@@ -86,7 +86,7 @@ def _fwd_kernel(featT_ref, nbr_ref, wT_ref, outT_ref):
 def _dw_kernel(featT_ref, nbr_ref, gradT_ref, dw_ref):
     """One kernel offset: re-gather neighbors, contract over the N sites."""
     c, n = featT_ref.shape
-    idx = jnp.broadcast_to(nbr_ref[:], (c, n))
+    idx = jnp.broadcast_to(nbr_ref[0], (c, n))
     mask = idx >= 0
     safe = jnp.where(mask, idx, 0)
     g = jnp.take_along_axis(featT_ref[:], safe, axis=1,
@@ -101,12 +101,17 @@ def _fwd_call(featT, nbrT, wT, interpret):
     k = nbrT.shape[0]
     c, n = featT.shape
     cout = wT.shape[1]
+    # nbr rides as (K, 1, N): Mosaic requires a block's last two dims be
+    # (8, 128)-divisible OR equal the array dims — a (1, N) block of a
+    # (K, N) array fails the sublane rule, but a (1, 1, N) block of a
+    # (K, 1, N) array matches its last two dims exactly
     return pl.pallas_call(
         _fwd_kernel,
         grid=(k,),
         in_specs=[
             pl.BlockSpec((c, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -114,7 +119,7 @@ def _fwd_call(featT, nbrT, wT, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cout, n), jnp.float32),
         interpret=interpret,
-    )(featT, nbrT, wT)
+    )(featT, nbrT.reshape(k, 1, n), wT)
 
 
 def _dw_call(featT, nbrT, gradT, interpret):
@@ -126,7 +131,8 @@ def _dw_call(featT, nbrT, gradT, interpret):
         grid=(k,),
         in_specs=[
             pl.BlockSpec((c, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((cout, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -134,7 +140,7 @@ def _dw_call(featT, nbrT, gradT, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
         interpret=interpret,
-    )(featT, nbrT, gradT)
+    )(featT, nbrT.reshape(k, 1, n), gradT)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))

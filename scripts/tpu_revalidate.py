@@ -24,6 +24,13 @@ order:
            the fused detect+track step)
   track    scripts/bench_track.py (host vs device vs fused tracker)
   serve    examples/serve_tracking.py (live fused-serving latency)
+  roofline scripts/roofline.py (XLA cost_analysis bytes/flops vs measured
+           time: achieved HBM fraction + train-step MFU)
+  exact_profile  scripts/profile_exact_voxel.py (stage ladder of the
+           two-limb exact voxelizer + xplane trace)
+  riou_sweep     scripts/bench_riou_sweep.py --no-plot (n=1..5000 size
+           sweep over the four rotated-IoU paths; plot from the JSON
+           afterwards on CPU)
 
 Each step's stdout tail, wall time and rc land in the JSON report; steps
 run in subprocesses with hard timeouts, so one hung step does not lose
@@ -61,6 +68,13 @@ STEPS = [
     ("track", [sys.executable, "scripts/bench_track.py"], 1200),
     ("serve", [sys.executable, "examples/serve_tracking.py",
                "--frames", "20"], 1200),
+    # round-4 additions — after the critical steps so a tunnel drop
+    # mid-chain still lands the headline numbers first
+    ("roofline", [sys.executable, "scripts/roofline.py"], 2400),
+    ("exact_profile", [sys.executable, "scripts/profile_exact_voxel.py"],
+     1800),
+    ("riou_sweep", [sys.executable, "scripts/bench_riou_sweep.py",
+                    "--no-plot"], 3600),
 ]
 
 

@@ -157,6 +157,45 @@ class TestDense:
             exact = pts[sel].astype(np.float64).mean(axis=0)
             assert np.all(np.abs(agg[v] - exact) < 2e-6), (v, agg[v], exact)
 
+    def test_mean_fm_exact_kitti_magnitude(self, rng):
+        """The exact path's error at KITTI coordinate magnitudes stays at
+        the output-f32 reconstruction-ulp floor — the docstring's bound
+        (quantization cell x 2^-25 + ~3 finalize ulps), NOT the fixed-point
+        path's range/2^15. Guards the two-limb accumulation against
+        regressions that would silently fall back to ~1e-5-class error."""
+        import jax.numpy as jnp
+        from d3d_tpu.ops.voxel import voxelize_mean_fm_exact
+
+        n, mv = 20000, 4000
+        pts = np.stack([
+            rng.random(n) * 69.12,
+            rng.random(n) * 79.36 - 39.68,
+            rng.random(n) * 4.0 - 3.0,
+            rng.random(n),
+        ], axis=1).astype(np.float32)
+        shape = (432, 496, 1)
+        bounds = jnp.asarray([0, 69.12, -39.68, 39.68, -3, 1], jnp.float32)
+        out = voxelize_mean_fm_exact(jnp.asarray(pts.T), shape, bounds, mv)
+
+        b = np.array([0, 69.12, -39.68, 39.68, -3, 1]).reshape(3, 2)
+        vs = (b[:, 1] - b[:, 0]) / np.array(shape)
+        sc = (pts[:, :3].astype(np.float64) - b[:, 0]) / vs
+        cell = np.trunc(sc).astype(np.int64)
+        inr = np.all((cell >= 0) & (cell < np.array(shape)), axis=1)
+        key = (cell[:, 0] * shape[1] + cell[:, 1]) * shape[2] + cell[:, 2]
+        agg = np.asarray(out.aggregates)
+        # 8 ulps of the coordinate magnitude + the quantization term —
+        # comfortably over the measured ~2-3 ulps, far under range/2^15
+        tol = 8 * np.spacing(np.abs(b).max(axis=1).astype(np.float32)) \
+            + vs / 2 ** 25
+        tol = np.concatenate([tol, [8 * np.spacing(np.float32(1.0))
+                                    + 2.0 ** -25]])
+        for v, k in enumerate(np.unique(key[inr])[:mv]):
+            sel = inr & (key == k)
+            exact = pts[sel].astype(np.float64).mean(axis=0)
+            assert np.all(np.abs(agg[:, v] - exact) < tol), \
+                (v, agg[:, v] - exact, tol)
+
     def test_mean_fm_exact_padding_and_f3(self, rng):
         """Padding branch + 3-column input of the exact feature-major path."""
         import jax.numpy as jnp
