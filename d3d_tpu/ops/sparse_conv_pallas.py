@@ -67,34 +67,44 @@ def fused_supported(features, nbr):
 
 def _fwd_kernel(featT_ref, nbr_ref, wT_ref, outT_ref):
     """One kernel offset: lane-gather neighbors, matmul, accumulate."""
-    k = pl.program_id(0)
+    # Trace the body with x64 OFF: the package enables jax_enable_x64
+    # globally, under which a bare `0` literal traces as i64 and
+    # lax.gather promotes its start_indices to i64 — both emit
+    # convert_element_type eqns whose i64 operands send Mosaic's
+    # _convert_helper into unbounded recursion (the TPU has no 64-bit
+    # vector types). Everything in the kernel is f32/i32 regardless.
+    with jax.enable_x64(False):
+        k = pl.program_id(0)
 
-    @pl.when(k == 0)
-    def _():
-        outT_ref[:] = jnp.zeros_like(outT_ref)
+        @pl.when(k == 0)
+        def _():
+            outT_ref[:] = jnp.zeros_like(outT_ref)
 
-    c, n = featT_ref.shape
-    idx = jnp.broadcast_to(nbr_ref[0], (c, n))        # (C, N) per-lane rows
-    mask = idx >= 0
-    safe = jnp.where(mask, idx, 0)
-    g = jnp.take_along_axis(featT_ref[:], safe, axis=1,
-                            mode="promise_in_bounds")
-    g = jnp.where(mask, g, 0.0)
-    outT_ref[:] += jnp.dot(wT_ref[0], g, preferred_element_type=jnp.float32)
+        c, n = featT_ref.shape
+        idx = jnp.broadcast_to(nbr_ref[0], (c, n))    # (C, N) per-lane rows
+        mask = idx >= 0
+        safe = jnp.where(mask, idx, 0)
+        g = jnp.take_along_axis(featT_ref[:], safe, axis=1,
+                                mode="promise_in_bounds")
+        g = jnp.where(mask, g, 0.0)
+        outT_ref[:] += jnp.dot(wT_ref[0], g,
+                               preferred_element_type=jnp.float32)
 
 
 def _dw_kernel(featT_ref, nbr_ref, gradT_ref, dw_ref):
     """One kernel offset: re-gather neighbors, contract over the N sites."""
-    c, n = featT_ref.shape
-    idx = jnp.broadcast_to(nbr_ref[0], (c, n))
-    mask = idx >= 0
-    safe = jnp.where(mask, idx, 0)
-    g = jnp.take_along_axis(featT_ref[:], safe, axis=1,
-                            mode="promise_in_bounds")
-    g = jnp.where(mask, g, 0.0)
-    # dW[k] = gathered_k^T @ grad : (C, N) x (Cout, N) -> (C, Cout)
-    dw_ref[0] = lax.dot_general(g, gradT_ref[:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    with jax.enable_x64(False):                       # see _fwd_kernel
+        c, n = featT_ref.shape
+        idx = jnp.broadcast_to(nbr_ref[0], (c, n))
+        mask = idx >= 0
+        safe = jnp.where(mask, idx, 0)
+        g = jnp.take_along_axis(featT_ref[:], safe, axis=1,
+                                mode="promise_in_bounds")
+        g = jnp.where(mask, g, 0.0)
+        # dW[k] = gathered_k^T @ grad : (C, N) x (Cout, N) -> (C, Cout)
+        dw_ref[0] = lax.dot_general(g, gradT_ref[:],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
 
 
 def _fwd_call(featT, nbrT, wT, interpret):
