@@ -69,6 +69,15 @@ class SSTConfig(PointPillarsConfig):
     moe_group: int = 4096     # tokens per routing group (dispatch memory
                               # scales with tokens x group, keep bounded)
     moe_aux_weight: float = 0.01  # load-balance loss weight (train step)
+    remat_blocks: bool = False    # checkpoint each _WindowBlock: backward
+                                  # recomputes the block, so trunk activation
+                                  # memory is one block deep instead of
+                                  # `depth` (the whole-forward remat= in
+                                  # make_train_step uses a dots-saveable
+                                  # policy that KEEPS attention logits and
+                                  # expert MLP intermediates — for a
+                                  # transformer those ARE the big buffers,
+                                  # so per-block remat is the lever here)
 
 
 @partial(jax.jit, static_argnames=("grid", "window", "capacity", "shift"))
@@ -257,6 +266,12 @@ class SST(nn.Module):
         if self.stage == "embed":
             return pf
 
+        block_cls = _WindowBlock
+        if cfg.remat_blocks:
+            # static_argnums: `pillar` is a pytree of arrays (fine), but
+            # flax's lifted remat must not trace `train`-style Python
+            # bools — _WindowBlock takes none, so the default is safe.
+            block_cls = nn.remat(_WindowBlock, prevent_cse=False)
         for d in range(cfg.depth):
             shift = bool(d % 2)
             slot, inv = jax.vmap(
@@ -264,7 +279,7 @@ class SST(nn.Module):
                                             cfg.capacity, shift)
             )(coords, valid)
             tok, tmask = route_tokens(pf, inv, cfg.capacity)
-            blk = _WindowBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+            blk = block_cls(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
                                moe_experts=cfg.moe_experts,
                                moe_capacity=cfg.moe_capacity,
                                moe_group=cfg.moe_group,

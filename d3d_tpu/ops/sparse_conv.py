@@ -188,22 +188,29 @@ def build_neighbor_map_strided(out_coords, out_valid, in_coords, in_valid,
 # fused_bytes estimate below). 48 MB leaves ~2.5x headroom on a v5e's
 # 128 MB VMEM and admits the SECOND-KITTI C64 stage (16.7 MB at 16k
 # sites), which a previous 10 MB budget silently excluded.
-# D3D_TPU_FUSED_SPCONV=0 disables the dispatch (escape hatch until the
-# kernel has a recorded non-interpret run on hardware).
 _FUSED_VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def _fused_enabled():
+    # OPT-IN: real Mosaic (v5e, 2026-08-19) rejects the kernel's lane
+    # gather — "Not implemented: Multiple source vregs along gather
+    # dimension" on tpu.dynamic_gather(dimensions=[1]) whenever the site
+    # axis exceeds one 128-lane vreg. The VPU's dynamic gather is a
+    # lane-local shuffle; an arbitrary-reach gather has no vector-unit
+    # lowering, so the fused path cannot compile at any realistic N.
+    # The kernel stays for interpret-mode tests and future Mosaic
+    # releases; set D3D_TPU_FUSED_SPCONV=1 to re-enable the dispatch.
     import os
 
-    return os.environ.get("D3D_TPU_FUSED_SPCONV", "1") != "0"
+    return os.environ.get("D3D_TPU_FUSED_SPCONV", "0") == "1"
 
 
 def subm_conv_apply(features, nbr, weights, valid, symmetric=False):
     """Submanifold sparse conv: K gathers + one batched MXU matmul.
 
-    On TPU, when the query set is the input site set and the operands fit
-    VMEM, this dispatches to the fused on-chip Pallas kernel
+    With ``D3D_TPU_FUSED_SPCONV=1`` (opt-in; see :func:`_fused_enabled`
+    for why real Mosaic rejects it today), TPU queries whose operands fit
+    VMEM dispatch to the fused on-chip Pallas kernel
     (:func:`d3d_tpu.ops.sparse_conv_pallas.subm_conv_fused`) instead of
     materializing the (N, K, C) gather in HBM.
 

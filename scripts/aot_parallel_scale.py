@@ -53,7 +53,7 @@ def _mem_report(name, lowered, compiled, dt):
     return stats
 
 
-def run_pp(depth, batch):
+def run_pp(depth, batch, devices=None):
     import dataclasses
 
     import jax
@@ -78,7 +78,8 @@ def run_pp(depth, batch):
 
     out = {}
     for dp in (1, 2):
-        mesh = make_pp_mesh(4, dp=dp)
+        devs = None if devices is None else devices[:4 * dp]
+        mesh = make_pp_mesh(4, dp=dp, devices=devs)
         baxis = "dp" if dp > 1 else None
 
         def fn(variables, pf, coords, valid):
@@ -96,7 +97,8 @@ def run_pp(depth, batch):
     return out
 
 
-def run_ep(depth, batch, group=None, experts=8, remat=False):
+def run_ep(depth, batch, group=None, experts=8, remat=False,
+           remat_blocks=False, devices=None):
     import dataclasses
 
     import jax
@@ -108,11 +110,14 @@ def run_ep(depth, batch, group=None, experts=8, remat=False):
     from d3d_tpu.models.presets import sst_kitti
     from d3d_tpu.parallel import expert_constrain, shard_train_step
 
-    cfg = dataclasses.replace(sst_kitti(), depth=depth, moe_experts=experts)
+    cfg = dataclasses.replace(sst_kitti(), depth=depth, moe_experts=experts,
+                              remat_blocks=remat_blocks)
     if group:
         cfg = dataclasses.replace(cfg, moe_group=group)
     p = cfg.max_pillars
-    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+    if devices is None:
+        devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices[:8]).reshape(4, 2),
                 axis_names=("dp", "ep"))
     model = SST(cfg, moe_constrain=expert_constrain(mesh))
 
@@ -143,7 +148,8 @@ def run_ep(depth, batch, group=None, experts=8, remat=False):
     tokens = batch * p
     label = (f"dp4 x ep2 SST{'-MoE' if experts else ''} train "
              f"experts={cfg.moe_experts} group={cfg.moe_group} "
-             f"tokens={tokens} depth={depth} remat={remat}")
+             f"tokens={tokens} depth={depth} remat={remat}"
+             f"{' remat_blocks' if remat_blocks else ''}")
     return {label: _mem_report(label, lowered, compiled, time.time() - t0)}
 
 
@@ -157,19 +163,39 @@ def main():
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--remat", action="store_true",
                     help="rematerialized backward for the ep workload")
+    ap.add_argument("--remat-blocks", action="store_true",
+                    help="per-block nn.remat inside the SST trunk (the "
+                         "memory lever for transformer activations)")
+    ap.add_argument("--topology", default=None,
+                    help="AOT-compile against a real TPU topology instead "
+                         "of the CPU mesh (e.g. v5e:2x4 — needs the axon "
+                         "compile service, no chips executed); memory "
+                         "figures are then true per-chip HBM from XLA's "
+                         "TPU buffer assignment")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    print("devices:", len(jax.devices()), flush=True)
+    devices = None
+    if args.topology:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name=args.topology)
+        devices = list(topo.devices)
+        print(f"topology {args.topology}: {len(devices)} devices",
+              flush=True)
+    else:
+        jax.config.update("jax_platforms", "cpu")
+        print("devices:", len(jax.devices()), flush=True)
 
     results = {}
     if args.workload in ("pp", "both"):
-        results.update(run_pp(args.depth, args.batch))
+        results.update(run_pp(args.depth, args.batch, devices))
     if args.workload in ("ep", "both"):
         results.update(run_ep(args.depth, args.batch, args.group,
-                              args.experts, args.remat))
+                              args.experts, args.remat, args.remat_blocks,
+                              devices))
     print(json.dumps(results, indent=1))
 
 

@@ -104,21 +104,25 @@ def main():
         fused_eligible = (on_tpu
                           and n * 4 * (3 * c_in + c_out)
                           <= _FUSED_VMEM_BUDGET)
+        # default dispatch is the XLA gather+einsum path (the fused Pallas
+        # kernel's lane gather has no Mosaic lowering at realistic N — see
+        # sparse_conv._fused_enabled)
         t = timed(make_loop(True), feats, nbr, w, valid_j, reps=args.reps)
         line = f"subm_conv_apply C{c_in:>2}->{c_out:<3}: {t / 8 * 1e3:8.3f} " \
-               f"ms/layer"
+               f"ms/layer (xla-gather)"
         if on_tpu and fused_eligible:
-            # same shapes through the XLA (N, K, C) HBM-gather formulation
-            os.environ["D3D_TPU_FUSED_SPCONV"] = "0"
+            # attempt the opt-in fused kernel; Mosaic is expected to
+            # reject it ("Multiple source vregs along gather dimension")
+            os.environ["D3D_TPU_FUSED_SPCONV"] = "1"
             try:
-                t_xla = timed(make_loop(False), feats, nbr, w, valid_j,
-                              reps=args.reps)
+                t_fused = timed(make_loop(False), feats, nbr, w, valid_j,
+                                reps=args.reps)
+                line += (f"   (fused {t_fused / 8 * 1e3:8.3f} ms, "
+                         f"{t / max(t_fused, 1e-9):.2f}x vs xla)")
+            except Exception as e:
+                line += f"   (fused: Mosaic rejection — {str(e)[:60]})"
             finally:
                 os.environ.pop("D3D_TPU_FUSED_SPCONV", None)
-            line += (f"   (fused; xla-gather {t_xla / 8 * 1e3:8.3f} ms, "
-                     f"{t_xla / max(t, 1e-9):.2f}x)")
-        elif on_tpu:
-            line += "   (xla-gather; fused skipped: over VMEM budget)"
         print(line)
 
 

@@ -1,11 +1,23 @@
-"""Hardware (Mosaic) parity for the fused Pallas submanifold conv.
+"""Hardware validation for the TPU submanifold-conv dispatch.
 
-Runs the fused kernel with ``interpret=False`` on the real TPU — the
-first time the kernel lowers through Mosaic rather than the Pallas
-interpreter — and checks forward + grad parity against the XLA
-gather+einsum formulation (``subm_conv_apply``), for the symmetric
-(submanifold) backward, the general strided backward, and bf16
-activations.  Closes round-3 VERDICT weak item #2.
+Round-4 verdict (real Mosaic, v5e, 2026-08-19): the fused Pallas
+kernel's lane gather CANNOT lower — ``tpu.dynamic_gather`` with
+``dimensions=[1]`` fails with "Not implemented: Multiple source vregs
+along gather dimension" whenever the site axis exceeds one 128-lane
+vreg.  The VPU's dynamic gather is a lane-local shuffle; an
+arbitrary-reach gather has no vector lowering on this hardware, so the
+fused path is OPT-IN (``D3D_TPU_FUSED_SPCONV=1``) and the default TPU
+dispatch is the XLA gather+einsum formulation.
+
+This script therefore now proves two things on the real chip:
+
+1. the fused kernel's Mosaic status at realistic N is the *recorded*
+   rejection (if a future Mosaic accepts it, the script flips to the
+   full fwd/grad parity run and says so loudly);
+2. the DEFAULT dispatch (XLA gather+einsum) matches an independent
+   dense-convolution oracle, forward and grads, incl. strided maps and
+   bf16 — so the path the SECOND/VoxelNeXt families actually run on
+   TPU is hardware-validated.
 
 Run on a machine with a TPU attached (the axon tunnel):
     python scripts/tpu_sparse_parity.py
@@ -60,6 +72,28 @@ def _report(name, got, want, tol):
     return ok
 
 
+def _dense_oracle(coords, valid, feats, w, stride=1, out_coords=None,
+                  out_valid=None):
+    """Independent check: scatter to a dense grid, run XLA's dense 3D
+    conv, sample at the query sites. kernel_offsets' raster (ij) order
+    means ``w.reshape(3, 3, 3, C, D)`` IS the DHWIO kernel."""
+    from jax import lax
+
+    c = feats.shape[1]
+    dense = jnp.zeros(GRID + (c,), jnp.float32)
+    cz = jnp.where(valid[:, None], coords, 0)
+    dense = dense.at[cz[:, 0], cz[:, 1], cz[:, 2]].add(
+        jnp.where(valid[:, None], feats.astype(jnp.float32), 0.0))
+    k = w.astype(jnp.float32).reshape(3, 3, 3, w.shape[1], w.shape[2])
+    out = lax.conv_general_dilated(
+        dense[None], k, (stride,) * 3, ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
+    qc = coords if out_coords is None else out_coords
+    qv = valid if out_valid is None else out_valid
+    qc = jnp.where(qv[:, None], qc, 0)
+    return out[qc[:, 0], qc[:, 1], qc[:, 2]] * qv[:, None]
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}  devices: {jax.devices()}")
@@ -71,58 +105,73 @@ def main():
     rng = np.random.default_rng(0)
     coords, valid, feats, w, nbr = _problem(rng)
     assert fused_supported(feats, nbr)
-
     ok = True
 
-    # --- forward, symmetric map, f32 ---
-    want = subm_conv_apply(feats, nbr, w, valid)
-    got = subm_conv_fused(feats, nbr, w, valid, True, False)
-    got.block_until_ready()
-    print("Mosaic lowering: OK (forward compiled + ran)")
-    ok &= _report("fwd symmetric f32", got, want, 1e-5)
+    # --- 1. fused kernel Mosaic status at realistic N (expected: the
+    # recorded "Multiple source vregs along gather dimension" rejection) ---
+    try:
+        got = subm_conv_fused(feats, nbr, w, valid, True, False)
+        got.block_until_ready()
+        print("Mosaic NOW ACCEPTS the fused kernel — consider re-enabling "
+              "the dispatch (D3D_TPU_FUSED_SPCONV default)")
+        want = subm_conv_apply(feats, nbr, w, valid)
+        ok &= _report("fused fwd vs xla", got, want, 1e-5)
+    except Exception as e:
+        msg = str(e)
+        known = "Multiple source vregs along gather dimension" in msg
+        print("fused kernel: Mosaic rejection "
+              f"({'KNOWN' if known else 'NEW — record in ROADMAP'}): "
+              f"{msg.splitlines()[0][:100]}")
 
-    # --- grads, symmetric backward ---
+    # --- 2. the DEFAULT dispatch (XLA gather+einsum) vs the dense oracle ---
+    want = _dense_oracle(coords, valid, feats, w)
+    got = subm_conv_apply(feats, nbr, w, valid)
+    ok &= _report("xla fwd vs dense oracle", got, want, 1e-5)
+
     cot = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
 
-    def loss_ref(f, ww):
+    def loss_sparse(f, ww):
         return jnp.sum(subm_conv_apply(f, nbr, ww, valid) * cot)
 
-    def loss_fused(f, ww):
-        return jnp.sum(subm_conv_fused(f, nbr, ww, valid, True, False) * cot)
+    def loss_dense(f, ww):
+        return jnp.sum(_dense_oracle(coords, valid, f, ww) * cot)
 
-    df_want, dw_want = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
-    df_got, dw_got = jax.grad(loss_fused, argnums=(0, 1))(feats, w)
-    ok &= _report("grad d/dfeatures symmetric", df_got, df_want, 1e-4)
-    ok &= _report("grad d/dweights symmetric", dw_got, dw_want, 1e-4)
+    df_w, dw_w = jax.grad(loss_dense, argnums=(0, 1))(feats, w)
+    df_g, dw_g = jax.grad(loss_sparse, argnums=(0, 1))(feats, w)
+    df_w = df_w * valid[:, None]            # padded rows carry no grad
+    ok &= _report("xla grad d/dfeatures", df_g, df_w, 1e-4)
+    ok &= _report("xla grad d/dweights", dw_g, dw_w, 1e-4)
 
-    # --- strided (general scatter-add backward) ---
+    # --- 3. strided map ---
     out_coords, out_valid = downsample_coords(coords, valid, GRID, 2)
     nbr_s = build_neighbor_map_strided(out_coords, out_valid, coords, valid,
                                        GRID, 2)
+    want_s = _dense_oracle(coords, valid, feats, w, stride=2,
+                           out_coords=out_coords, out_valid=out_valid)
+    got_s = subm_conv_apply(feats, nbr_s, w, out_valid)
+    ok &= _report("xla fwd strided vs oracle", got_s, want_s, 1e-5)
 
-    def loss_ref_s(f, ww):
+    def loss_sparse_s(f, ww):
         return jnp.sum(subm_conv_apply(f, nbr_s, ww, out_valid))
 
-    def loss_fused_s(f, ww):
-        return jnp.sum(subm_conv_fused(f, nbr_s, ww, out_valid, False, False))
+    def loss_dense_s(f, ww):
+        return jnp.sum(_dense_oracle(coords, valid, f, ww, stride=2,
+                                     out_coords=out_coords,
+                                     out_valid=out_valid))
 
-    want_s = subm_conv_apply(feats, nbr_s, w, out_valid)
-    got_s = subm_conv_fused(feats, nbr_s, w, out_valid, False, False)
-    ok &= _report("fwd strided f32", got_s, want_s, 1e-5)
-    dfs_w, dws_w = jax.grad(loss_ref_s, argnums=(0, 1))(feats, w)
-    dfs_g, dws_g = jax.grad(loss_fused_s, argnums=(0, 1))(feats, w)
-    ok &= _report("grad d/dfeatures strided", dfs_g, dfs_w, 1e-4)
-    ok &= _report("grad d/dweights strided", dws_g, dws_w, 1e-4)
+    dfs_w, dws_w = jax.grad(loss_dense_s, argnums=(0, 1))(feats, w)
+    dfs_g, dws_g = jax.grad(loss_sparse_s, argnums=(0, 1))(feats, w)
+    dfs_w = dfs_w * valid[:, None]
+    ok &= _report("xla grad d/dfeat strided", dfs_g, dfs_w, 1e-4)
+    ok &= _report("xla grad d/dw strided", dws_g, dws_w, 1e-4)
 
-    # --- bf16 activations ---
+    # --- 4. bf16 activations through the default dispatch ---
     fb = feats.astype(jnp.bfloat16)
-    want_b = subm_conv_apply(fb, nbr, w.astype(jnp.bfloat16), valid)
-    got_b = subm_conv_fused(fb, nbr, w.astype(jnp.bfloat16), valid, True,
-                            False)
-    ok &= _report("fwd symmetric bf16", got_b.astype(jnp.float32),
-                  want_b.astype(jnp.float32), 2e-2)
+    got_b = subm_conv_apply(fb, nbr, w.astype(jnp.bfloat16), valid)
+    ok &= _report("xla fwd bf16 vs oracle", got_b.astype(jnp.float32),
+                  want, 2e-2)
 
-    print("RESULT:", "PARITY OK on Mosaic" if ok else "PARITY FAILED")
+    print("RESULT:", "TPU SPARSE PATH OK" if ok else "PARITY FAILED")
     return 0 if ok else 1
 
 
