@@ -210,11 +210,11 @@ class _WindowBlock(nn.Module):
             e, h = self.moe_experts, self.mlp_ratio * c
             init = nn.initializers.lecun_normal()
             p = {
-                "router": self.param("moe_router", init, (c, e)),
-                "w1": self.param("moe_w1", init, (e, c, h)),
-                "b1": self.param("moe_b1", nn.initializers.zeros, (e, h)),
-                "w2": self.param("moe_w2", init, (e, h, c)),
-                "b2": self.param("moe_b2", nn.initializers.zeros, (e, c)),
+                "router": self.param("moe_router", init, (c, e), jnp.float32),
+                "w1": self.param("moe_w1", init, (e, c, h), jnp.float32),
+                "b1": self.param("moe_b1", nn.initializers.zeros, (e, h), jnp.float32),
+                "w2": self.param("moe_w2", init, (e, h, c), jnp.float32),
+                "b2": self.param("moe_b2", nn.initializers.zeros, (e, c), jnp.float32),
             }
             p = {k: v.astype(dt) if k != "router" else v
                  for k, v in p.items()}

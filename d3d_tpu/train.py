@@ -24,7 +24,26 @@ import jax.numpy as jnp
 
 __all__ = ["Trainer", "prefetch", "batch_frames",
            "shard_frames_across_hosts", "ema_init", "ema_update",
-           "make_optimizer"]
+           "make_optimizer", "init_variables"]
+
+
+def init_variables(model, rng, *args, **kwargs):
+    """``model.init`` pinned to the host CPU, then transferred.
+
+    With the package's global ``jax_enable_x64``, initializer RNG
+    programs (``jax.random.truncated_normal`` inside ``lecun_normal``)
+    contain an s64 ``nextafter`` that the TPU backend's x64-rewrite pass
+    cannot compile ("While rewriting computation to not contain X64
+    element types ... not implemented: nextafter"). Initialization is a
+    one-off host-side task anyway — run it on CPU and ``device_put`` the
+    f32 leaves to the default device.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(rng, *args, **kwargs)
+    if jax.default_backend() == "cpu":
+        return variables
+    return jax.device_put(variables, jax.devices()[0])
 
 
 def make_optimizer(total_steps, base_lr=1e-3, schedule="onecycle",

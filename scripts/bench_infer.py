@@ -97,8 +97,8 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
         model = PointPillars(cfg)
     pts = make_cloud(rng, cfg, 120_000 if not quick else 8_192)
     feats, coords, valid = pillarize(jnp.asarray(pts), cfg)
-    variables = model.init(jax.random.PRNGKey(0), feats[None], coords[None],
-                           valid[None], train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0), feats[None],
+                               coords[None], valid[None], train=False)
     if fold:
         from d3d_tpu.models.fold import fold_batchnorm
 
@@ -148,8 +148,8 @@ def bench_voxelnext(rng, reps, probes, quick, dtype="bfloat16"):
     pts = make_cloud(rng, cfg, 120_000 if not quick else 8_192)
     f, c, v = voxelnext_voxelize(jnp.asarray(pts), cfg)
     model = VoxelNeXt(cfg)
-    variables = model.init(jax.random.PRNGKey(0), f[None], c[None],
-                           v[None], train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0), f[None],
+                               c[None], v[None], train=False)
     detect = make_voxelnext_detector(model, variables, cfg,
                                      [KittiObjectClass.Car],
                                      score_threshold=0.3)
@@ -187,8 +187,8 @@ def bench_fused_tracking(rng, reps, probes, quick):
     pts = make_cloud(rng, cfg, 120_000 if not quick else 8_192)
     f, c, v = pillarize(jnp.asarray(pts), pcfg)
     model = CenterPoint(cfg)
-    variables = model.init(jax.random.PRNGKey(0), f[None], c[None],
-                           v[None])
+    variables = init_variables(model, jax.random.PRNGKey(0), f[None],
+                               c[None], v[None])
     det = make_centerpoint_detector(model, variables, cfg, pcfg,
                                     [KittiObjectClass.Car],
                                     score_threshold=0.3)
