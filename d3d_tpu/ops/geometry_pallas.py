@@ -59,7 +59,14 @@ def _iou_tile_kernel(a_ref, b_ref, o_ref):
     area_a, scale_a = a_ref[:, 8:9], a_ref[:, 9:10]
     area_b, scale_b = b_ref[8:9, :], b_ref[9:10, :]
 
-    ceps = (jnp.maximum(scale_a, scale_b) + 1.0) * 1e-5
+    # every scalar literal is pinned f32: under jax_enable_x64 a weak
+    # python float can promote through an f64 convert_element_type, which
+    # has no Mosaic lowering (jax.export's re-trace materializes exactly
+    # that convert; plain jit constant-folds it)
+    f32 = jnp.float32
+    zero, one, neg1 = f32(0.0), f32(1.0), f32(-1.0)
+
+    ceps = (jnp.maximum(scale_a, scale_b) + one) * f32(1e-5)
 
     px, py, valid = [], [], []
 
@@ -74,15 +81,15 @@ def _iou_tile_kernel(a_ref, b_ref, o_ref):
             # relative parallelism cutoff, mirroring geometry_soa (the
             # kernel runs f32: an absolute 1e-14 admits rounding noise)
             rs = jnp.sqrt(jnp.maximum(
-                (rx * rx + ry * ry) * (sx * sx + sy * sy), 1e-30))
-            ok = jnp.abs(denom) > 1e-4 * rs
-            dsafe = jnp.where(ok, denom, 1.0)
+                (rx * rx + ry * ry) * (sx * sx + sy * sy), f32(1e-30)))
+            ok = jnp.abs(denom) > f32(1e-4) * rs
+            dsafe = jnp.where(ok, denom, one)
             acx, acy = bx[j] - ax[i], by[j] - ay[i]
-            t = jnp.where(ok, (acx * sy - acy * sx) / dsafe, -1.0)
-            u = jnp.where(ok, (acx * ry - acy * rx) / dsafe, -1.0)
-            hit = ok & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-            px.append(jnp.where(hit, ax[i] + t * rx, 0.0))
-            py.append(jnp.where(hit, ay[i] + t * ry, 0.0))
+            t = jnp.where(ok, (acx * sy - acy * sx) / dsafe, neg1)
+            u = jnp.where(ok, (acx * ry - acy * rx) / dsafe, neg1)
+            hit = ok & (t >= zero) & (t <= one) & (u >= zero) & (u <= one)
+            px.append(jnp.where(hit, ax[i] + t * rx, zero))
+            py.append(jnp.where(hit, ay[i] + t * ry, zero))
             valid.append(hit)
 
     # corners of each box inside the other
@@ -98,24 +105,25 @@ def _iou_tile_kernel(a_ref, b_ref, o_ref):
 
     for i in range(4):
         ins = inside(bx, by, ax[i], ay[i])
-        px.append(jnp.where(ins, ax[i], 0.0))
-        py.append(jnp.where(ins, ay[i], 0.0))
+        px.append(jnp.where(ins, ax[i], zero))
+        py.append(jnp.where(ins, ay[i], zero))
         valid.append(ins)
     for j in range(4):
         ins = inside(ax, ay, bx[j], by[j])
-        px.append(jnp.where(ins, bx[j], 0.0))
-        py.append(jnp.where(ins, by[j], 0.0))
+        px.append(jnp.where(ins, bx[j], zero))
+        py.append(jnp.where(ins, by[j], zero))
         valid.append(ins)
 
     vf = [v.astype(jnp.float32) for v in valid]
-    cnt_safe = jnp.maximum(sum(vf), 1.0)
+    cnt_safe = jnp.maximum(sum(vf), one)
     cx = sum(x * v for x, v in zip(px, vf)) / cnt_safe
     cy = sum(y * v for y, v in zip(py, vf)) / cnt_safe
 
     keys, sx_, sy_ = [], [], []
+    bigkey = f32(_BIGKEY)
     for k in range(24):
         ang = _diamond_angle(px[k] - cx, py[k] - cy)
-        keys.append(jnp.where(valid[k], ang, _BIGKEY))
+        keys.append(jnp.where(valid[k], ang, bigkey))
         sx_.append(px[k])
         sy_.append(py[k])
 
@@ -129,17 +137,18 @@ def _iou_tile_kernel(a_ref, b_ref, o_ref):
                           jnp.where(swap, sy_[i], sy_[j]))
 
     fx, fy = sx_[0], sy_[0]
+    keycut = f32(_KEYCUT)
     for k in range(24):
-        ok = keys[k] < _KEYCUT
+        ok = keys[k] < keycut
         sx_[k] = jnp.where(ok, sx_[k], fx) - cx
         sy_[k] = jnp.where(ok, sy_[k], fy) - cy
 
     area2 = sx_[23] * sy_[0] - sy_[23] * sx_[0]
     for k in range(23):
         area2 = area2 + (sx_[k] * sy_[k + 1] - sy_[k] * sx_[k + 1])
-    inter = jnp.maximum(0.5 * area2, 0.0)
+    inter = jnp.maximum(f32(0.5) * area2, zero)
 
-    union = jnp.maximum(area_a + area_b - inter, 1e-12)
+    union = jnp.maximum(area_a + area_b - inter, f32(1e-12))
     o_ref[:, :] = inter / union
 
 

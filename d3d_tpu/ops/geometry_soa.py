@@ -67,9 +67,15 @@ def _diamond_angle(dx, dy):
     centroid, not the angle itself; this costs ~6 VPU ops instead of a
     transcendental. dx = dy = 0 maps to 0 (degenerate single-vertex case,
     area is 0 regardless of order)."""
+    # literals pinned to the operand dtype: a weak python float promotes
+    # through an f64 convert under jax_enable_x64, which Mosaic cannot
+    # lower when this runs inside the Pallas tile kernel (the convert
+    # only materializes under jax.export's re-trace)
+    one = jnp.asarray(1.0, dx.dtype)
+    two = jnp.asarray(2.0, dx.dtype)
     s = jnp.abs(dx) + jnp.abs(dy)
-    t = dy / jnp.where(s > 0, s, 1.0)
-    return jnp.where(dx >= 0, t, jnp.where(dy >= 0, 2.0 - t, -2.0 - t))
+    t = dy / jnp.where(s > 0, s, one)
+    return jnp.where(dx >= 0, t, jnp.where(dy >= 0, two - t, -two - t))
 
 
 def _corners(x, y, w, h, r):

@@ -115,10 +115,12 @@ def _soft_nms_kernel(method):
         mask_row = (row > iou_t) & (fr == zero) & (iota != pick)
         if method == "linear":
             # x**p via exp/log with the XLA convention power(0, 0) == 1
-            pw = jnp.where(param == 0.0, jnp.float32(1.0),
+            # (literals pinned f32: weak python floats can promote through
+            # an f64 convert under jax_enable_x64, which Mosaic rejects)
+            pw = jnp.where(param == jnp.float32(0.0), jnp.float32(1.0),
                            jnp.exp(param * jnp.log(
                                jnp.maximum(row, jnp.float32(1e-38)))))
-            decay = 1.0 - pw
+            decay = jnp.float32(1.0) - pw
         else:  # gaussian
             decay = jnp.exp(-(row * row) / param)
 

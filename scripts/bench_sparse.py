@@ -26,7 +26,10 @@ from jax import lax
 
 
 def timed(fn, *args, reps=5):
-    """Median wall time of fn(*args) with a value-fetch barrier."""
+    """Median wall time of fn(*args) with a value-fetch barrier, minus the
+    min round-trip of a trivial dispatch+fetch (the dev-TPU tunnel RTT
+    otherwise dominates single-dispatch measurements; bench.py
+    methodology)."""
     out = fn(*args)
     float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # compile+barrier
     ts = []
@@ -35,7 +38,17 @@ def timed(fn, *args, reps=5):
         out = fn(*args)
         float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    med = float(np.median(ts))
+
+    trivial = jax.jit(lambda x: x + 1.0)
+    probes = [jnp.float32(i) for i in range(4)]
+    float(np.asarray(trivial(probes[3])))  # compile
+    rtts = []
+    for p in probes[:3]:
+        t0 = time.perf_counter()
+        float(np.asarray(trivial(p)))
+        rtts.append(time.perf_counter() - t0)
+    return max(med - min(rtts), 0.5 * med)
 
 
 def main():
@@ -90,7 +103,7 @@ def main():
             # a fresh closure per variant -> its own trace, so the
             # D3D_TPU_FUSED_SPCONV env read at trace time sticks
             @jax.jit
-            def loop(f, nbr, w, v, reps=8):
+            def loop(f, nbr, w, v, reps=32):
                 def body(i, x):
                     y = subm_conv_apply(x, nbr, w, v, symmetric=symmetric)
                     return y / (jnp.max(jnp.abs(y)) + 1e-6)
@@ -108,7 +121,7 @@ def main():
         # kernel's lane gather has no Mosaic lowering at realistic N — see
         # sparse_conv._fused_enabled)
         t = timed(make_loop(True), feats, nbr, w, valid_j, reps=args.reps)
-        line = f"subm_conv_apply C{c_in:>2}->{c_out:<3}: {t / 8 * 1e3:8.3f} " \
+        line = f"subm_conv_apply C{c_in:>2}->{c_out:<3}: {t / 32 * 1e3:8.3f} " \
                f"ms/layer (xla-gather)"
         if on_tpu and fused_eligible:
             # attempt the opt-in fused kernel; Mosaic is expected to
@@ -117,7 +130,7 @@ def main():
             try:
                 t_fused = timed(make_loop(False), feats, nbr, w, valid_j,
                                 reps=args.reps)
-                line += (f"   (fused {t_fused / 8 * 1e3:8.3f} ms, "
+                line += (f"   (fused {t_fused / 32 * 1e3:8.3f} ms, "
                          f"{t / max(t_fused, 1e-9):.2f}x vs xla)")
             except Exception as e:
                 line += f"   (fused: Mosaic rejection — {str(e)[:60]})"
@@ -135,7 +148,7 @@ def main():
                              coords_j[:, 2]].set(feats * valid_j[:, None])
 
         @jax.jit
-        def dense_loop(canvas, mask, w, reps=8):
+        def dense_loop(canvas, mask, w, reps=32):
             kern = w.reshape(3, 3, 3, c_in, c_out)
 
             def body(i, x):
@@ -151,7 +164,7 @@ def main():
             t_d = timed(dense_loop, canvas0, mask3.astype(jnp.float32),
                         jnp.asarray(w), reps=args.reps)
             print(f"  dense-canvas C{c_in:>2}->{c_out:<3}: "
-                  f"{t_d / 8 * 1e3:8.3f} ms/layer "
+                  f"{t_d / 32 * 1e3:8.3f} ms/layer "
                   f"({t / max(t_d, 1e-9):.2f}x vs xla-gather)")
 
 

@@ -165,8 +165,10 @@ def main():
             def body(_, carry):
                 chk, = carry
                 r = fn(p + chk.astype(p.dtype) * 1e-20)
-                return (jnp.sum(r[..., :1]).astype(jnp.int32)
-                        if r.ndim else r,)
+                out = jnp.sum(r[..., :1]) if r.ndim else r
+                # scalar stages can return i64 under jax_enable_x64; the
+                # carry must match the i32 init either way
+                return (out.astype(jnp.int32),)
 
             return lax.fori_loop(0, REPS, body, (jnp.int32(0),))
 
@@ -216,8 +218,8 @@ def main():
     trace_dir = "/tmp/jaxtrace_exact_voxel"
     os.system(f"rm -rf {trace_dir}")
     loop_full = jax.jit(lambda p: lax.fori_loop(
-        0, REPS, lambda _, c: (stage_full(pts_fm + c[0].astype(
-            jnp.float32) * 1e-20),), (jnp.int32(0),)))
+        0, REPS, lambda _, c: (stage_full(p + c[0].astype(
+            jnp.float32) * 1e-20).astype(jnp.int32),), (jnp.int32(0),)))
     loop_full(pts_fm)  # compile outside the trace
     with jax.profiler.trace(trace_dir):
         int(np.asarray(loop_full(pts_fm)[0]))

@@ -170,7 +170,13 @@ def workloads(quick):
     yield ("voxelize_mean_fm_exact 120k->16k", vox_exact, (fm, bounds),
            vox_chk, reps, "mem")
 
-    # ---- rotated-IoU matrix 512x512 (Pallas on TPU, SoA on CPU)
+    # ---- rotated-IoU matrix 512x512, f32 device path (Pallas tile kernel
+    # on TPU, blocked SoA elsewhere) — the representation NMS/matching
+    # actually consume.  The f64 `precise=True` host contract is timed as
+    # its own row: it deliberately routes to the XLA f64 path (Mosaic has
+    # no f64) and costs ~60x, which is why only host-parity protocols
+    # request it.
+    from d3d_tpu.ops import geometry_soa as GS
     from d3d_tpu.ops.box import box2d_iou
     nb = 512
     boxes = np.stack([rng.random(nb) * 60 + 4, rng.random(nb) * 70 - 35,
@@ -178,10 +184,17 @@ def workloads(quick):
                       rng.random(nb) * np.pi], axis=1).astype(np.float32)
 
     def iou_fn(b1, b2):
-        return box2d_iou(b1, b2, method="rbox")
+        return GS.rbox_iou_matrix(b1, b2)
 
-    yield ("rbox IoU matrix 512x512", iou_fn, (boxes, boxes.copy()),
+    yield ("rbox IoU matrix 512x512 f32", iou_fn, (boxes, boxes.copy()),
            lambda o: jnp.sum(o[:8, :8]), reps, "vpu")
+
+    def iou_f64_fn(b1, b2):
+        return box2d_iou(b1, b2, method="rbox", precise=True)
+
+    yield ("rbox IoU matrix 512x512 f64 precise", iou_f64_fn,
+           (boxes, boxes.copy()), lambda o: jnp.sum(o[:8, :8]),
+           max(4, reps // 4), "vpu")
 
     # ---- greedy NMS 512
     from d3d_tpu.ops.nms import nms2d

@@ -133,3 +133,36 @@ def test_export_voxelnext(tmp_path, rng):
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_pallas_kernels_export_lower_for_tpu():
+    """Cross-platform ``jax.export`` lowers the Pallas kernels through
+    Mosaic even with jax_enable_x64 on (the package default).
+
+    Regression: weak python-float literals inside the kernels promoted
+    through an f64 ``convert_element_type`` under the export re-trace —
+    plain jit constant-folds that convert, export does not — and Mosaic
+    has no f64 lowering, so ``examples/serve_tracking.py``'s export
+    roundtrip crashed on hardware while every jit path passed
+    (geometry_pallas/_iou_tile_kernel now pins every scalar to f32)."""
+    from jax import export as jax_export
+
+    from d3d_tpu.ops import geometry_soa as GS
+    from d3d_tpu.ops.nms_pallas import nms_scan, soft_nms_scan
+
+    boxes = jax.ShapeDtypeStruct((32, 5), jnp.float32)
+    scores = jax.ShapeDtypeStruct((32,), jnp.float32)
+    mat = jax.ShapeDtypeStruct((32, 32), jnp.float32)
+    bmat = jax.ShapeDtypeStruct((32, 32), jnp.bool_)
+    bvec = jax.ShapeDtypeStruct((32,), jnp.bool_)
+
+    from d3d_tpu.ops import geometry_pallas as GP
+
+    jax_export.export(jax.jit(GP.rbox_iou_matrix),
+                      platforms=["tpu"])(boxes, boxes)
+    jax_export.export(jax.jit(nms_scan), platforms=["tpu"])(bmat, bvec)
+    for method in ("linear", "gaussian"):
+        jax_export.export(
+            jax.jit(lambda i, s, p: soft_nms_scan(
+                i, s, p, 0.25, 0.05, 0.5, method)),
+            platforms=["tpu"])(mat, scores, bvec)
