@@ -110,10 +110,19 @@ def main():
     ap.add_argument("--native-max-n", type=int, default=2000,
                     help="cap for the single-threaded exact C++ path")
     ap.add_argument("--no-plot", action="store_true")
+    ap.add_argument("--plot-only", action="store_true",
+                    help="skip timing; render <out>.png from an existing "
+                         "<out>.json (e.g. one recorded on the TPU)")
     ap.add_argument("--backend", default=None,
                     help="force a jax platform (e.g. cpu) — the environment's"
                          " sitecustomize otherwise force-selects the TPU")
     args = ap.parse_args()
+
+    if args.plot_only:
+        with open(args.out + ".json") as f:
+            results = json.load(f)
+        _plot(results, results["sizes"], args.out)
+        return
 
     import jax
 
@@ -196,26 +205,30 @@ def main():
     print("saved", args.out + ".json")
 
     if not args.no_plot:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        _plot(results, sizes, args.out)
 
-        fig, ax = plt.subplots(figsize=(7, 5))
-        colors = {"aos": "#4477aa", "soa": "#ee6677", "pallas": "#228833",
-                  "native": "#ccbb44"}
-        for name, ms in sorted(results["ms"].items()):
-            src, direction = name.split(".")
-            ax.loglog(sizes[: len(ms)], ms,
-                      ls="-" if direction == "forward" else "--",
-                      marker="o", ms=3, color=colors[src], label=name)
-        ax.set_xlabel("n (the (n, n) IoU matrix)")
-        ax.set_ylabel("latency (ms)")
-        ax.set_title(f"rotated-IoU matrix latency sweep — {backend}")
-        ax.grid(True, which="both", alpha=0.3)
-        ax.legend(fontsize=8)
-        fig.tight_layout()
-        fig.savefig(args.out + ".png", dpi=130)
-        print("saved", args.out + ".png")
+
+def _plot(results, sizes, out):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    colors = {"aos": "#4477aa", "soa": "#ee6677", "pallas": "#228833",
+              "native": "#ccbb44"}
+    for name, ms in sorted(results["ms"].items()):
+        src, direction = name.split(".")
+        ax.loglog(sizes[: len(ms)], ms,
+                  ls="-" if direction == "forward" else "--",
+                  marker="o", ms=3, color=colors[src], label=name)
+    ax.set_xlabel("n (the (n, n) IoU matrix)")
+    ax.set_ylabel("latency (ms)")
+    ax.set_title(f"rotated-IoU matrix latency sweep — {results['backend']}")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out + ".png", dpi=130)
+    print("saved", out + ".png")
 
 
 if __name__ == "__main__":
