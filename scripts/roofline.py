@@ -243,9 +243,47 @@ def workloads(quick):
         p = jax.tree.leaves(out[0])[0]
         return jnp.sum(p[..., :1].astype(jnp.float32))
 
+    # the generic device loop does not chain the train state between
+    # iterations, which lets XLA drop parts of the optimizer update —
+    # measure the train row with bench_train's chained fori_loop instead
+    # (state as the carry, everything consumed) so ms/step matches the
+    # steady-state training number
+    nsteps = 5 if quick else 30
+
+    def train_ms():
+        import time as _t
+
+        @jax.jit
+        def run(params, bs, opt_state, batch):
+            def body(_, carry):
+                p, b, o, _ = carry
+                return step(p, b, o, batch)
+
+            aux_shape = jax.eval_shape(step, params, bs, opt_state,
+                                       batch)[3]
+            init = (params, bs, opt_state,
+                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                 aux_shape))
+            return jax.lax.fori_loop(0, nsteps, body, init)
+
+        out = run(params, bs, opt_state, prepped)  # compile + warm
+        float(np.asarray(jax.tree.leaves(out[0])[0]).ravel()[0])
+        t0 = _t.perf_counter()
+        out = run(params, bs, opt_state, prepped)
+        float(np.asarray(jax.tree.leaves(out[0])[0]).ravel()[0])
+        dt = _t.perf_counter() - t0
+        trivial = jax.jit(lambda x: x + 1.0)
+        float(np.asarray(trivial(jnp.float32(9.0))))
+        rtts = []
+        for i in range(3):
+            t0 = _t.perf_counter()
+            float(np.asarray(trivial(jnp.float32(i))))
+            rtts.append(_t.perf_counter() - t0)
+        return max(dt - min(rtts), 0.5 * dt) / nsteps * 1e3
+
     yield ("PointPillars train step b2 bf16 ext-targets", train_fn,
            (params, bs, opt_state, prepped), train_chk,
-           4 if quick else 10, "mxu")
+           4 if quick else 10, "mxu", train_ms)
 
 
 def main():
@@ -266,11 +304,11 @@ def main():
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
 
     rows = []
-    for name, fn, wargs, chk, reps, kind in workloads(args.quick):
+    for name, fn, wargs, chk, reps, kind, *rest in workloads(args.quick):
         cost = cost_of(fn, wargs)
         outs = jax.eval_shape(fn, *jax.tree.map(np.asarray, wargs))
         sol_bytes = min_traffic_bytes(wargs, outs)
-        ms = device_loop_ms(fn, wargs, reps, chk)
+        ms = rest[0]() if rest else device_loop_ms(fn, wargs, reps, chk)
         t = ms * 1e-3
         row = dict(
             name=name, kind=kind, ms=round(ms, 4),
