@@ -77,6 +77,7 @@ def bench_pointpillars(rng, reps, probes, quick, dtype="float32",
     from d3d_tpu.models import (SST, SSTConfig, PointPillars,
                                 PointPillarsConfig, make_anchors, pillarize)
     from d3d_tpu.models.inference import make_pointpillars_detector
+    from d3d_tpu.train import init_variables
 
     if family == "sst":
         from d3d_tpu.models.presets import sst_kitti
@@ -139,6 +140,7 @@ def bench_voxelnext(rng, reps, probes, quick, dtype="bfloat16"):
     from d3d_tpu.models import (VoxelNeXt, VoxelNeXtConfig,
                                 make_voxelnext_detector,
                                 voxelnext_voxelize)
+    from d3d_tpu.train import init_variables
 
     cfg = VoxelNeXtConfig(dtype=dtype) if not quick else VoxelNeXtConfig(
         bounds=(0.0, 16.0, -8.0, 8.0, -3.0, 1.0), grid=(32, 32, 8),
@@ -167,6 +169,7 @@ def bench_fused_tracking(rng, reps, probes, quick):
     from d3d_tpu.models.inference import make_centerpoint_detector
     from d3d_tpu.models.pointpillars import PointPillarsConfig
     from d3d_tpu.tracking.device_tracker import make_tracking_step
+    from d3d_tpu.train import init_variables
 
     cfg = CenterPointConfig(
         bounds=(0.0, 69.12, -39.68, 39.68, -3.0, 1.0),
