@@ -57,29 +57,27 @@ class SECONDConfig:
     # middle-extractor execution strategy: "sparse" (gather+einsum on the
     # active-site lists), "dense" (scatter ONCE to a (X, Y, Z, C) canvas,
     # run every layer as a masked dense 3D conv on the MXU — no gathers),
-    # or "auto" (dense on TPU when the canvas fits the budget below;
-    # sparse elsewhere). Mathematically identical where the sparse path's
-    # static site caps don't truncate; the parameter trees are
-    # interchangeable (same names/shapes), so checkpoints swap freely.
-    # Rationale: XLA's row gather on TPU runs far below HBM bandwidth
-    # (measured 8-23 ms/layer at 16k sites on v5e), while the dense conv
-    # at 4% occupancy wastes 24x the FLOPs but lands on the MXU — the
-    # cheaper currency by orders of magnitude.
+    # or "auto" (= sparse everywhere). Mathematically identical where the
+    # sparse path's static site caps don't truncate; the parameter trees
+    # are interchangeable (same names/shapes), so checkpoints swap freely.
+    # Measured on a real v5e (scripts/bench_sparse.py, 16k sites,
+    # 352x400x20 grid): the XLA gather+einsum runs 2.3-5.3 ms/layer at
+    # C=16..64 while the full-grid masked 3D conv runs 3.7-7.9 s/layer —
+    # XLA's 5D conv lowering at few-lane channel counts is nowhere near
+    # the MXU roofline the dense strategy was betting on, so "auto" never
+    # picks it. The dense path remains as an explicit, parity-tested
+    # opt-in for shapes/toolchains where that lowering improves.
     middle: str = "auto"
-    dense_max_cells: int = 8_000_000  # "auto" canvas budget (cells)
+    dense_max_cells: int = 8_000_000  # explicit "dense" sanity budget (cells)
 
     @property
     def n_stages(self):
         return len(self.stage_channels)
 
     def middle_mode(self):
-        if self.middle != "auto":
-            return self.middle
-        import numpy as _np
-
-        small = int(_np.prod(self.grid)) <= self.dense_max_cells
-        return "dense" if (jax.default_backend() == "tpu" and small) \
-            else "sparse"
+        # "auto" == sparse on every backend: on-chip measurement (round 4)
+        # reversed the dense-canvas bet — see the `middle` field comment.
+        return self.middle if self.middle != "auto" else "sparse"
 
     def _downsampled_grid(self):
         """Ceil-divide per stage, exactly like the stage loop — a plain

@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--sites", type=int, default=16384)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dense-canvas", action="store_true",
+                    help="also time the dense-canvas strategy (measured "
+                         "3.7-7.9 s/layer on v5e — ~45 s+ per row; "
+                         "off by default so the revalidate step fits "
+                         "its budget)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -141,8 +146,13 @@ def main():
         print(line)
 
         # the dense-canvas strategy (models/second.dense_stage_loop):
-        # same submanifold conv as one masked dense 3D conv on the MXU —
-        # 1/occupancy more FLOPs, zero gathers
+        # same submanifold conv as one masked dense 3D conv. Round-4 v5e
+        # verdict: 3668 / 7933 ms/layer at C16/C32 vs 2.3 / 3.9 ms for
+        # the gather+einsum — XLA's 5D-conv lowering at few-lane channel
+        # counts never approaches the MXU roofline, so SECONDConfig
+        # "auto" now always picks sparse and these rows are opt-in.
+        if not args.dense_canvas:
+            continue
         mask3 = jnp.zeros(grid, bool).at[coords_j[:, 0], coords_j[:, 1],
                                          coords_j[:, 2]].set(valid_j)
         canvas0 = jnp.zeros(grid + (c_in,), jnp.float32)
