@@ -40,7 +40,10 @@ def _calc_recall(tp, fn):
 
 
 def _calc_fscore(tp, fp, fn, b2):
-    return (1 + b2) * tp / ((1 + b2) * tp + b2 * fn + fp)
+    # empty class (tp = fp = fn = 0): precision = recall = 1 by the
+    # conventions above, so the fscore is 1 as well (not 0/0)
+    denom = (1 + b2) * tp + b2 * fn + fp
+    return 1.0 if denom == 0 else (1 + b2) * tp / denom
 
 
 class DetectionEvalStats:
@@ -177,13 +180,16 @@ class DetectionEvaluator:
         ovar = dc["orientation_var"][dj]
         for p in np.nonzero(ovar > 0)[0]:
             j, gi = dj[p], g[p]
-            v = sps.multivariate_normal.logpdf(
-                gc["position"][gi], dc["position"][j],
-                cov=dc["position_var"][j])
-            v += sps.multivariate_normal.logpdf(
-                gc["dimension"][gi], dc["dimension"][j],
-                cov=dc["dimension_var"][j])
-            var[p] = v + sps.vonmises.logpdf(ang[p], kappa=1 / ovar[p])
+            try:  # singular covariance -> "no uncertainty estimate" (-inf),
+                v = sps.multivariate_normal.logpdf(
+                    gc["position"][gi], dc["position"][j],
+                    cov=dc["position_var"][j])
+                v += sps.multivariate_normal.logpdf(
+                    gc["dimension"][gi], dc["dimension"][j],
+                    cov=dc["dimension_var"][j])
+                var[p] = v + sps.vonmises.logpdf(ang[p], kappa=1 / ovar[p])
+            except np.linalg.LinAlgError:
+                pass  # var[p] stays -inf, matching _accuracy_entries
         return np.stack([np.asarray(ious, np.float64), dist, box,
                          ang / np.pi, var], axis=1)
 
@@ -192,11 +198,21 @@ class DetectionEvaluator:
         box = float(np.linalg.norm(gt_box.dimension - dt_box.dimension))
         ang = quatdiff(gt_box.orientation.as_quat(), dt_box.orientation.as_quat())
         if dt_box.orientation_var > 0:
-            var = sps.multivariate_normal.logpdf(
-                gt_box.position, dt_box.position, cov=dt_box.position_var)
-            var += sps.multivariate_normal.logpdf(
-                gt_box.dimension, dt_box.dimension, cov=dt_box.dimension_var)
-            var += sps.vonmises.logpdf(ang, kappa=1 / dt_box.orientation_var)
+            # the reference guards only orientation_var and lets scipy
+            # raise on a singular position/dimension covariance
+            # (benchmarks.pyx:259-265); here a degenerate covariance reads
+            # as "no uncertainty estimate" -> -inf, same as ovar == 0
+            try:
+                var = sps.multivariate_normal.logpdf(
+                    gt_box.position, dt_box.position,
+                    cov=dt_box.position_var)
+                var += sps.multivariate_normal.logpdf(
+                    gt_box.dimension, dt_box.dimension,
+                    cov=dt_box.dimension_var)
+                var += sps.vonmises.logpdf(
+                    ang, kappa=1 / dt_box.orientation_var)
+            except np.linalg.LinAlgError:
+                var = -np.inf
         else:
             var = -np.inf
         return iou, dist, box, ang / np.pi, var

@@ -68,7 +68,10 @@ class SECONDConfig:
     # picks it. The dense path remains as an explicit, parity-tested
     # opt-in for shapes/toolchains where that lowering improves.
     middle: str = "auto"
-    dense_max_cells: int = 8_000_000  # explicit "dense" sanity budget (cells)
+    # explicit "dense" sanity budget: middle_mode() refuses a dense canvas
+    # larger than this many grid cells (the full-grid masked conv's memory
+    # and time scale with prod(grid), not with the active sites)
+    dense_max_cells: int = 8_000_000
 
     @property
     def n_stages(self):
@@ -77,7 +80,16 @@ class SECONDConfig:
     def middle_mode(self):
         # "auto" == sparse on every backend: on-chip measurement (round 4)
         # reversed the dense-canvas bet — see the `middle` field comment.
-        return self.middle if self.middle != "auto" else "sparse"
+        mode = self.middle if self.middle != "auto" else "sparse"
+        if mode == "dense":
+            cells = int(np.prod(self.grid))
+            if cells > self.dense_max_cells:
+                raise ValueError(
+                    f"middle='dense' over a {self.grid} grid materializes "
+                    f"{cells} cells per layer, over the dense_max_cells "
+                    f"budget ({self.dense_max_cells}); use middle='sparse' "
+                    "or raise dense_max_cells explicitly")
+        return mode
 
     def _downsampled_grid(self):
         """Ceil-divide per stage, exactly like the stage loop — a plain

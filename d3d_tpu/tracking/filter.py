@@ -1,12 +1,20 @@
-"""Motion models and per-target Kalman/UKF filters
-(reference d3d/tracking/filter.py; filterpy replaced by the local
-:mod:`d3d_tpu.tracking.kalman` — see its docstring).
+"""Per-target state estimation for the tracking stack.
 
-Improvement over the reference: ``Pose_3DOF_UKF_CTRV`` is implemented
-(the reference leaves it `NotImplementedError`, filter.py:374-377).
+API parity target: the filter surface of reference d3d/tracking/filter.py
+(motion models, ``Box_KF``, the ``Pose_3DOF_UKF_*`` family). The
+implementation is organised differently from the reference: all planar
+pose UKFs are generated from one spec-driven ``_PlanarUKF`` engine over
+the local :mod:`d3d_tpu.tracking.kalman` (no filterpy), the unmodelled
+detection components ride in a ``_Passthrough`` record, and the extent
+filter inlines its identity-dynamics Kalman update.
+
+Beyond the reference: ``Pose_3DOF_UKF_CTRV`` and ``Pose_IMM`` are
+implemented (the reference declares both and leaves them
+``NotImplementedError``, filter.py:374-377, 526-531).
 """
 
 import logging
+from typing import Callable, NamedTuple
 from warnings import warn
 
 import numpy as np
@@ -14,7 +22,7 @@ import numpy.linalg as npl
 from scipy.spatial.transform import Rotation
 from scipy.special import fresnel
 
-from .kalman import JulierSigmaPoints, KalmanFilter, UnscentedKalmanFilter
+from .kalman import JulierSigmaPoints, UnscentedKalmanFilter
 
 _logger = logging.getLogger("d3d_tpu")
 
@@ -25,6 +33,8 @@ __all__ = [
     "Pose_3DOF_UKF_CV", "Pose_3DOF_UKF_CTRV", "Pose_3DOF_UKF_CTRA",
     "Pose_IMM",
 ]
+
+_YAW = 2  # yaw slot shared by every yaw-state model below
 
 
 def is_pd(B):
@@ -164,271 +174,263 @@ def _niy():
     raise NotImplementedError("This is an abstract filter")
 
 
+# ---------------------------------------------------------------------------
+# shared plumbing for the concrete filters
+# ---------------------------------------------------------------------------
+
+class _Passthrough:
+    """Detection components a planar filter leaves unfiltered — height and
+    (for the CV model) the whole orientation, (for yaw-state models) the
+    off-yaw tilt. Snapshotted from the newest absorbed detection."""
+
+    __slots__ = ("z", "z_var", "rotation", "rotation_var")
+
+    def __init__(self, detection):
+        self.absorb(detection)
+
+    def absorb(self, detection):
+        self.z = float(detection.position[2])
+        self.z_var = float(detection.position_var[2, 2])
+        self.rotation = detection.orientation
+        self.rotation_var = detection.orientation_var
+
+    @property
+    def yaw_tilt(self):
+        """(yaw, pitch, roll) of the snapshotted orientation."""
+        return self.rotation.as_euler("ZYX")
+
+
+def _embed_xy(xy_block, z_diag):
+    """3x3 covariance holding a filtered 2x2 xy block; z appears only on
+    the diagonal (cross terms are untracked and read as zero)."""
+    out = np.zeros((3, 3))
+    out[:2, :2] = xy_block
+    out[2, 2] = z_diag
+    return out
+
+
+def _repair_spd(kf, stage):
+    """State-health watchdog: refuse NaN states; pull a drifted covariance
+    back to the nearest positive-definite matrix (warn on small drifts,
+    raise when the repair would rewrite the estimate wholesale)."""
+    if np.isnan(kf.x).any():
+        raise ValueError("nan occurs in states! (note: %s)" % stage)
+    if is_pd(kf.P):
+        return
+    fixed = nearest_pd(kf.P)
+    drift = npl.norm(kf.P - fixed)
+    message = ("Covariance matrix is not positive definite, fixed "
+               "with diff %.3f! (note: %s)" % (drift, stage))
+    if drift >= 10:
+        _logger.error(message)
+        raise RuntimeError(message)
+    _logger.warning(message)
+    warn(message)
+    kf.P = fixed
+
+
+def _yaw_mean(sigmas, weights):
+    """Sigma-point mean with the yaw slot averaged on the circle."""
+    mean = np.asarray(weights) @ np.asarray(sigmas)
+    c = np.dot(weights, np.cos(sigmas[:, _YAW]))
+    s = np.dot(weights, np.sin(sigmas[:, _YAW]))
+    mean[_YAW] = np.arctan2(s, c)
+    return mean
+
+
+def _yaw_residual(a, b):
+    """State difference with the yaw component wrapped to [-pi, pi)."""
+    d = a - b
+    d[_YAW] = wrap_angle(d[_YAW])
+    return d
+
+
+# ---------------------------------------------------------------------------
+# extent / classification filter
+# ---------------------------------------------------------------------------
+
 class Box_KF(PropertyFilter):
-    """Kalman filter for box dimensions; classification keeps the latest tag
-    (reference filter.py:244-290)."""
+    """Box-extent smoother: identity-dynamics Kalman update inlined over
+    the 3-vector of extents; classification passes the newest tag through
+    (API parity: reference filter.py:244-290)."""
 
     def __init__(self, init, Q=np.eye(3)):
-        self._filter = KalmanFilter(3, 3)
-        self._filter.F = np.eye(3)
-        self._filter.H = np.eye(3)
-        self._filter.Q = np.asarray(Q).reshape(3, 3)
-        self._filter.x = np.asarray(init.dimension, dtype=float)
-        self._filter.P = np.asarray(init.dimension_var, dtype=float)
-        self._saved_tag = init.tag
+        self._drift = np.asarray(Q, dtype=float).reshape(3, 3)
+        self._extent = np.array(init.dimension, dtype=float)
+        self._spread = np.array(init.dimension_var, dtype=float).reshape(3, 3)
+        self._tag = init.tag
 
     def predict(self, dt):
-        self._filter.predict()
+        # extents are static; prediction only diffuses the covariance
+        self._spread = self._spread + self._drift
 
     def update(self, target):
-        self._filter.update(target.dimension, R=target.dimension_var)
-        self._saved_tag = target.tag
+        seen = np.asarray(target.dimension, dtype=float)
+        noise = np.asarray(target.dimension_var, dtype=float).reshape(3, 3)
+        gain = npl.solve((self._spread + noise).T, self._spread.T).T
+        self._extent = self._extent + gain @ (seen - self._extent)
+        self._spread = (np.eye(3) - gain) @ self._spread
+        self._tag = target.tag
 
-    @property
-    def dimension(self):
-        return self._filter.x
-
-    @property
-    def dimension_var(self):
-        return self._filter.P
-
-    @property
-    def classification(self):
-        return self._saved_tag
+    dimension = property(lambda self: self._extent)
+    dimension_var = property(lambda self: self._spread)
+    classification = property(lambda self: self._tag)
 
     @property
     def classification_var(self):
         raise NotImplementedError()
 
 
-class Pose_3DOF_UKF_CV(PoseFilter):
-    """UKF with constant-velocity model; state [x, y, vx, vy], observing
-    [x, y] (reference filter.py:292-372; z and orientation pass through)."""
+# ---------------------------------------------------------------------------
+# planar pose UKFs, generated from model specs
+# ---------------------------------------------------------------------------
 
-    def __init__(self, init, Q=np.eye(4)):
-        self._filter = UnscentedKalmanFilter(
-            4, 2, None, fx=motion_CV, hx=lambda s: s[:2],
-            points=JulierSigmaPoints(4, kappa=1.0),
-        )
-        self._filter.Q = np.asarray(Q).reshape(4, 4)
-        self._filter.x = np.array(
-            [init.position[0], init.position[1], 0.0, 0.0])
-        self._filter.P = np.copy(self._filter.Q)
-        self._filter.P[:2, :2] = init.position_var[:2, :2]
+class _ModelSpec(NamedTuple):
+    """Declarative description of a planar motion model."""
 
-        self._save_z = init.position[2]
-        self._save_z_var = init.position_var[2, 2]
-        self._save_ori = init.orientation
-        self._save_ori_var = init.orientation_var
+    order: int              # state dimension
+    step: Callable          # transition f(state, dt)
+    measured: int           # leading observed slots: 2 -> [x,y], 3 -> [x,y,yaw]
+    turns: bool = False     # model carries a turn rate in its last slot
 
-    def predict(self, dt):
-        self._filter.predict(dt=dt)
 
-    def update(self, detection):
-        self._save_z = detection.position[2]
-        self._save_z_var = detection.position_var[2, 2]
-        self._save_ori = detection.orientation
-        self._save_ori_var = detection.orientation_var
-        self._filter.update(detection.position[:2],
-                            R=detection.position_var[:2, :2])
+class _PlanarUKF(PoseFilter):
+    """UKF engine for 3-DoF planar pose models described by a
+    :class:`_ModelSpec`. Yaw-state models (``measured == 3``) get wrapped
+    circular statistics and the SPD watchdog; the height and off-model
+    orientation components ride through a :class:`_Passthrough`."""
+
+    SPEC: _ModelSpec = None
+
+    def __init__(self, init, Q):
+        spec = self.SPEC
+        circular = {}
+        if self._has_yaw:
+            circular = dict(x_mean_fn=_yaw_mean, z_mean_fn=_yaw_mean,
+                            residual_x=_yaw_residual, residual_z=_yaw_residual)
+        self._kf = UnscentedKalmanFilter(
+            spec.order, spec.measured, None, fx=spec.step,
+            hx=lambda s, k=spec.measured: s[:k],
+            points=JulierSigmaPoints(spec.order, kappa=1.0), **circular)
+        self._kf.Q = np.asarray(Q).reshape(spec.order, spec.order)
+        self._obs = _Passthrough(init)
+
+        self._kf.x = np.zeros(spec.order)
+        self._kf.x[:2] = init.position[:2]
+        self._kf.P = np.copy(self._kf.Q)
+        self._kf.P[:2, :2] = init.position_var[:2, :2]
+        if self._has_yaw:
+            self._kf.x[_YAW] = self._obs.yaw_tilt[0]
+            self._kf.P[_YAW, _YAW] = init.orientation_var
+            _repair_spd(self._kf, "initialize")
 
     @property
+    def _has_yaw(self):
+        return self.SPEC.measured == 3
+
+    def predict(self, dt):
+        self._kf.predict(dt=dt)
+        if self._has_yaw:
+            _repair_spd(self._kf, "prediction")
+
+    def update(self, detection):
+        self._obs.absorb(detection)
+        k = self.SPEC.measured
+        seen = np.empty(k)
+        seen[:2] = detection.position[:2]
+        noise = np.zeros((k, k))
+        noise[:2, :2] = detection.position_var[:2, :2]
+        if self._has_yaw:
+            seen[_YAW] = self._obs.yaw_tilt[0]
+            noise[_YAW, _YAW] = detection.orientation_var
+        self._kf.update(seen, R=noise)
+        if self._has_yaw:
+            self._kf.x[_YAW] = wrap_angle(self._kf.x[_YAW])
+            _repair_spd(self._kf, "update")
+
+    # -- pose surface --------------------------------------------------------
+    @property
     def position(self):
-        return np.array([self._filter.x[0], self._filter.x[1], self._save_z])
+        return np.append(self._kf.x[:2], self._obs.z)
 
     @property
     def position_var(self):
-        cov = np.diag([np.inf, np.inf, self._save_z_var])
-        cov[:2, :2] = self._filter.P[:2, :2]
-        return cov
+        return _embed_xy(self._kf.P[:2, :2], self._obs.z_var)
 
     @property
     def orientation(self):
-        return self._save_ori
+        if not self._has_yaw:
+            return self._obs.rotation
+        tilt = self._obs.yaw_tilt[1:]
+        return Rotation.from_euler(
+            "ZYX", [self._kf.x[_YAW], tilt[0], tilt[1]])
 
     @property
     def orientation_var(self):
-        return self._save_ori_var
+        if not self._has_yaw:
+            return self._obs.rotation_var
+        return self._kf.P[_YAW, _YAW]
 
     @property
     def velocity(self):
-        return np.array([self._filter.x[2], self._filter.x[3], 0.0])
+        if not self._has_yaw:
+            return np.append(self._kf.x[2:4], 0.0)
+        speed, heading = self._kf.x[3], self._kf.x[_YAW]
+        return np.array([speed * np.cos(heading),
+                         speed * np.sin(heading), 0.0])
 
     @property
     def velocity_var(self):
-        cov = np.zeros((3, 3))
-        cov[:2, :2] = self._filter.P[2:4, 2:4]
-        return cov
+        if not self._has_yaw:
+            return _embed_xy(self._kf.P[2:4, 2:4], 0.0)
+        # first-order propagation of the (yaw, v) block into (vx, vy)
+        speed, heading = self._kf.x[3], self._kf.x[_YAW]
+        J = np.array([[-speed * np.sin(heading), np.cos(heading)],
+                      [speed * np.cos(heading), np.sin(heading)]])
+        return _embed_xy(J @ self._kf.P[2:4, 2:4] @ J.T, 0.0)
 
     @property
     def angular_velocity(self):
-        return np.zeros(3)
+        rate = self._kf.x[-1] if self.SPEC.turns else 0.0
+        return np.array([0.0, 0.0, rate])
 
     @property
     def angular_velocity_var(self):
-        return np.zeros((3, 3))
+        rate_var = self._kf.P[-1, -1] if self.SPEC.turns else 0.0
+        return np.diag([0.0, 0.0, rate_var])
 
 
-class _YawStateMixin:
-    """Shared angle-aware sigma-point statistics for states whose component 2
-    is a yaw angle (reference filter.py:407-432)."""
+class Pose_3DOF_UKF_CV(_PlanarUKF):
+    """Constant-velocity pose UKF; state [x, y, vx, vy], observing [x, y]
+    (API parity: reference filter.py:292-372; z and orientation pass
+    through unfiltered)."""
 
-    @staticmethod
-    def _state_mean(sigmas, wm):
-        x = np.average(sigmas, axis=0, weights=wm)
-        s = np.average(np.sin(sigmas[:, 2]), weights=wm)
-        c = np.average(np.cos(sigmas[:, 2]), weights=wm)
-        x[2] = np.arctan2(s, c)
-        return x
+    SPEC = _ModelSpec(4, motion_CV, measured=2)
 
-    @staticmethod
-    def _state_diff(x, y):
-        d = x - y
-        d[2] = wrap_angle(d[2])
-        return d
-
-    def check_valid(self, note):
-        if np.any(np.isnan(self._filter.x)):
-            raise ValueError("nan occurs in states! (note: %s)" % note)
-        if not is_pd(self._filter.P):
-            newp = nearest_pd(self._filter.P)
-            diff = npl.norm(self._filter.P - newp)
-            message = ("Covariance matrix is not positive definite, fixed "
-                       "with diff %.3f! (note: %s)" % (diff, note))
-            if diff < 10:
-                _logger.warning(message)
-                warn(message)
-            else:
-                _logger.error(message)
-                raise RuntimeError(message)
-            self._filter.P = newp
+    def __init__(self, init, Q=np.eye(4)):
+        super().__init__(init, Q)
 
 
-class _PoseUKFBase(_YawStateMixin, PoseFilter):
-    """Common plumbing for yaw-state pose UKFs observing [x, y, yaw]."""
+class Pose_3DOF_UKF_CTRV(_PlanarUKF):
+    """Constant turn-rate / velocity pose UKF; state [x, y, yaw, v, w],
+    observing [x, y, yaw]. Declared but unimplemented in the reference
+    (filter.py:374-377)."""
 
-    _dim_x = None
-    _motion = None
-
-    def __init__(self, init, Q):
-        n = self._dim_x
-        self._filter = UnscentedKalmanFilter(
-            n, 3, None, fx=type(self)._motion, hx=lambda s: s[:3],
-            points=JulierSigmaPoints(n, kappa=1.0),
-            x_mean_fn=self._state_mean, z_mean_fn=self._state_mean,
-            residual_x=self._state_diff, residual_z=self._state_diff,
-        )
-        self._filter.Q = np.asarray(Q).reshape(n, n)
-
-        yaw, pitch, roll = init.orientation.as_euler("ZYX")
-        self._filter.x = np.zeros(n)
-        self._filter.x[:3] = [init.position[0], init.position[1], yaw]
-        self._filter.P = np.copy(self._filter.Q)
-        self._filter.P[:2, :2] = init.position_var[:2, :2]
-        self._filter.P[2, 2] = init.orientation_var
-
-        self._save_z = init.position[2]
-        self._save_z_var = init.position_var[2, 2]
-        self._save_pitch = pitch
-        self._save_roll = roll
-        self._save_ori_var = init.orientation_var
-        self.check_valid("initialize")
-
-    def predict(self, dt):
-        self._filter.predict(dt=dt)
-        self.check_valid("prediction")
-
-    def update(self, detection):
-        yaw, pitch, roll = detection.orientation.as_euler("ZYX")
-        self._save_z = detection.position[2]
-        self._save_z_var = detection.position_var[2, 2]
-        self._save_pitch = pitch
-        self._save_roll = roll
-        self._save_ori_var = detection.orientation_var
-
-        obsv = np.array([detection.position[0], detection.position[1], yaw])
-        R = np.zeros((3, 3))
-        R[:2, :2] = detection.position_var[:2, :2]
-        R[2, 2] = detection.orientation_var
-        self._filter.update(obsv, R=R)
-        self._filter.x[2] = wrap_angle(self._filter.x[2])
-        self.check_valid("update")
-
-    @property
-    def position(self):
-        return np.array([self._filter.x[0], self._filter.x[1], self._save_z])
-
-    @property
-    def position_var(self):
-        cov = np.diag([np.inf, np.inf, self._save_z_var])
-        cov[:2, :2] = self._filter.P[:2, :2]
-        return cov
-
-    @property
-    def orientation(self):
-        return Rotation.from_euler(
-            "ZYX", [self._filter.x[2], self._save_pitch, self._save_roll])
-
-    @property
-    def orientation_var(self):
-        return self._filter.P[2, 2]
-
-    @property
-    def velocity(self):
-        return np.array([
-            self._filter.x[3] * np.cos(self._filter.x[2]),
-            self._filter.x[3] * np.sin(self._filter.x[2]),
-            0.0,
-        ])
-
-    @property
-    def velocity_var(self):
-        # linearized covariance of (v, yaw) -> (vx, vy)
-        cov = np.zeros((3, 3))
-        v, th = self._filter.x[3], self._filter.x[2]
-        A = np.array([[-v * np.sin(th), np.cos(th)],
-                      [v * np.cos(th), np.sin(th)]])
-        cov[:2, :2] = A.dot(self._filter.P[2:4, 2:4]).dot(A.T)
-        return cov
-
-
-class Pose_3DOF_UKF_CTRV(_PoseUKFBase):
-    """UKF with constant turn-rate and velocity model;
-    state [x, y, yaw, v, w], observing [x, y, yaw]."""
-
-    _dim_x = 5
-    _motion = staticmethod(motion_CTRV)
+    SPEC = _ModelSpec(5, motion_CTRV, measured=3, turns=True)
 
     def __init__(self, init, Q=np.eye(5)):
         super().__init__(init, Q)
 
-    @property
-    def angular_velocity(self):
-        return np.array([0, 0, self._filter.x[4]])
 
-    @property
-    def angular_velocity_var(self):
-        return np.diag([0, 0, self._filter.P[4, 4]])
+class Pose_3DOF_UKF_CTRA(_PlanarUKF):
+    """Constant turn-rate / acceleration pose UKF; state
+    [x, y, yaw, v, a, w], observing [x, y, yaw] (API parity: reference
+    filter.py:392-524)."""
 
-
-class Pose_3DOF_UKF_CTRA(_PoseUKFBase):
-    """UKF with constant turn-rate and acceleration model;
-    state [x, y, yaw, v, a, w], observing [x, y, yaw]
-    (reference filter.py:392-524)."""
-
-    _dim_x = 6
-    _motion = staticmethod(motion_CTRA)
+    SPEC = _ModelSpec(6, motion_CTRA, measured=3, turns=True)
 
     def __init__(self, init, Q=np.eye(6)):
         super().__init__(init, Q)
-
-    @property
-    def angular_velocity(self):
-        return np.array([0, 0, self._filter.x[5]])
-
-    @property
-    def angular_velocity_var(self):
-        return np.diag([0, 0, self._filter.P[5, 5]])
 
 
 class Pose_IMM(PoseFilter):
@@ -465,7 +467,7 @@ class Pose_IMM(PoseFilter):
 
     # -- augmented-space plumbing -------------------------------------------
     def _aug(self, m):
-        f = m._filter
+        f = m._kf
         if f.dim_x == 6:
             return f.x.copy(), f.P.copy()
         x = np.insert(f.x, self._A, 0.0)
@@ -475,7 +477,7 @@ class Pose_IMM(PoseFilter):
         return x, P
 
     def _set(self, m, x, P):
-        f = m._filter
+        f = m._kf
         if f.dim_x == 6:
             f.x, f.P = x, P
         else:
@@ -521,7 +523,7 @@ class Pose_IMM(PoseFilter):
         logl = []
         for m in self._models:
             m.update(detection)
-            logl.append(m._filter.log_likelihood)
+            logl.append(m._kf.log_likelihood)
         lw = np.log(np.maximum(self._cbar, 1e-300)) + np.asarray(logl)
         lw -= lw.max()
         mu = np.exp(lw)
@@ -546,21 +548,18 @@ class Pose_IMM(PoseFilter):
     @property
     def position(self):
         x, _ = self._combined()
-        return np.array([x[0], x[1], self._models[1]._save_z])
+        return np.array([x[0], x[1], self._models[1]._obs.z])
 
     @property
     def position_var(self):
         _, P = self._combined()
-        cov = np.diag([np.inf, np.inf, self._models[1]._save_z_var])
-        cov[:2, :2] = P[:2, :2]
-        return cov
+        return _embed_xy(P[:2, :2], self._models[1]._obs.z_var)
 
     @property
     def orientation(self):
         x, _ = self._combined()
-        m = self._models[1]
-        return Rotation.from_euler(
-            "ZYX", [x[2], m._save_pitch, m._save_roll])
+        tilt = self._models[1]._obs.yaw_tilt[1:]
+        return Rotation.from_euler("ZYX", [x[2], tilt[0], tilt[1]])
 
     @property
     def orientation_var(self):
@@ -578,9 +577,7 @@ class Pose_IMM(PoseFilter):
         v, th = x[3], x[2]
         A = np.array([[-v * np.sin(th), np.cos(th)],
                       [v * np.cos(th), np.sin(th)]])
-        cov = np.zeros((3, 3))
-        cov[:2, :2] = A.dot(P[2:4, 2:4]).dot(A.T)
-        return cov
+        return _embed_xy(A.dot(P[2:4, 2:4]).dot(A.T), 0.0)
 
     @property
     def angular_velocity(self):

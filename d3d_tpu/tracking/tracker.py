@@ -1,6 +1,17 @@
-"""Multi-object Kalman tracker (reference d3d/tracking/tracker.py:8-204):
-per-track pose UKF + dimension KF, frame-to-frame association through a
-pluggable matcher, lost-track aging and pruning."""
+"""Host-side multi-object Kalman tracking.
+
+API parity target: the public ``VanillaTracker`` contract of reference
+d3d/tracking/tracker.py:8-204 (constructor kwargs, ``update``/``report``/
+``tracked_ids``/``match_count``, microsecond timestamps, tids counted
+from 1). The internals are this repo's own: one ``_Track`` record per
+tracklet bundling its filters and age clocks, association factored into
+``_associate``, and track snapshots built by the record itself. The
+device-resident trackers (:mod:`d3d_tpu.tracking.device_tracker`,
+:mod:`d3d_tpu.tracking.center_tracker`) are the TPU production path; this
+class is the small-N host reference implementation.
+"""
+
+import itertools
 
 import numpy as np
 
@@ -9,6 +20,69 @@ from .filter import Box_KF, Pose_3DOF_UKF_CTRA
 from .matcher import DistanceTypes, HungarianMatcher
 
 __all__ = ["VanillaTracker"]
+
+_GATE_KINDS = {
+    "iou": DistanceTypes.IoU,
+    "riou": DistanceTypes.RIoU,
+    "position": DistanceTypes.Position,
+}
+
+
+class _Track:
+    """One live tracklet: a pose filter and an extent/class filter plus the
+    consecutive tracked/lost clocks that drive the pruning policy."""
+
+    __slots__ = ("tid", "motion", "shape", "time_tracked", "time_lost")
+
+    def __init__(self, tid, motion, shape):
+        self.tid = tid
+        self.motion = motion
+        self.shape = shape
+        self.time_tracked = 0.0
+        self.time_lost = 0.0
+
+    def advance(self, dt):
+        self.motion.predict(dt)
+        self.shape.predict(dt)
+
+    def absorb(self, detection, dt):
+        self.motion.update(detection)
+        self.shape.update(detection)
+        self.time_tracked += dt
+        self.time_lost = 0.0
+
+    def miss(self, dt):
+        self.time_lost += dt
+        self.time_tracked = 0.0
+
+    def _estimate(self):
+        return dict(
+            position=self.motion.position,
+            orientation=self.motion.orientation,
+            dimension=self.shape.dimension,
+            tag=self.shape.classification,
+            tid=self.tid,
+            # unfiltered covariance slots read as +inf; clamp for consumers
+            # (matchers, serializers) that need finite numbers
+            position_var=np.nan_to_num(self.motion.position_var, posinf=1e6),
+            orientation_var=self.motion.orientation_var,
+            dimension_var=self.shape.dimension_var,
+        )
+
+    def as_object(self):
+        """Pose-only snapshot, used for association."""
+        return ObjectTarget3D(**self._estimate())
+
+    def as_tracked(self):
+        """Full snapshot with motion state, used for reporting."""
+        return TrackingTarget3D(
+            velocity=self.motion.velocity,
+            velocity_var=self.motion.velocity_var,
+            angular_velocity=self.motion.angular_velocity,
+            angular_velocity_var=self.motion.angular_velocity_var,
+            history=self.time_tracked,
+            **self._estimate(),
+        )
 
 
 class VanillaTracker:
@@ -30,159 +104,106 @@ class VanillaTracker:
                  default_position_var=np.eye(3),
                  default_dimension_var=np.eye(3),
                  default_orientation_var=1):
-        self._tracked_poses = {}
-        self._tracked_features = {}
-        self._timer_track = {}
-        self._timer_lost = {}
+        self._tracks = {}
+        self._tid_source = itertools.count(1)  # tid 0 means "no id"
+        self._clock = None  # seconds; drives filter dt
+        self._clock_raw = 0  # input unit (microseconds); echoed in outputs
+        self._frame = None
+        self._horizon = lost_time
 
-        self._default_position_var = default_position_var
-        self._default_dimension_var = default_dimension_var
-        self._default_orientation_var = default_orientation_var
-
-        self._last_timestamp = None
-        self._last_frameid = None
-        self._id_counter = 1  # 0 means "no id"
-        self._lost_time = lost_time
-
-        self._pose_factory = pose_tracker_factory
-        self._feature_factory = feature_tracker_factory
+        self._new_motion = pose_tracker_factory
+        self._new_shape = feature_tracker_factory
         self._matcher = matcher_factory()
-
         if isinstance(matcher_distance_type, str):
-            self._match_distance = {
-                "iou": DistanceTypes.IoU,
-                "riou": DistanceTypes.RIoU,
-                "position": DistanceTypes.Position,
-            }[matcher_distance_type.lower()]
-        else:
-            self._match_distance = matcher_distance_type
-        self._match_threshold = matcher_distance_threshold
+            matcher_distance_type = _GATE_KINDS[matcher_distance_type.lower()]
+        self._gate = matcher_distance_type
+        self._gate_width = matcher_distance_threshold
+        self._spawn_vars = (default_position_var, default_dimension_var,
+                            default_orientation_var)
 
-    def _initialize(self, target):
-        self._tracked_poses[self._id_counter] = self._pose_factory(target)
-        self._tracked_features[self._id_counter] = self._feature_factory(target)
-        self._timer_track[self._id_counter] = 0.0
-        self._timer_lost[self._id_counter] = 0.0
-        self._id_counter += 1
+    # -- track lifecycle ------------------------------------------------------
+    def _spawn(self, detection):
+        tid = next(self._tid_source)
+        self._tracks[tid] = _Track(tid, self._new_motion(detection),
+                                   self._new_shape(detection))
 
+    def _backfill_vars(self, detection):
+        """Detections arriving without covariances get the tracker's
+        configured defaults before feeding any filter."""
+        pos_var, dim_var, ori_var = self._spawn_vars
+        if not np.any(detection.position_var):
+            detection.position_var = pos_var
+        if not np.any(detection.dimension_var):
+            detection.dimension_var = dim_var
+        if not np.any(detection.orientation_var):
+            detection.orientation_var = ori_var
+
+    def _associate(self, detections):
+        """Match detections against predicted track states; returns
+        {detection index: tid}."""
+        order = list(self._tracks)
+        predicted = Target3DArray(
+            [self._tracks[tid].as_object() for tid in order],
+            frame=detections.frame, timestamp=self._clock_raw)
+
+        gates = self._gate_width
+        if not isinstance(gates, dict):
+            width = float(gates)
+            gates = {obj.tag_top.value: width
+                     for obj in itertools.chain(detections, predicted)}
+        self._matcher.prepare_boxes(detections, predicted, self._gate)
+        self._matcher.match(range(len(detections)), range(len(predicted)),
+                            gates)
+        pairing = {}
+        for src in range(len(detections)):
+            dst = self._matcher.query_src_match(src)
+            if dst >= 0:
+                pairing[src] = order[dst]
+        return pairing
+
+    # -- public surface -------------------------------------------------------
     @property
     def tracked_ids(self):
-        return list(self._tracked_poses.keys())
-
-    def _current_objects_array(self):
-        # report in the INPUT unit (microseconds) — _last_timestamp holds
-        # seconds for filter dt math only
-        array = Target3DArray(frame=self._last_frameid,
-                              timestamp=getattr(self, "_last_timestamp_us",
-                                                0))
-        for tid in self.tracked_ids:
-            array.append(ObjectTarget3D(
-                position=self._tracked_poses[tid].position,
-                orientation=self._tracked_poses[tid].orientation,
-                dimension=self._tracked_features[tid].dimension,
-                tag=self._tracked_features[tid].classification,
-                tid=tid,
-                position_var=np.nan_to_num(
-                    self._tracked_poses[tid].position_var, posinf=1e6),
-                orientation_var=self._tracked_poses[tid].orientation_var,
-                dimension_var=self._tracked_features[tid].dimension_var,
-            ))
-        return array
-
-    def _assign_default_var(self, target):
-        if not np.any(target.position_var):
-            target.position_var = self._default_position_var
-        if not np.any(target.dimension_var):
-            target.dimension_var = self._default_dimension_var
-        if not np.any(target.orientation_var):
-            target.orientation_var = self._default_orientation_var
-        return target
-
-    def update(self, detections):
-        """Feed a new frame of detections (timestamp in microseconds)."""
-        current_ts = detections.timestamp / 1e6  # seconds, for filter dt
-        self._last_timestamp_us = detections.timestamp
-        if self._last_timestamp is None:
-            for target in detections:
-                self._assign_default_var(target)
-                self._initialize(target)
-        else:
-            dt = current_ts - self._last_timestamp
-            for tracker in self._tracked_poses.values():
-                tracker.predict(dt)
-            for tracker in self._tracked_features.values():
-                tracker.predict(dt)
-
-            current_targets = self._current_objects_array()
-            if isinstance(self._match_threshold,
-                          (float, int, np.floating, np.integer)):
-                thresholds = {box.tag_top.value: float(self._match_threshold)
-                              for box in list(current_targets) + list(detections)}
-            else:
-                assert isinstance(self._match_threshold, dict)
-                thresholds = self._match_threshold
-            # keep frames consistent for the matcher
-            current_targets.frame = detections.frame
-            self._matcher.prepare_boxes(detections, current_targets,
-                                        self._match_distance)
-            self._matcher.match(range(len(detections)),
-                                range(len(current_targets)), thresholds)
-
-            lost_ids = set(self.tracked_ids)
-            for idx, target in enumerate(detections):
-                idx_match = self._matcher.query_src_match(idx)
-                self._assign_default_var(target)
-                if idx_match < 0:
-                    self._initialize(target)
-                else:
-                    tid = current_targets[idx_match].tid
-                    self._tracked_poses[tid].update(target)
-                    self._tracked_features[tid].update(target)
-                    self._timer_lost[tid] = 0.0
-                    self._timer_track[tid] += dt
-                    lost_ids.discard(tid)
-
-            for tid in lost_ids:
-                self._timer_lost[tid] += dt
-                self._timer_track[tid] = 0.0
-
-        # prune outdated tracks
-        for tid in [t for t, lost in self._timer_lost.items()
-                    if lost > self._lost_time]:
-            del self._tracked_poses[tid]
-            del self._tracked_features[tid]
-            del self._timer_lost[tid]
-            del self._timer_track[tid]
-
-        self._last_timestamp = current_ts
-        self._last_frameid = detections.frame
-
-    def report(self):
-        """Current tracked targets as TrackingTarget3D array."""
-        # report in the INPUT unit (microseconds) — _last_timestamp holds
-        # seconds for filter dt math only
-        array = Target3DArray(frame=self._last_frameid,
-                              timestamp=getattr(self, "_last_timestamp_us",
-                                                0))
-        for tid in self.tracked_ids:
-            array.append(TrackingTarget3D(
-                position=self._tracked_poses[tid].position,
-                orientation=self._tracked_poses[tid].orientation,
-                dimension=self._tracked_features[tid].dimension,
-                velocity=self._tracked_poses[tid].velocity,
-                angular_velocity=self._tracked_poses[tid].angular_velocity,
-                tag=self._tracked_features[tid].classification,
-                tid=tid,
-                position_var=np.nan_to_num(
-                    self._tracked_poses[tid].position_var, posinf=1e6),
-                orientation_var=self._tracked_poses[tid].orientation_var,
-                dimension_var=self._tracked_features[tid].dimension_var,
-                velocity_var=self._tracked_poses[tid].velocity_var,
-                angular_velocity_var=self._tracked_poses[tid].angular_velocity_var,
-                history=self._timer_track[tid],
-            ))
-        return array
+        return list(self._tracks)
 
     @property
     def match_count(self):
         return self._matcher.num_of_matches()
+
+    def update(self, detections):
+        """Feed a new frame of detections (timestamp in microseconds)."""
+        now = detections.timestamp / 1e6
+        if self._clock is None:
+            for det in detections:
+                self._backfill_vars(det)
+                self._spawn(det)
+        else:
+            dt = now - self._clock
+            for track in self._tracks.values():
+                track.advance(dt)
+            pairing = self._associate(detections)
+            veterans = list(self._tracks.values())  # spawned tracks don't age
+            hits = set()
+            for src, det in enumerate(detections):
+                self._backfill_vars(det)
+                tid = pairing.get(src)
+                if tid is None:
+                    self._spawn(det)
+                else:
+                    self._tracks[tid].absorb(det, dt)
+                    hits.add(tid)
+            for track in veterans:
+                if track.tid not in hits:
+                    track.miss(dt)
+            self._tracks = {tid: track for tid, track in self._tracks.items()
+                            if track.time_lost <= self._horizon}
+
+        self._clock = now
+        self._clock_raw = detections.timestamp
+        self._frame = detections.frame
+
+    def report(self):
+        """Current tracked targets as a TrackingTarget3D array."""
+        return Target3DArray(
+            [track.as_tracked() for track in self._tracks.values()],
+            frame=self._frame, timestamp=self._clock_raw)

@@ -109,6 +109,15 @@ def main():
     ap.add_argument("--max-n", type=int, default=5000)
     ap.add_argument("--native-max-n", type=int, default=2000,
                     help="cap for the single-threaded exact C++ path")
+    ap.add_argument("--aos-max-n", type=int, default=2000,
+                    help="cap for the AoS autodiff path: its clip carries "
+                         "(..., 24, 2) candidate temporaries per pair, so "
+                         "the n=5000 backward wants 32 GB of HBM rematerial"
+                         "ization buffers (measured round 5) — the SoA/"
+                         "Pallas production paths cover the large sizes")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse per-(path, n) timings already present in "
+                         "<out>.json and measure only the missing ones")
     ap.add_argument("--no-plot", action="store_true")
     ap.add_argument("--plot-only", action="store_true",
                     help="skip timing; render <out>.png from an existing "
@@ -179,29 +188,53 @@ def main():
     sizes = [n for n in SIZES if n <= args.max_n]
     results = {"backend": backend, "sizes": sizes, "ms": {}}
 
-    for n in sizes:
+    prev_ms = {}
+    if args.resume and os.path.exists(args.out + ".json"):
+        with open(args.out + ".json") as f:
+            prev = json.load(f)
+        if prev.get("backend") == backend and \
+                prev.get("sizes", [])[:len(sizes)] == sizes[:len(prev.get("sizes", []))]:
+            prev_ms = prev.get("ms", {})
+            print(f"resuming from {args.out}.json "
+                  f"({sum(len(v) for v in prev_ms.values())} entries)")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    def record(name, i, measure):
+        """Append one timing for size index i, reusing a resumed value."""
+        done = prev_ms.get(name, [])
+        ms = done[i] if len(done) > i else measure()
+        source = "resumed" if len(done) > i else "measured"
+        results["ms"].setdefault(name, []).append(ms)
+        print(f"n={sizes[i]:5d} {name:18s} {ms:10.4f} ms  ({source})",
+              flush=True)
+
+    for i, n in enumerate(sizes):
+        # NOTE: keep drawing boxes even for fully-resumed sizes so the rng
+        # stream (and thus any re-measured entry) matches a fresh run
         b1h, b2h = make_boxes(rng, n), make_boxes(rng, n)
         b1, b2 = jnp.asarray(b1h), jnp.asarray(b2h)
         reps = reps_for(n)
         for name, fn in paths.items():
-            ms = device_time_ms(fn, (b1, b2), reps)
-            results["ms"].setdefault(name, []).append(ms)
-            print(f"n={n:5d} {name:18s} {ms:10.4f} ms  (reps={reps})", flush=True)
+            if name.startswith("aos.") and n > args.aos_max_n:
+                continue
+            record(name, i, lambda: device_time_ms(fn, (b1, b2), reps))
         if native.available() and n <= args.native_max_n:
-            b164, b264 = b1h.astype(np.float64), b2h.astype(np.float64)
-            native.rbox_iou_matrix(b164, b264)  # warmup
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                native.rbox_iou_matrix(b164, b264)
-                ts.append(time.perf_counter() - t0)
-            ms = float(np.median(ts)) * 1e3
-            results["ms"].setdefault("native.forward", []).append(ms)
-            print(f"n={n:5d} {'native.forward':18s} {ms:10.4f} ms  (host C++)", flush=True)
+            def measure_native():
+                b164, b264 = b1h.astype(np.float64), b2h.astype(np.float64)
+                native.rbox_iou_matrix(b164, b264)  # warmup
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    native.rbox_iou_matrix(b164, b264)
+                    ts.append(time.perf_counter() - t0)
+                return float(np.median(ts)) * 1e3
+            record("native.forward", i, measure_native)
+        # crash-safe: persist after every size (the n=5000 compiles are
+        # where OOMs/tunnel wedges strike)
+        with open(args.out + ".json", "w") as f:
+            json.dump(results, f, indent=1)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out + ".json", "w") as f:
-        json.dump(results, f, indent=1)
     print("saved", args.out + ".json")
 
     if not args.no_plot:

@@ -151,7 +151,9 @@ def main():
         # the gather+einsum — XLA's 5D-conv lowering at few-lane channel
         # counts never approaches the MXU roofline, so SECONDConfig
         # "auto" now always picks sparse and these rows are opt-in.
-        if not args.dense_canvas:
+        if not (args.dense_canvas and on_tpu):
+            # the dense rows are TPU-only (see below): skip the ~0.7 GB
+            # canvas/mask allocation too on other backends
             continue
         mask3 = jnp.zeros(grid, bool).at[coords_j[:, 0], coords_j[:, 1],
                                          coords_j[:, 2]].set(valid_j)
@@ -159,11 +161,12 @@ def main():
         canvas0 = canvas0.at[coords_j[:, 0], coords_j[:, 1],
                              coords_j[:, 2]].set(feats * valid_j[:, None])
 
-        # On TPU the full-grid dense conv is ~0.5-1.1 s/layer (measured
-        # round 4) — 32 inner reps x 10 outer blows the revalidate step
-        # budget, and the number only needs ~3 significant figures to
-        # show the 100-200x gap. Shrink the loop there. On CPU the
-        # full-grid 3D conv takes minutes/layer — skip it entirely.
+        # On TPU the full-grid dense conv is 3.7-7.9 s/layer (round-4
+        # measurement, same as the header comment) — 32 inner reps x 10
+        # outer blows the revalidate step budget, and the number only
+        # needs ~3 significant figures to show the ~1000x gap. Shrink the
+        # loop there. On CPU the full-grid 3D conv takes minutes/layer —
+        # skip it entirely (gated above).
         d_inner = 4
         d_outer = 3
 
