@@ -162,8 +162,23 @@ def main():
             b1p.reshape(nblocks, rows, 5))
         return out.reshape(-1, m)[:n]
 
-    def soa_matrix(b1, b2):
-        return _rbox_iou_matrix_xla(b1, b2)
+    def soa_matrix(b1, b2, pair_budget=1 << 22):
+        """Row-chunked SoA matrix. Each block is jax.checkpoint'ed so the
+        n=5000 backward recomputes block temporaries instead of stacking
+        them across the lax.map scan (unchunked, the 25M-pair backward
+        asks for 21.8 GB of HBM — measured round 5). Sizes that fit one
+        block (n <= 2000 at this budget) run exactly as before."""
+        from jax import lax
+        n, m = b1.shape[0], b2.shape[0]
+        rows = max(1, pair_budget // max(m, 1))
+        if n <= rows:
+            return _rbox_iou_matrix_xla(b1, b2)
+        block = jax.checkpoint(lambda blk: _rbox_iou_matrix_xla(blk, b2))
+        nblocks = -(-n // rows)
+        pad = nblocks * rows - n
+        b1p = jnp.concatenate([b1, jnp.ones((pad, 5), b1.dtype)], axis=0)
+        out = lax.map(block, b1p.reshape(nblocks, rows, 5))
+        return out.reshape(-1, m)[:n]
 
     def grad_wrap(matrix_fn):
         def f(b1, b2):
@@ -208,6 +223,10 @@ def main():
         results["ms"].setdefault(name, []).append(ms)
         print(f"n={sizes[i]:5d} {name:18s} {ms:10.4f} ms  ({source})",
               flush=True)
+        # crash-safe: persist after every entry (the n=5000 compiles are
+        # where OOMs/tunnel wedges strike)
+        with open(args.out + ".json", "w") as f:
+            json.dump(results, f, indent=1)
 
     for i, n in enumerate(sizes):
         # NOTE: keep drawing boxes even for fully-resumed sizes so the rng
@@ -230,10 +249,6 @@ def main():
                     ts.append(time.perf_counter() - t0)
                 return float(np.median(ts)) * 1e3
             record("native.forward", i, measure_native)
-        # crash-safe: persist after every size (the n=5000 compiles are
-        # where OOMs/tunnel wedges strike)
-        with open(args.out + ".json", "w") as f:
-            json.dump(results, f, indent=1)
 
     print("saved", args.out + ".json")
 
