@@ -79,6 +79,20 @@ def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False):
         print(f"  target-prep (per batch, overlappable): {prep_ms:.1f} ms")
         batch = prepped
 
+    sps, loss = _time_steps(step, variables, opt_state, batch, nsteps)
+    tag = " ext-tgt" if ext_targets else ""
+    print(f"dtype={dtype:9s} remat={int(remat)} batch={b}{tag}: "
+          f"{sps:6.2f} steps/s  {sps * b:6.2f} frames/s  "
+          f"({1e3 / sps:.1f} ms/step, loss {loss:.3f})")
+    return sps
+
+
+def _time_steps(step, variables, opt_state, batch, nsteps):
+    """Median device ms/step of a jitted train step: chain the state
+    through one lax.fori_loop (nothing hoistable), subtract the tunnel
+    RTT, fetch a value as the completion barrier."""
+    import jax.numpy as jnp
+
     @jax.jit
     def run(params, bs, opt_state, batch):
         def body(_, carry):
@@ -92,7 +106,7 @@ def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False):
 
     # compile + warmup (fetch a value: the only reliable barrier)
     out = run(variables["params"], variables["batch_stats"], opt_state, batch)
-    loss0 = float(np.asarray(out[3]["total"]))
+    float(np.asarray(out[3]["total"]))
     t0 = time.perf_counter()
     out = run(variables["params"], variables["batch_stats"], opt_state, batch)
     loss = float(np.asarray(out[3]["total"]))
@@ -109,11 +123,73 @@ def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False):
         float(np.asarray(trivial(jnp.float32(i))))
         rtts.append(time.perf_counter() - t0)
     dt = max(dt - min(rtts), 0.5 * dt)
-    sps = nsteps / dt
-    tag = " ext-tgt" if ext_targets else ""
-    print(f"dtype={dtype:9s} remat={int(remat)} batch={b}{tag}: "
+    return nsteps / dt, loss
+
+
+def _sparse_clouds(rng, cfg, b, npts=120000):
+    return np.stack([np.stack([
+        rng.uniform(cfg.bounds[0], cfg.bounds[1], npts),
+        rng.uniform(cfg.bounds[2], cfg.bounds[3], npts),
+        rng.uniform(cfg.bounds[4], cfg.bounds[5], npts),
+        rng.uniform(0, 1, npts)], axis=1)
+        for _ in range(b)]).astype(np.float32)
+
+
+def bench_sparse_family(rng, model_name, dtype, b, nsteps, m=16):
+    """Full train step of a sparse-middle-extractor family (SECOND at the
+    KITTI preset, VoxelNeXt at the nuScenes preset) — the families whose
+    backbone runs on active-site lists instead of a dense BEV canvas."""
+    import optax
+    from d3d_tpu.models import presets
+
+    if model_name == "second":
+        from d3d_tpu.models.second import (SECOND, head_config,
+                                           make_train_step, second_voxelize)
+        from d3d_tpu.models.pointpillars import make_anchors
+
+        cfg = presets.second_kitti(dtype=dtype)
+        feats, coords, valid = jax.vmap(
+            lambda p: second_voxelize(p, cfg))(
+                jnp.asarray(_sparse_clouds(rng, cfg, b)))
+        model = SECOND(cfg)
+        num_classes = cfg.num_classes
+        make_step = lambda mdl, opt: make_train_step(
+            mdl, opt, cfg, make_anchors(head_config(cfg)))
+    elif model_name == "voxelnext":
+        from d3d_tpu.models.voxelnext import (VoxelNeXt, make_train_step,
+                                              voxelnext_voxelize)
+
+        cfg = presets.voxelnext_nuscenes(dtype=dtype)
+        feats, coords, valid = jax.vmap(
+            lambda p: voxelnext_voxelize(p, cfg))(
+                jnp.asarray(_sparse_clouds(rng, cfg, b)))
+        model = VoxelNeXt(cfg)
+        num_classes = cfg.num_classes
+        make_step = lambda mdl, opt: make_train_step(mdl, opt, cfg)
+    else:
+        raise ValueError(model_name)
+
+    gt = np.stack([np.stack([
+        rng.uniform(cfg.bounds[0] + 5, cfg.bounds[1] - 5, m),
+        rng.uniform(cfg.bounds[2] + 5, cfg.bounds[3] - 5, m),
+        np.full(m, -1.0), np.full(m, 3.9), np.full(m, 1.6),
+        np.full(m, 1.56), rng.uniform(-np.pi / 2, np.pi / 2, m)], axis=1)
+        for _ in range(b)]).astype(np.float32)
+    batch = dict(features=feats, coords=coords, valid=valid,
+                 gt_boxes=jnp.asarray(gt),
+                 gt_labels=jnp.asarray(
+                     rng.integers(0, num_classes, (b, m)), jnp.int32),
+                 gt_mask=jnp.ones((b, m), bool))
+
+    variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                           batch["coords"], batch["valid"])
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(variables["params"])
+    step = make_step(model, opt)
+    sps, loss = _time_steps(step, variables, opt_state, batch, nsteps)
+    print(f"{model_name:10s} dtype={dtype:9s} batch={b}: "
           f"{sps:6.2f} steps/s  {sps * b:6.2f} frames/s  "
-          f"({dt / nsteps * 1e3:.1f} ms/step, loss {loss:.3f})")
+          f"({1e3 / sps:.1f} ms/step, loss {loss:.3f})")
     return sps
 
 
@@ -123,6 +199,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="only the bf16+remat flagship config")
+    ap.add_argument("--model", default="pointpillars",
+                    choices=("pointpillars", "second", "voxelnext"),
+                    help="second/voxelnext: sparse-family train steps "
+                         "(bf16, b1+b2) instead of the PointPillars sweep")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -131,6 +211,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     rng = np.random.default_rng(0)
+    if args.model != "pointpillars":
+        print(f"device={jax.devices()[0].platform} steps/loop={args.steps} "
+              f"model={args.model} (120k pts/frame)")
+        for b in (1, 2):
+            bench_sparse_family(rng, args.model, "bfloat16", b, args.steps)
+        return
     print(f"device={jax.devices()[0].platform} steps/loop={args.steps} "
           f"(KITTI-scale: 432x496 grid, 12k pillars, 120k pts/frame)")
     if args.quick:

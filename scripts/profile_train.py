@@ -76,7 +76,7 @@ def main():
 
     files = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
     print("xplane files:", files)
-    report(files[0], args.reps)
+    report(files[0], args.reps, by_category=True)
 
 
 if __name__ == "__main__":

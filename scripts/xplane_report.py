@@ -18,7 +18,36 @@ def load(path):
     return xs
 
 
-def report(path, reps=1, top=45):
+#: control-flow / dispatch wrappers whose duration double-counts children
+_WRAPPERS = ("jit_", "%while", "%body", "%cond", "%call")
+
+
+def _category(name):
+    """Coarse bucket for an HLO op-level event name (the full instruction
+    text, e.g. '%convert_add_fusion.3 = f32[432,...] fusion(...)')."""
+    head = name.lstrip("%").split(".")[0].split(" ")[0]
+    if "convolution" in name.split("=")[-1][:200] or head.startswith(
+            ("conv", "convolution")):
+        return "conv"
+    if " dot(" in name or head == "dot":
+        return "dot"
+    if head.startswith(("copy", "slice-start", "slice-done", "dynamic-slice",
+                        "dynamic-update-slice", "bitcast", "transpose",
+                        "reshape", "pad", "concatenate")):
+        return "data-movement"
+    if head.startswith(("all-reduce", "all-gather", "reduce-scatter",
+                        "collective", "send", "recv")):
+        return "collective"
+    if head.startswith(("sort",)):
+        return "sort"
+    if head.startswith(("scatter", "gather")):
+        return "scatter/gather"
+    if "fusion" in head:
+        return "fusion:" + head.replace("_fusion", "")
+    return "other:" + head
+
+
+def report(path, reps=1, top=45, by_category=False):
     xs = load(path)
     for plane in xs.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
@@ -34,10 +63,26 @@ def report(path, reps=1, top=45):
                 name = metas.get(ev.metadata_id, "?")
                 totals[name] += ev.duration_ps
                 counts[name] += 1
-        grand = sum(totals.values())
+        wrap = {n: ps for n, ps in totals.items()
+                if n.lstrip("%").startswith(_WRAPPERS)
+                or n.split("(")[0].startswith(_WRAPPERS)}
+        leaf = {n: ps for n, ps in totals.items() if n not in wrap}
+        grand = sum(leaf.values())
         print(f"\nplane: {plane.name}  lines={len(plane.lines)}  "
-              f"total={grand / 1e6 / reps:.1f} us/rep")
-        rows = sorted(totals.items(), key=lambda kv: -kv[1])
+              f"leaf total={grand / 1e6 / reps:.1f} us/rep  "
+              f"(+ {len(wrap)} wrapper events excluded)")
+        if by_category:
+            cats = defaultdict(int)
+            ccnt = defaultdict(int)
+            for n, ps in leaf.items():
+                cats[_category(n)] += ps
+                ccnt[_category(n)] += counts[n]
+            for cat, ps in sorted(cats.items(), key=lambda kv: -kv[1]):
+                us = ps / 1e6 / reps
+                pct = 100.0 * ps / max(grand, 1)
+                print(f"{us:10.1f} us/rep  {pct:5.1f}%  x{ccnt[cat]:<6d} {cat}")
+            print()
+        rows = sorted(leaf.items(), key=lambda kv: -kv[1])
         for name, ps in rows[:top]:
             us = ps / 1e6 / reps
             pct = 100.0 * ps / max(grand, 1)
@@ -45,4 +90,6 @@ def report(path, reps=1, top=45):
 
 
 if __name__ == "__main__":
-    report(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+    argv = [a for a in sys.argv[1:] if a != "--by-category"]
+    report(argv[0], int(argv[1]) if len(argv) > 1 else 1,
+           by_category="--by-category" in sys.argv)
