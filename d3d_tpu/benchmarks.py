@@ -646,6 +646,9 @@ class TrackingEvaluator(DetectionEvaluator):
         self._dtrack_tags = []
         self._last_gt_dt = np.zeros((n, 0), np.uint64)
         self._last_dt_gt = np.zeros((n, 0), np.uint64)
+        # device sequence-scan state: compact trajectory ids (tid ->
+        # dense int32, grows over the sequence)
+        self._ctid_map = {}
 
     def _state_rows(self, side, tids, tags):
         """Rows in the cross-frame trajectory table for unique ``tids``,
@@ -743,16 +746,12 @@ class TrackingEvaluator(DetectionEvaluator):
             ctx["dist_ok"], ctx["rank"], ctx["dt_label"], ctx["dt_score"],
             ctx["gt_label"], jnp.asarray(masks)))
 
-    def precompute_tables(self, gt_frames, dt_frames, chunk=32):
-        """Pack EVERY frame and compute all matching tables in a few
-        chunked, vmapped device dispatches (the cross-frame id
-        bookkeeping is sequential, but the per-frame distance/rank
-        tables are not) — removes the per-frame packing+dispatch
-        overhead from the ``device_match`` path.
-
-        :returns: per-frame ``(dist_cache, ctx)`` pairs for
-            ``calc_stats(..., device_match=True, tables=...)``
-        """
+    def _table_chunks(self, gt_frames, dt_frames, chunk):
+        """Pack and compute matching tables chunk by chunk: yields
+        ``(nreal, stacked, per_frame)`` where ``stacked`` holds the
+        chunk's device-stacked tables (F leading axis) plus the host
+        distance copy and numpy score/label stacks, and ``per_frame`` is
+        the list of ``(dist_cache, ctx)`` pairs ``calc_stats`` consumes."""
         import jax.numpy as jnp
 
         from .benchmarks_device import (_bucket, _pack_one,
@@ -769,9 +768,7 @@ class TrackingEvaluator(DetectionEvaluator):
         # max-gt count retraces the shared jit (and an all-empty-gt
         # sequence would produce zero-width arrays)
         ng = _bucket(max(max((len(a) for a in gt_frames), default=1), 1))
-        batched = batched_matching_tables
 
-        out = []
         empty = None
         for lo in range(0, len(gt_frames), chunk):
             gts = list(gt_frames[lo:lo + chunk])
@@ -790,25 +787,91 @@ class TrackingEvaluator(DetectionEvaluator):
                   for a in dts]
             gt = [_pack_one(a, self._class_to_idx, ng, want_var=False)
                   for a in gts]
-            stack = lambda packs, k: jnp.asarray(
-                np.stack([p[k] for p in packs]))
-            dist, dist_ok, rank = batched(
-                stack(dt, "boxes"), stack(gt, "boxes"),
-                stack(gt, "labels"), consts[0], consts[1])
+            nstack = lambda packs, k: np.stack([p[k] for p in packs])
+            dist, dist_ok, rank = batched_matching_tables(
+                jnp.asarray(nstack(dt, "boxes")),
+                jnp.asarray(nstack(gt, "boxes")),
+                jnp.asarray(nstack(gt, "labels")), consts[0], consts[1])
             dist_h = np.asarray(dist)
-            dtl, dsc = stack(dt, "labels"), stack(dt, "scores")
-            gtl = stack(gt, "labels")
+            dtl_h, dsc_h = nstack(dt, "labels"), nstack(dt, "scores")
+            gtl_h = nstack(gt, "labels")
+            dtl, dsc = jnp.asarray(dtl_h), jnp.asarray(dsc_h)
+            gtl = jnp.asarray(gtl_h)
+            per_frame = []
             for i in range(nreal):
                 ctx = dict(dist_ok=dist_ok[i], rank=rank[i],
                            dt_label=dtl[i], dt_score=dsc[i],
                            gt_label=gtl[i])
                 cache = dist_h[i, :max(len(dts[i]), 1),
                                :len(gts[i]) or 1]
-                out.append((cache, ctx))
+                per_frame.append((cache, ctx))
+            stacked = dict(dist=dist, dist_ok=dist_ok, rank=rank,
+                           dt_label=dtl, dt_score=dsc, gt_label=gtl,
+                           dt_label_h=dtl_h, dt_score_h=dsc_h,
+                           consts=consts, nd=nd, ng=ng)
+            yield nreal, stacked, per_frame
+
+    def precompute_tables(self, gt_frames, dt_frames, chunk=32):
+        """Pack EVERY frame and compute all matching tables in a few
+        chunked, vmapped device dispatches (the cross-frame id
+        bookkeeping is sequential, but the per-frame distance/rank
+        tables are not) — removes the per-frame packing+dispatch
+        overhead from the ``device_match`` path.
+
+        :returns: per-frame ``(dist_cache, ctx)`` pairs for
+            ``calc_stats(..., device_match=True, tables=...)``
+        """
+        out = []
+        for nreal, _, per_frame in self._table_chunks(gt_frames, dt_frames,
+                                                      chunk):
+            out.extend(per_frame)
         return out
 
+    def _ctid_columns(self, frames, n):
+        """Map each frame's trajectory ids through the growing
+        sequence-local compact-id table -> (F, n) int32, 0-padded."""
+        m = self._ctid_map
+        out = np.zeros((len(frames), n), np.int32)
+        dup = False
+        for i, arr in enumerate(frames):
+            if len(arr) == 0:
+                continue
+            tids = arr.columns()["tid"]
+            for j, t in enumerate(tids):
+                t = int(t)
+                r = m.get(t)
+                if r is None:
+                    r = m[t] = len(m) + 1
+                out[i, j] = r
+            if len(np.unique(tids)) != len(tids):
+                dup = True
+        return out, dup
+
+    def _carry_from_host_state(self, nd):
+        """Rebuild the device scan carry — (prev_ctid (nd,), prev_assign
+        (S, nd)) compact-id arrays — from the host's ``_last_dt_gt``
+        matrix, which pass 2 keeps correct regardless of which matching
+        path processed the previous frame. Row k of the carry is an
+        arbitrary slot for the k-th trajectory with a live assignment;
+        the scan joins by compact id, not slot order."""
+        S = self._pr_nsamples
+        pc = np.zeros(nd, np.int32)
+        pa = np.zeros((S, nd), np.int32)
+        live = np.nonzero((self._last_dt_gt > 0).any(axis=0))[0]
+        if len(live):
+            m = self._ctid_map
+            inv = {r: t for t, r in self._dtrack_rows.items()}
+            for k, r in enumerate(live[:nd]):
+                pc[k] = m.setdefault(int(inv[r]), len(m) + 1)
+                codes = self._last_dt_gt[:, r]
+                for s in np.nonzero(codes)[0]:
+                    gt_tid = int(codes[s]) - 1
+                    pa[s, k] = m.setdefault(gt_tid, len(m) + 1) + 1
+        return pc, pa, len(live)
+
     def calc_stats_sequence(self, gt_frames, dt_frames, calib=None,
-                            chunk=32, continue_sequence=False):
+                            chunk=32, continue_sequence=False,
+                            device_bookkeeping=True):
         """Evaluate a whole sequence with the device-match path and
         sequence-batched table precomputation, accumulating into this
         evaluator (frames stay ordered — the cross-frame id state
@@ -817,7 +880,17 @@ class TrackingEvaluator(DetectionEvaluator):
         state across the boundary; pass ``continue_sequence=True`` when
         streaming ONE long sequence through windowed calls so id
         switches still count across the window boundary. Returns the
-        evaluator's merged stats."""
+        evaluator's merged stats.
+
+        With ``device_bookkeeping`` (the default) the sequential pass-1
+        preservation + greedy matching chain ALSO runs on device as one
+        ``lax.scan`` per chunk (:func:`~d3d_tpu.benchmarks_device.
+        tracking_match_scan`) — one dispatch and one fetch per chunk
+        instead of per frame — and the host merely replays the counter
+        bookkeeping from the fetched assignment matrices (bit-identical
+        by construction; falls back to the per-frame path for frames
+        with duplicate trajectory ids, where the host's dict semantics
+        are not worth reproducing on device)."""
         # The tables are computed from the dt boxes AS MATCHED, so any
         # frame mismatch must be resolved BEFORE precomputation — a table
         # built on untransformed coordinates would silently mis-match.
@@ -834,14 +907,67 @@ class TrackingEvaluator(DetectionEvaluator):
         # destroy a mid-sequence evaluator's bookkeeping as a side effect
         if not continue_sequence:
             self.new_sequence()
-        tables = self.precompute_tables(gt_frames, aligned, chunk=chunk)
-        for g, d, t in zip(gt_frames, aligned, tables):
-            self.add_stats(self.calc_stats(g, d, device_match=True,
-                                           tables=t))
+
+        if not device_bookkeeping:
+            tables = self.precompute_tables(gt_frames, aligned, chunk=chunk)
+            for g, d, t in zip(gt_frames, aligned, tables):
+                self.add_stats(self.calc_stats(g, d, device_match=True,
+                                               tables=t))
+            return self._stats
+
+        import jax
+        import jax.numpy as jnp
+
+        from .benchmarks_device import tracking_match_scan
+
+        thres_col = np.asarray(self._pr_thresholds)[:, None]
+        pos = 0
+        for nreal, st, per_frame in self._table_chunks(gt_frames, aligned,
+                                                       chunk):
+            F, nd = st["dt_label_h"].shape[0], st["nd"]
+            gts = gt_frames[pos:pos + nreal]
+            dts = aligned[pos:pos + nreal]
+            pos += nreal
+            # host-side score/tag admission with the exact f64-threshold
+            # numpy semantics of calc_stats (padded rows: label -1)
+            passing = (st["dt_label_h"][:, None, :] >= 0) \
+                & ~(st["dt_score_h"][:, None, :] < thres_col[None])
+            dt_ctid, dup_d = self._ctid_columns(dts, nd)
+            gt_ctid, dup_g = self._ctid_columns(gts, st["ng"])
+            if F > nreal:  # padded tail frames must not join/assign
+                dt_ctid = np.concatenate(
+                    [dt_ctid, np.zeros((F - nreal, nd), np.int32)])
+                gt_ctid = np.concatenate(
+                    [gt_ctid, np.zeros((F - nreal, st["ng"]), np.int32)])
+                passing[nreal:] = False
+            # the carry rebuilds from the host's _last_dt_gt each chunk:
+            # pass 2 keeps that matrix correct on every path, so scan
+            # chunks compose transparently with per-frame calls,
+            # duplicate-tid fallbacks and re-bucketed windows
+            pc, pa, nlive = self._carry_from_host_state(nd)
+            if dup_d or dup_g or nlive > nd:
+                # duplicate tids in a frame (host dict bookkeeping is
+                # order-dependent there) or more live assignments than
+                # carry slots: use the proven per-frame path for this chunk
+                for g, d, t in zip(gts, dts, per_frame):
+                    self.add_stats(self.calc_stats(g, d, device_match=True,
+                                                   tables=t))
+                continue
+            _, _, new_match, cur_gt = tracking_match_scan(
+                st["dist"], st["dist_ok"], st["rank"], st["dt_label"],
+                st["dt_score"], st["gt_label"], jnp.asarray(passing),
+                jnp.asarray(dt_ctid), jnp.asarray(gt_ctid),
+                st["consts"][0], st["consts"][1],
+                jnp.asarray(pc), jnp.asarray(pa))
+            nm_h, cg_h = jax.device_get((new_match, cur_gt))
+            for i, (g, d, t) in enumerate(zip(gts, dts, per_frame)):
+                inj = (nm_h[i], cg_h[i]) if len(g) and len(d) else None
+                self.add_stats(self.calc_stats(g, d, device_match=True,
+                                               tables=t, injected=inj))
         return self._stats
 
     def calc_stats(self, gt_boxes, dt_boxes, calib=None, device_match=False,
-                   tables=None):
+                   tables=None, injected=None):
         """Evaluate one frame.
 
         :param device_match: run all thresholds' greedy re-matching as one
@@ -849,6 +975,10 @@ class TrackingEvaluator(DetectionEvaluator):
             (bit-identical assignments; id bookkeeping stays on host).
         :param tables: optional precomputed ``(dist_cache, ctx)`` from
             :meth:`precompute_tables` (implies ``device_match``)
+        :param injected: optional ``(new_match, cur_gt)`` (S, >=G) int
+            matrices from :func:`~d3d_tpu.benchmarks_device.
+            tracking_match_scan` — pass 1 and the greedy match are then
+            skipped and the counters replay from the given assignments
         """
         if gt_boxes.frame != dt_boxes.frame:
             if calib is None:
@@ -932,50 +1062,62 @@ class TrackingEvaluator(DetectionEvaluator):
                 rows = summary._ensure_rows("dt", k, utids)
                 summary.dt_frames[k][:, rows] += pres
 
-        # -- pass 1: preserved assignments from the previous frame -------
-        # prev gt (tid+1 code) per (threshold, dt); 0 = no assignment
-        prev_code = np.zeros((S, D), np.uint64)
-        if D and self._last_dt_gt.shape[1]:
-            dt_srow = np.fromiter((self._dtrack_rows.get(int(t), -1)
-                                   for t in dt_tids), np.intp, count=D)
-            have = dt_srow >= 0
-            if have.any():
-                prev_code[:, have] = self._last_dt_gt[:, dt_srow[have]]
-        uniq, inv = np.unique(prev_code, return_inverse=True)
-        lut = np.fromiter((gt_tid_to_idx.get(int(t) - 1, -1) if t else -1
-                           for t in uniq), np.intp, count=len(uniq))
-        prev_gt_idx = lut[inv].reshape(S, D)
-
-        maxd = np.array([self._max_distance.get(t, -np.inf)
-                         for t in dt_tags_raw]) if D else np.zeros(0)
-        preserved = np.zeros((S, D), bool)
-        cand = passing & (prev_gt_idx >= 0)
-        if cand.any():
-            si_c, dj_c = np.nonzero(cand)
-            gi_c = prev_gt_idx[si_c, dj_c]
-            ok = ~(np.asarray(dist_cache)[dj_c, gi_c] > maxd[dj_c])
-            preserved[si_c[ok], dj_c[ok]] = True
-        rematch = passing & ~preserved
-        cur_gt = np.full((S, G), -1, np.intp)  # preserved dt idx per gt
-        si_p, dj_p = np.nonzero(preserved)
-        cur_gt[si_p, prev_gt_idx[si_p, dj_p]] = dj_p
-
-        # -- matching: one batched device call, or the host loop ---------
-        if use_device:
-            masks = np.zeros((S, nd), bool)
-            masks[:, :D] = rematch
-            new_match = np.asarray(
-                self._device_match_subsets(match_ctx, masks))[:, :G]
-            new_match = new_match.astype(np.intp, copy=True)
+        if injected is not None:
+            # assignments come from the device sequence scan: replay the
+            # counters from (new_match, cur_gt); ``preserved`` is the
+            # inverse image of cur_gt (each preserved dt holds exactly
+            # one gt per threshold)
+            new_match = injected[0][:, :G].astype(np.intp, copy=True)
+            cur_gt = injected[1][:, :G].astype(np.intp, copy=True)
+            preserved = np.zeros((S, D), bool)
+            si_p, g_p = np.nonzero(cur_gt >= 0)
+            preserved[si_p, cur_gt[si_p, g_p]] = True
+            rematch = passing & ~preserved
         else:
-            new_match = np.full((S, G), -1, np.intp)
-            gl = [int(g) for g in gt_indices]
-            for si in range(S):
-                matcher.clear_match()
-                matcher.match(np.nonzero(rematch[si])[0].tolist(), gl,
-                              self._max_distance)
-                for gi, dj in matcher._dst_assignment.items():
-                    new_match[si, gi] = dj
+            # -- pass 1: preserved assignments from the previous frame ---
+            # prev gt (tid+1 code) per (threshold, dt); 0 = no assignment
+            prev_code = np.zeros((S, D), np.uint64)
+            if D and self._last_dt_gt.shape[1]:
+                dt_srow = np.fromiter((self._dtrack_rows.get(int(t), -1)
+                                       for t in dt_tids), np.intp, count=D)
+                have = dt_srow >= 0
+                if have.any():
+                    prev_code[:, have] = self._last_dt_gt[:, dt_srow[have]]
+            uniq, inv = np.unique(prev_code, return_inverse=True)
+            lut = np.fromiter((gt_tid_to_idx.get(int(t) - 1, -1) if t else -1
+                               for t in uniq), np.intp, count=len(uniq))
+            prev_gt_idx = lut[inv].reshape(S, D)
+
+            maxd = np.array([self._max_distance.get(t, -np.inf)
+                             for t in dt_tags_raw]) if D else np.zeros(0)
+            preserved = np.zeros((S, D), bool)
+            cand = passing & (prev_gt_idx >= 0)
+            if cand.any():
+                si_c, dj_c = np.nonzero(cand)
+                gi_c = prev_gt_idx[si_c, dj_c]
+                ok = ~(np.asarray(dist_cache)[dj_c, gi_c] > maxd[dj_c])
+                preserved[si_c[ok], dj_c[ok]] = True
+            rematch = passing & ~preserved
+            cur_gt = np.full((S, G), -1, np.intp)  # preserved dt idx per gt
+            si_p, dj_p = np.nonzero(preserved)
+            cur_gt[si_p, prev_gt_idx[si_p, dj_p]] = dj_p
+
+            # -- matching: one batched device call, or the host loop -----
+            if use_device:
+                masks = np.zeros((S, nd), bool)
+                masks[:, :D] = rematch
+                new_match = np.asarray(
+                    self._device_match_subsets(match_ctx, masks))[:, :G]
+                new_match = new_match.astype(np.intp, copy=True)
+            else:
+                new_match = np.full((S, G), -1, np.intp)
+                gl = [int(g) for g in gt_indices]
+                for si in range(S):
+                    matcher.clear_match()
+                    matcher.match(np.nonzero(rematch[si])[0].tolist(), gl,
+                                  self._max_distance)
+                    for gi, dj in matcher._dst_assignment.items():
+                        new_match[si, gi] = dj
         if G and (~gt_elig).any():
             new_match[:, ~gt_elig] = -1
 

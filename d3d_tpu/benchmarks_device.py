@@ -44,6 +44,7 @@ from .abstraction import Target3DArray
 __all__ = ["pack_frames", "eval_frames_device", "device_calc_stats",
            "match_subsets_device", "matching_tables_device",
            "match_subsets_with_tables", "max_dist_arrays",
+           "tracking_match_scan",
            "device_semantic_stats", "device_panoptic_stats"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -289,6 +290,101 @@ def match_subsets_device(dt_box, dt_label, dt_score, gt_box, gt_label,
     match = match_subsets_with_tables(dist_ok, rank, dt_label, dt_score,
                                       gt_label, subset_masks)
     return match, dist
+
+
+# ---------------------------------------------------------------------------
+# tracking: whole-chunk CLEAR-MOT matching as one scanned device program
+# ---------------------------------------------------------------------------
+
+def _tracking_scan_step(md, md_strict, carry, xs):
+    """One frame of the CLEAR-MOT matching chain (TrackingEvaluator
+    pass 1 + greedy re-match, reference benchmarks.pyx:560-700): preserve
+    last frame's assignments that still pass the dt-class distance cap,
+    greedy-match the rest, and carry this frame's assignment forward.
+
+    Carry is the previous frame's per-dt-slot state: the compact
+    trajectory id per slot (``prev_ctid``, 0 = padding) and the assigned
+    gt's compact-id code per (threshold, slot) (``prev_assign``, 0 =
+    unassigned) — only the immediately-previous frame matters, exactly
+    like the host's ``_last_dt_gt`` matrix which is rewritten per frame."""
+    prev_ctid, prev_assign = carry
+    dist, dist_ok, rank, dtl, dts, gtl, passing, dct, gct = xs
+    D = dtl.shape[0]
+    G = gtl.shape[0]
+    S = passing.shape[0]
+    gt_valid = gtl >= 0
+
+    # tid join: current dt slot -> same-trajectory slot of the prev frame
+    eq = (dct[:, None] == prev_ctid[None, :]) & (dct > 0)[:, None]
+    has_prev = eq.any(axis=1)
+    prev_slot = jnp.argmax(eq, axis=1)
+    code = jnp.where(has_prev[None, :], prev_assign[:, prev_slot], 0)
+
+    # prev gt code -> current-frame gt index (host dict semantics: the
+    # LAST eligible gt with that trajectory id wins)
+    eqg = ((code - 1)[:, :, None] == gct[None, None, :]) \
+        & gt_valid[None, None, :] & (code > 0)[:, :, None]
+    gi = jnp.where(eqg.any(-1),
+                   G - 1 - jnp.argmax(eqg[:, :, ::-1], axis=-1), -1)
+
+    # preserved: still within the dt class's max distance (f32 cap with
+    # the strict-tie rejection reproducing the host's f64 compare)
+    safe_dtl = jnp.where(dtl >= 0, dtl, 0)
+    maxd = md[safe_dtl]
+    strict = md_strict[safe_dtl]
+    dval = dist[jnp.arange(D, dtype=jnp.int32)[None, :],
+                jnp.where(gi >= 0, gi, 0)]
+    ok = (dval <= maxd[None, :]) & ~((dval == maxd[None, :])
+                                     & strict[None, :])
+    pres = passing & (gi >= 0) & ok
+
+    # cur_gt (S, G): preserved dt per gt (largest dt index wins, matching
+    # the host's write order)
+    dt_idx = jnp.arange(D, dtype=jnp.int32)
+    cur_gt = jnp.full((S, G), -1, jnp.int32).at[
+        jnp.arange(S)[:, None], jnp.where(pres, gi, 0)
+    ].max(jnp.where(pres, dt_idx[None, :], -1))
+
+    rematch = passing & ~pres
+    new_match = jax.vmap(
+        lambda m: _greedy_match_masked(dist_ok, rank, m, dtl, dts,
+                                       gtl, gt_valid)[1])(rematch)
+
+    # carry: this frame's final dt -> gt-code assignment per slot
+    final = jnp.where(new_match >= 0, new_match, cur_gt)
+    g_idx = jnp.arange(G, dtype=jnp.int32)
+    best_g = jnp.full((S, D), -1, jnp.int32).at[
+        jnp.arange(S)[:, None], jnp.where(final >= 0, final, 0)
+    ].max(jnp.where(final >= 0, g_idx[None, :], -1))
+    new_assign = jnp.where(best_g >= 0,
+                           gct[jnp.where(best_g >= 0, best_g, 0)] + 1, 0)
+    return (dct, new_assign), (new_match, cur_gt)
+
+
+@jax.jit
+def tracking_match_scan(dist, dist_ok, rank, dt_label, dt_score, gt_label,
+                        passing, dt_ctid, gt_ctid, max_dist, max_dist_strict,
+                        prev_ctid, prev_assign):
+    """Chain :func:`_tracking_scan_step` over a chunk of frames: ONE
+    device dispatch (and one host fetch) per chunk replaces the
+    per-frame pass-1 + match round trips of
+    ``TrackingEvaluator.calc_stats``.
+
+    :param dist/dist_ok/rank: (F, D, G) stacked matching tables
+    :param passing: (F, S, D) bool — host-computed score/tag admission
+        (f64 threshold semantics preserved exactly)
+    :param dt_ctid/gt_ctid: (F, D)/(F, G) int32 compact trajectory ids
+        (host-assigned, 0 = padding; equality within a sequence is all
+        the chain needs)
+    :returns: (prev_ctid, prev_assign, new_match (F, S, G),
+        cur_gt (F, S, G)) — the first two feed the next chunk's carry
+    """
+    step = partial(_tracking_scan_step, max_dist, max_dist_strict)
+    (pc, pa), (nm, cg) = lax.scan(
+        step, (prev_ctid, prev_assign),
+        (dist, dist_ok, rank, dt_label, dt_score, gt_label, passing,
+         dt_ctid, gt_ctid))
+    return pc, pa, nm, cg
 
 
 @partial(jax.jit, static_argnames=("nclasses", "metric"))

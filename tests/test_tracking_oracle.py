@@ -144,6 +144,57 @@ def test_multi_sequence_no_id_leak():
                                        equal_nan=True, err_msg=k)
 
 
+@pytest.mark.parametrize("seed", [41, 42])
+def test_device_bookkeeping_scan_identical(seed):
+    """The lax.scan CLEAR-MOT chain (device_bookkeeping=True, the
+    default) must fingerprint-match the per-frame host-pass-1 path
+    (device_bookkeeping=False) exactly — the scan reproduces pass-1
+    preservation, greedy matching and the carried assignment state on
+    device."""
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_sequence(seed=seed, nframes=10)
+    ev_a = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_a.calc_stats_sequence(gts, dts, chunk=4, device_bookkeeping=False)
+    ev_b = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_b.calc_stats_sequence(gts, dts, chunk=4, device_bookkeeping=True)
+
+    fa = evaluator_fingerprint(ev_a)
+    fb = evaluator_fingerprint(ev_b)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=k)
+
+
+def test_duplicate_tid_fallback_chunk():
+    """A frame with duplicate dt tids routes its whole chunk through the
+    proven per-frame path (host dict bookkeeping is order-dependent
+    there) while neighboring chunks still use the scan — the mixed run
+    must fingerprint-match the all-per-frame run, including the carry
+    reconstruction across the fallback boundary."""
+    from d3d_tpu.benchmarks import TrackingEvaluator
+
+    classes, gts, dts = make_tracking_sequence(seed=51, nframes=12,
+                                               with_empty_frames=False)
+    # duplicate a dt tid mid-sequence (frame 5 lands in chunk [4:8))
+    dup = dts[5][0]
+    clone = type(dup)(
+        np.asarray(dup.position) + 0.1, dup.orientation,
+        np.asarray(dup.dimension), dup.velocity, dup.angular_velocity,
+        dup.tag, tid=dup.tid)
+    dts[5].append(clone)
+
+    ev_a = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_a.calc_stats_sequence(gts, dts, chunk=4, device_bookkeeping=False)
+    ev_b = TrackingEvaluator(classes, [0.5, 0.5, 0.5])
+    ev_b.calc_stats_sequence(gts, dts, chunk=4, device_bookkeeping=True)
+
+    fa = evaluator_fingerprint(ev_a)
+    fb = evaluator_fingerprint(ev_b)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=k)
+
+
 def test_windowed_continuation():
     """continue_sequence=True: streaming one sequence through windowed
     calc_stats_sequence calls must fingerprint-match the single call
