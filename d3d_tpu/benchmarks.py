@@ -795,21 +795,25 @@ class TrackingEvaluator(DetectionEvaluator):
             dist_h = np.asarray(dist)
             dtl_h, dsc_h = nstack(dt, "labels"), nstack(dt, "scores")
             gtl_h = nstack(gt, "labels")
-            dtl, dsc = jnp.asarray(dtl_h), jnp.asarray(dsc_h)
-            gtl = jnp.asarray(gtl_h)
-            per_frame = []
-            for i in range(nreal):
-                ctx = dict(dist_ok=dist_ok[i], rank=rank[i],
-                           dt_label=dtl[i], dt_score=dsc[i],
-                           gt_label=gtl[i])
-                cache = dist_h[i, :max(len(dts[i]), 1),
-                               :len(gts[i]) or 1]
-                per_frame.append((cache, ctx))
+            caches = [dist_h[i, :max(len(dts[i]), 1), :len(gts[i]) or 1]
+                      for i in range(nreal)]
             stacked = dict(dist=dist, dist_ok=dist_ok, rank=rank,
-                           dt_label=dtl, dt_score=dsc, gt_label=gtl,
                            dt_label_h=dtl_h, dt_score_h=dsc_h,
+                           gt_label_h=gtl_h,
                            consts=consts, nd=nd, ng=ng)
-            yield nreal, stacked, per_frame
+            yield nreal, stacked, caches
+
+    @staticmethod
+    def _frame_ctx(stacked, i):
+        """Per-frame match context from a chunk's stacked tables — built
+        lazily: the scan path never needs it, and each device-array
+        slice is a dispatch."""
+        import jax.numpy as jnp
+
+        return dict(dist_ok=stacked["dist_ok"][i], rank=stacked["rank"][i],
+                    dt_label=jnp.asarray(stacked["dt_label_h"][i]),
+                    dt_score=jnp.asarray(stacked["dt_score_h"][i]),
+                    gt_label=jnp.asarray(stacked["gt_label_h"][i]))
 
     def precompute_tables(self, gt_frames, dt_frames, chunk=32):
         """Pack EVERY frame and compute all matching tables in a few
@@ -822,9 +826,10 @@ class TrackingEvaluator(DetectionEvaluator):
             ``calc_stats(..., device_match=True, tables=...)``
         """
         out = []
-        for nreal, _, per_frame in self._table_chunks(gt_frames, dt_frames,
-                                                      chunk):
-            out.extend(per_frame)
+        for nreal, st, caches in self._table_chunks(gt_frames, dt_frames,
+                                                    chunk):
+            out.extend((caches[i], self._frame_ctx(st, i))
+                       for i in range(nreal))
         return out
 
     def _ctid_columns(self, frames, n):
@@ -922,8 +927,8 @@ class TrackingEvaluator(DetectionEvaluator):
 
         thres_col = np.asarray(self._pr_thresholds)[:, None]
         pos = 0
-        for nreal, st, per_frame in self._table_chunks(gt_frames, aligned,
-                                                       chunk):
+        for nreal, st, caches in self._table_chunks(gt_frames, aligned,
+                                                    chunk):
             F, nd = st["dt_label_h"].shape[0], st["nd"]
             gts = gt_frames[pos:pos + nreal]
             dts = aligned[pos:pos + nreal]
@@ -949,21 +954,25 @@ class TrackingEvaluator(DetectionEvaluator):
                 # duplicate tids in a frame (host dict bookkeeping is
                 # order-dependent there) or more live assignments than
                 # carry slots: use the proven per-frame path for this chunk
-                for g, d, t in zip(gts, dts, per_frame):
-                    self.add_stats(self.calc_stats(g, d, device_match=True,
-                                                   tables=t))
+                for i, (g, d) in enumerate(zip(gts, dts)):
+                    self.add_stats(self.calc_stats(
+                        g, d, device_match=True,
+                        tables=(caches[i], self._frame_ctx(st, i))))
                 continue
             _, _, new_match, cur_gt = tracking_match_scan(
-                st["dist"], st["dist_ok"], st["rank"], st["dt_label"],
-                st["dt_score"], st["gt_label"], jnp.asarray(passing),
+                st["dist"], st["dist_ok"], st["rank"],
+                jnp.asarray(st["dt_label_h"]), jnp.asarray(st["dt_score_h"]),
+                jnp.asarray(st["gt_label_h"]), jnp.asarray(passing),
                 jnp.asarray(dt_ctid), jnp.asarray(gt_ctid),
                 st["consts"][0], st["consts"][1],
                 jnp.asarray(pc), jnp.asarray(pa))
             nm_h, cg_h = jax.device_get((new_match, cur_gt))
-            for i, (g, d, t) in enumerate(zip(gts, dts, per_frame)):
+            for i, (g, d) in enumerate(zip(gts, dts)):
                 inj = (nm_h[i], cg_h[i]) if len(g) and len(d) else None
-                self.add_stats(self.calc_stats(g, d, device_match=True,
-                                               tables=t, injected=inj))
+                self.add_stats(self.calc_stats(
+                    g, d, device_match=True, injected=inj,
+                    tables=(caches[i], None) if inj is not None
+                    else (caches[i], self._frame_ctx(st, i))))
         return self._stats
 
     def calc_stats(self, gt_boxes, dt_boxes, calib=None, device_match=False,
@@ -996,7 +1005,8 @@ class TrackingEvaluator(DetectionEvaluator):
 
                 dist_cache, match_ctx = self._device_tables(
                     dt_boxes, gt_boxes, _bucket(len(dt_boxes)))
-            nd = match_ctx["dt_label"].shape[0]
+            if match_ctx is not None:  # None: injected assignments only
+                nd = match_ctx["dt_label"].shape[0]
         else:
             matcher = ScoreMatcher()
             matcher.prepare_boxes(dt_boxes, gt_boxes, DistanceTypes.RIoU)

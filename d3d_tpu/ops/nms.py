@@ -65,6 +65,11 @@ def nms2d(boxes, scores, iou_threshold=0.0, score_threshold=0.0, iou_method="rbo
         # an XLA loop dispatch each (~0.37 ms -> ~0.04 ms at N=512)
         from .nms_pallas import nms_scan
         suppressed_o = nms_scan(overlap, pre)
+    elif jax.default_backend() == "tpu":
+        # large n: block-parallel cascade (the reference's CUDA bitmask
+        # decomposition, nms_cuda.cu:16-106) — N/128 full-width steps
+        from .nms_pallas import nms_scan_blocked
+        suppressed_o = nms_scan_blocked(overlap, pre)
     else:
         def body(i, suppressed):
             alive = ~suppressed[i]

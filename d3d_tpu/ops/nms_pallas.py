@@ -20,7 +20,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["nms_scan", "soft_nms_scan"]
+__all__ = ["nms_scan", "nms_scan_blocked", "soft_nms_scan"]
 
 
 def _nms_scan_kernel(ov_blk_ref, pre_ref, o_ref, sup_ref):
@@ -77,6 +77,77 @@ def nms_scan(overlap, pre, interpret=False):
         scratch_shapes=[pltpu.VMEM((1, npd), jnp.int32)],
         interpret=interpret,
     )(ov, prev)
+    return out[0, :n] > 0
+
+
+_BLK = 128  # lane width: dynamic lane slices must be 128-aligned
+
+
+def _nms_blocked_kernel(ov_blk_ref, diag_ref, pre_ref, o_ref, sup_ref):
+    """Block-parallel greedy cascade (the reference's CUDA decomposition,
+    d3d/box/nms_cuda.cu:16-106, mapped to TPU): per grid step, resolve the
+    128-box block's INTRA-block chain serially on its (128, 128) diagonal
+    tile, then apply every alive row to all LATER columns as one full-width
+    masked reduce — the expensive (1, N) ops run N/128 times instead of N."""
+    b = pl.program_id(0)
+    n = ov_blk_ref.shape[1]
+
+    @pl.when(b == 0)
+    def _init():
+        sup_ref[:, :] = pre_ref[:, :]
+
+    start = b * jnp.int32(_BLK)
+    local = sup_ref[0:1, pl.ds(start, _BLK)]
+    iota = lax.broadcasted_iota(jnp.int32, (1, _BLK), 1)
+    zero, one = jnp.int32(0), jnp.int32(1)
+    alive = jnp.zeros((1, _BLK), jnp.int32)
+    for r in range(_BLK):
+        a_r = jnp.max(jnp.where(iota == r, local, zero)) == zero
+        local = local | jnp.where(a_r & (iota > r), diag_ref[r:r + 1, :],
+                                  zero)
+        alive = alive | jnp.where(a_r & (iota == r), one, zero)
+
+    # one vectorized apply of the whole block to every later column
+    contrib = jnp.max(jnp.where(alive.reshape(_BLK, 1) > 0,
+                                ov_blk_ref[:, :], zero),
+                      axis=0, keepdims=True)
+    col = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    later = col >= start + jnp.int32(_BLK)
+    sup_ref[:, :] = sup_ref[:, :] | jnp.where(later, contrib, zero)
+    sup_ref[0:1, pl.ds(start, _BLK)] = local
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _finish():
+        o_ref[:, :] = sup_ref[:, :]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def nms_scan_blocked(overlap, pre, interpret=False):
+    """(N, N) bool overlap + (N,) bool pre-suppression -> (N,) suppressed;
+    keep-mask identical to :func:`nms_scan` / the sequential greedy scan,
+    with the serial cascade shortened to N/128 full-width steps."""
+    n = overlap.shape[0]
+    pad = -n % _BLK
+    ov = overlap.astype(jnp.int32)
+    prev = pre.astype(jnp.int32)[None, :]
+    if pad:
+        ov = jnp.pad(ov, ((0, pad), (0, pad)))
+        prev = jnp.pad(prev, ((0, 0), (0, pad)), constant_values=1)
+    npd = n + pad
+    out = pl.pallas_call(
+        _nms_blocked_kernel,
+        grid=(npd // _BLK,),
+        in_specs=[
+            pl.BlockSpec((_BLK, npd), lambda i: (i, jnp.int32(0))),
+            pl.BlockSpec((_BLK, _BLK), lambda i: (i, i)),
+            pl.BlockSpec((1, npd), lambda i: (jnp.int32(0), jnp.int32(0))),
+        ],
+        out_specs=pl.BlockSpec((1, npd), lambda i: (jnp.int32(0),
+                                                    jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((1, npd), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, npd), jnp.int32)],
+        interpret=interpret,
+    )(ov, ov, prev)
     return out[0, :n] > 0
 
 

@@ -178,7 +178,9 @@ def bench_tracking(args, rng):
     t0 = time.perf_counter()
     ev_s.calc_stats_sequence(gts, dts)
     seq_s = time.perf_counter() - t0
-    nfetch = args.frames + -(-args.frames // 32)  # 1/frame + 1/chunk
+    # scan path: per chunk one blocking dist fetch + one device_get of
+    # the two assignment stacks (~3 RTT-bearing fetches per chunk)
+    nfetch = 3 * -(-args.frames // 32)
     seq_adj = max(seq_s - nfetch * rtt, 0.0)
     print(f"sequence tables: {seq_s / args.frames * 1e3:.3f} ms/frame "
           f"({seq_s:.3f}s) -> {(dev_s / seq_s):.2f}x device-match; "

@@ -148,7 +148,8 @@ def test_pallas_kernels_export_lower_for_tpu():
     from jax import export as jax_export
 
     from d3d_tpu.ops import geometry_soa as GS
-    from d3d_tpu.ops.nms_pallas import nms_scan, soft_nms_scan
+    from d3d_tpu.ops.nms_pallas import (nms_scan, nms_scan_blocked,
+                                        soft_nms_scan)
 
     boxes = jax.ShapeDtypeStruct((32, 5), jnp.float32)
     scores = jax.ShapeDtypeStruct((32,), jnp.float32)
@@ -161,6 +162,9 @@ def test_pallas_kernels_export_lower_for_tpu():
     jax_export.export(jax.jit(GP.rbox_iou_matrix),
                       platforms=["tpu"])(boxes, boxes)
     jax_export.export(jax.jit(nms_scan), platforms=["tpu"])(bmat, bvec)
+    big = jax.ShapeDtypeStruct((1280, 1280), jnp.bool_)
+    bigv = jax.ShapeDtypeStruct((1280,), jnp.bool_)
+    jax_export.export(jax.jit(nms_scan_blocked), platforms=["tpu"])(big, bigv)
     for method in ("linear", "gaussian"):
         jax_export.export(
             jax.jit(lambda i, s, p: soft_nms_scan(

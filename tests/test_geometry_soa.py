@@ -2,6 +2,7 @@
 implementation (values and gradients) across fuzz cases."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,6 +124,30 @@ def test_pallas_nms_scan_parity(rng):
         return s
 
     got = np.asarray(nms_scan(ov, pre, interpret=True))
+    assert np.array_equal(got, ref_scan(ov, pre))
+
+
+@pytest.mark.parametrize("n", [5, 128, 200, 515])
+def test_pallas_nms_blocked_parity(rng, n):
+    """The block-parallel cascade (intra-block serial chain on the
+    diagonal tile + one full-width apply per 128-box block) produces the
+    exact keep-mask of the sequential greedy scan at every size, padded
+    or aligned."""
+    from d3d_tpu.ops.nms_pallas import nms_scan_blocked
+
+    ov = jnp.asarray(rng.random((n, n)) < 0.07)
+    ov = ov | ov.T
+    pre = jnp.asarray(rng.random(n) < 0.1)
+
+    def ref_scan(overlap, pre):
+        s = np.asarray(pre).copy()
+        o = np.asarray(overlap)
+        for i in range(n):
+            if not s[i]:
+                s[i + 1:] |= o[i, i + 1:]
+        return s
+
+    got = np.asarray(nms_scan_blocked(ov, pre, interpret=True))
     assert np.array_equal(got, ref_scan(ov, pre))
 
 
