@@ -97,3 +97,69 @@ def test_wireframe_matches_corners(scene):
     got = np.array([[x[0], y[0], z[0]], [x[1], y[1], z[1]]])
     np.testing.assert_allclose(got, corners[[0, 1]], atol=1e-6)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# real pcl-branch execution against a recording stand-in (the optional
+# pcl.py wheel is not installable here; the mock satisfies exactly the
+# Visualizer API surface the branch calls — reference d3d/vis/pcl.py:18-113)
+# ---------------------------------------------------------------------------
+
+class _RecordingVisualizer:
+    def __init__(self):
+        self.cubes = {}
+        self.props = []
+        self.texts = {}
+        self.lines = {}
+
+    def addCube(self, position, quat_wxyz, lx, ly, lz, id=None, viewport=0):
+        self.cubes[id] = (position, quat_wxyz, (lx, ly, lz), viewport)
+
+    def setShapeRenderingProperties(self, prop, id, value):
+        self.props.append((prop, id, value))
+
+    def addText3D(self, text, position, text_scale=1.0, color=None, id=None,
+                  viewport=0):
+        self.texts[id] = (text, position, text_scale, color, viewport)
+
+    def addLine(self, p0, p1, color=None, id=None, viewport=0):
+        self.lines[id] = (np.asarray(p0, float), np.asarray(p1, float),
+                          color, viewport)
+
+
+def test_pcl_branch_draw_calls(scene, monkeypatch):
+    """Runs vis/pcl.py's REAL pcl branch (not the mpl fallback): inject a
+    stub ``pcl`` module so the import succeeds, and assert the drawn
+    actors — cube per target with pcl's (w, x, y, z) quat order, opacity +
+    color properties, label text, two direction arrows, one velocity line
+    for the tracked target, and the id_prefix/viewport routing."""
+    import sys
+    import types
+
+    monkeypatch.setitem(sys.modules, "pcl", types.ModuleType("pcl"))
+    vis = _RecordingVisualizer()
+    visualize_detections(vis, "velo", scene, None, id_prefix="det",
+                         viewport=3)
+
+    assert set(vis.cubes) == {"det/target0", "det/target1"}
+    pos, quat, dims, vp = vis.cubes["det/target0"]
+    assert np.allclose(pos, [5, 0, 0]) and dims == (4, 2, 1.6) and vp == 3
+    q_xyzw = Rotation.from_euler("Z", 0.3).as_quat()
+    assert np.allclose(quat, [q_xyzw[3], *q_xyzw[:3]], atol=1e-12)
+
+    # opacity + color per cube
+    assert {p[:2] for p in vis.props} == {
+        ("opacity", "det/target0"), ("color", "det/target0"),
+        ("opacity", "det/target1"), ("color", "det/target1")}
+
+    assert vis.texts["det/target0/tag"][0].startswith("#0: Car")
+    assert vis.texts["det/target1/tag"][0].split(":")[1].strip().startswith(
+        "Pedestrian")
+
+    # two direction arrows per target; velocity only for the tracked one
+    for i in (0, 1):
+        assert f"det/target{i}/direction_1" in vis.lines
+        assert f"det/target{i}/direction_2" in vis.lines
+    assert "det/target0/velocity" not in vis.lines
+    p0, p1, color, vp = vis.lines["det/target1/velocity"]
+    assert np.allclose(p1 - p0, [2, 0, 0]) and vp == 3
