@@ -132,14 +132,15 @@ class DetectionEvaluator:
     # -- per-frame statistics -----------------------------------------------
     _ACC_NAMES = ("acc_iou", "acc_dist", "acc_box", "acc_angular", "acc_var")
 
-    def _aggregate_stats(self, acc_vals, gt_tags):
+    def _aggregate_stats(self, acc_vals, gt_tags=None, tag_ids=None):
         """Mean accuracy per (class, threshold) for every accuracy metric
         at once; ``acc_vals`` is an (S, G, 5) array with the
         :meth:`_accuracy_entries` columns (iou, dist, box, angular, var)
-        and NaN marking absent (non-TP) entries. Returns
-        ``{metric_name: {class: (S,) means}}`` — one masked reduction per
-        class instead of the reference's per-threshold dict scans
-        (benchmarks.pyx:149-174)."""
+        and NaN marking absent (non-TP) entries. Classes come either from
+        raw tag values (``gt_tags``) or pre-mapped class indices
+        (``tag_ids``). Returns ``{metric_name: {class: (S,) means}}`` —
+        one masked reduction per class instead of the reference's
+        per-threshold dict scans (benchmarks.pyx:149-174)."""
         S = self._pr_nsamples
         out = {n: {k: np.full(S, np.nan) for k in self._classes}
                for n in self._ACC_NAMES}
@@ -148,7 +149,8 @@ class DetectionEvaluator:
             # through the sum exactly like the scalar accumulation did)
             valid = ~np.isnan(acc_vals[:, :, 0])
             vals = np.where(valid[:, :, None], acc_vals, 0.0)
-            tags = np.array([self._class_to_idx.get(t, -1) for t in gt_tags])
+            tags = tag_ids if tag_ids is not None else np.array(
+                [self._class_to_idx.get(t, -1) for t in gt_tags])
             for ki, k in enumerate(self._classes):
                 sel = tags == ki
                 if not sel.any():
@@ -1017,11 +1019,26 @@ class TrackingEvaluator(DetectionEvaluator):
         G, D = len(gt_boxes), len(dt_boxes)
         acc_vals = np.full((S, G, 5), np.nan)
 
-        # -- per-object columns, extracted once --------------------------
-        gt_tags_raw = [b.tag.labels[0] for b in gt_boxes]
-        gt_tids = [b.tid for b in gt_boxes]
-        gt_elig = np.array([t in summary.ngt for t in gt_tags_raw], bool) \
-            if G else np.zeros(0, bool)
+        # -- per-object columns via the struct-of-arrays backing ---------
+        def _tag_ids(labels):
+            """Map raw label values to class indices through one unique
+            pass (the per-object ``_class_to_idx.get`` loop was a
+            measurable fraction of the sequence-eval host time)."""
+            uq, inv = np.unique(labels, return_inverse=True)
+            lut = np.array([self._class_to_idx.get(int(u), -1) for u in uq],
+                           np.intp)
+            return lut[inv]
+
+        if G:
+            gc = gt_boxes.columns()
+            gtag_id = _tag_ids(gc["label"])
+            gtid_col = gc["tid"]
+            gt_tids = gtid_col.tolist()
+        else:
+            gtag_id = np.zeros(0, np.intp)
+            gtid_col = np.zeros(0, np.uint64)
+            gt_tids = []
+        gt_elig = gtag_id >= 0
         gt_indices = np.nonzero(gt_elig)[0]
         gt_tid_set = {gt_tids[g] for g in gt_indices}
         # Eligible classes only: a preserved assignment may only target a
@@ -1029,30 +1046,32 @@ class TrackingEvaluator(DetectionEvaluator):
         # ALL gts, but a tid collision with an untracked-class gt would
         # crash its later switch accounting — excluded up front here).
         gt_tid_to_idx = {gt_tids[g]: g for g in gt_indices}
-        gtag_id = np.array([self._class_to_idx.get(t, -1)
-                            for t in gt_tags_raw], np.intp) \
-            if G else np.zeros(0, np.intp)
 
-        dt_tags_raw = [b.tag.labels[0] for b in dt_boxes]
-        dt_tids = [b.tid for b in dt_boxes]
-        dtag_id = np.array([self._class_to_idx.get(t, -1)
-                            for t in dt_tags_raw], np.intp) \
-            if D else np.zeros(0, np.intp)
+        if D:
+            dc = dt_boxes.columns()
+            dtag_id = _tag_ids(dc["label"])
+            dtid_col = dc["tid"]
+            dt_tids = dtid_col.tolist()
+            scores32 = dc["score"]
+        else:
+            dtag_id = np.zeros(0, np.intp)
+            dtid_col = np.zeros(0, np.uint64)
+            dt_tids = []
+            scores32 = np.zeros(0, np.float32)
         eligible = dtag_id >= 0
-        scores32 = np.fromiter((b.tag.scores[0] for b in dt_boxes),
-                               np.float32, count=D)
         # Score/tag admission of all (threshold, dt) pairs as one
         # vectorized comparison (same f32 semantics: the f32 score upcasts
         # to f64 against the f64 threshold, as np.float32(s) < thres did).
         thres_col = np.asarray(self._pr_thresholds)[:, None]
         passing = eligible[None, :] & ~(scores32[None, :] < thres_col)
         used = passing.any(axis=0)
-        assert all(t > 0 for t, u in zip(dt_tids, used) if u), \
+        assert bool((dtid_col[used] > 0).all()), \
             "Tracking id should be greater than 0 for a valid object!"
 
         # -- per-class object / trajectory-frame counters ----------------
-        for g in gt_indices:
-            summary.ngt[gt_tags_raw[g]] += 1
+        for ci, k in zip(*np.unique(gtag_id[gt_indices],
+                                    return_counts=True)):
+            summary.ngt[self._classes[ci]] += int(k)
         for ci, k in enumerate(self._classes):
             cols = np.nonzero(gt_elig & (gtag_id == ci))[0]
             if len(cols):
@@ -1098,8 +1117,9 @@ class TrackingEvaluator(DetectionEvaluator):
                                for t in uniq), np.intp, count=len(uniq))
             prev_gt_idx = lut[inv].reshape(S, D)
 
-            maxd = np.array([self._max_distance.get(t, -np.inf)
-                             for t in dt_tags_raw]) if D else np.zeros(0)
+            md_lut = np.array([self._max_distance[c]
+                               for c in self._classes] + [-np.inf])
+            maxd = md_lut[dtag_id] if D else np.zeros(0)
             preserved = np.zeros((S, D), bool)
             cand = passing & (prev_gt_idx >= 0)
             if cand.any():
@@ -1188,15 +1208,13 @@ class TrackingEvaluator(DetectionEvaluator):
         # unassigned while still present).
         m_g = np.nonzero(tracked.any(axis=0))[0]
         g_rows = self._state_rows("gt", [gt_tids[g] for g in m_g],
-                                  [gt_tags_raw[g] for g in m_g])
+                                  [self._classes[gtag_id[g]] for g in m_g])
         Tg = self._last_gt_dt.shape[1]
         cur_gd = np.zeros((S, Tg), np.uint64)
         if len(m_g):
             row_of_g = np.full(G, -1, np.intp)
             row_of_g[m_g] = g_rows
-            dtid_arr = np.fromiter((int(t) for t in dt_tids), np.uint64,
-                                   count=D)
-            cur_gd[si_t, row_of_g[g_t]] = dtid_arr[dj_t]
+            cur_gd[si_t, row_of_g[g_t]] = dtid_col[dj_t]
         last = self._last_gt_dt
         if Tg:
             present_g = np.zeros(Tg, bool)
@@ -1217,15 +1235,13 @@ class TrackingEvaluator(DetectionEvaluator):
 
         m_d = np.nonzero(assigned_dt.any(axis=0))[0]
         d_rows = self._state_rows("dt", [dt_tids[j] for j in m_d],
-                                  [dt_tags_raw[j] for j in m_d])
+                                  [self._classes[dtag_id[j]] for j in m_d])
         Td = self._last_dt_gt.shape[1]
         cur_dg = np.zeros((S, Td), np.uint64)
         if len(m_d):
             row_of_d = np.full(D, -1, np.intp)
             row_of_d[m_d] = d_rows
-            gtid_code = np.fromiter((int(t) + 1 for t in gt_tids),
-                                    np.uint64, count=G)
-            cur_dg[si_t, row_of_d[dj_t]] = gtid_code[g_t]
+            cur_dg[si_t, row_of_d[dj_t]] = gtid_col[g_t] + np.uint64(1)
         last = self._last_dt_gt
         if Td:
             # dt presence is per-threshold: the tid must have passed at si
@@ -1245,8 +1261,8 @@ class TrackingEvaluator(DetectionEvaluator):
                         summary.fragments[k] += frag[:, cm].sum(axis=1)
         self._last_dt_gt = cur_dg
 
-        for name, per_class in self._aggregate_stats(acc_vals,
-                                                     gt_tags_raw).items():
+        for name, per_class in self._aggregate_stats(
+                acc_vals, tag_ids=gtag_id).items():
             setattr(summary, name, per_class)
         return summary
 

@@ -91,7 +91,7 @@ class _Up(nn.Module):
         x = nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
                              use_bias=False, dtype=dt)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=1e-3, dtype=dt)(x)
         x = nn.relu(x)
         return jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
 

@@ -171,8 +171,12 @@ class _PFN(nn.Module):
     def __call__(self, x, pmask, train: bool):
         dt = jnp.dtype(self.dtype)
         x = nn.Dense(self.features, use_bias=False, dtype=dt)(x.astype(dt))
+        # BN in the compute dtype: flax computes the statistics in f32
+        # regardless (force_float32_reductions), so bf16 here removes the
+        # full-activation f32 round trip between every conv pair without
+        # touching the stats numerics (round-4 train-trace finding)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=1e-3, dtype=dt)(x)
         x = nn.relu(x)
         x = jnp.where(pmask[..., None], x, -jnp.inf)
         x = jnp.max(x, axis=-2)  # (..., P, F)
@@ -193,7 +197,7 @@ class _ConvBlock(nn.Module):
             x = nn.Conv(self.channels, (3, 3), strides=(stride, stride),
                         padding="SAME", use_bias=False, dtype=dt)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=jnp.float32)(x)
+                             epsilon=1e-3, dtype=dt)(x)
             x = nn.relu(x)
         return x
 
@@ -213,7 +217,7 @@ class _Upsample(nn.Module):
         else:
             x = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=dt)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=1e-3, dtype=dt)(x)
         return nn.relu(x)
 
 

@@ -45,7 +45,7 @@ class _Block(nn.Module):
         x = conv(self.features, (4, 4) if self.transpose else (3, 3),
                  **kw)(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         dtype=jnp.float32)(x)
+                         dtype=dt)(x)
         return nn.relu(x)
 
 

@@ -199,6 +199,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="only the bf16+remat flagship config")
+    ap.add_argument("--scaling", action="store_true",
+                    help="batch-scaling ladder: bf16 ext-targets at "
+                         "b2/b4/b8 only (the MFU story)")
     ap.add_argument("--model", default="pointpillars",
                     choices=("pointpillars", "second", "voxelnext"),
                     help="second/voxelnext: sparse-family train steps "
@@ -221,6 +224,11 @@ def main():
           f"(KITTI-scale: 432x496 grid, 12k pillars, 120k pts/frame)")
     if args.quick:
         bench_config(rng, "bfloat16", False, 2, args.steps, ext_targets=True)
+        return
+    if args.scaling:
+        for b in (2, 4, 8):
+            bench_config(rng, "bfloat16", False, b, args.steps,
+                         ext_targets=True)
         return
     for dtype in ("float32", "bfloat16"):
         for remat in (False, True):

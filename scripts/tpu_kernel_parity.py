@@ -67,6 +67,27 @@ def check_nms_scan(rng):
     return ok
 
 
+def check_nms_blocked(rng):
+    from d3d_tpu.ops.nms_pallas import nms_scan_blocked
+
+    ok = True
+    for n in (200, 2000):
+        ov = rng.random((n, n)) < (8.0 / n)  # ~8 overlaps per box
+        ov = ov | ov.T
+        pre = rng.random(n) < 0.1
+        s = pre.copy()
+        for i in range(n):
+            if not s[i]:
+                s[i + 1:] |= ov[i, i + 1:]
+        got = np.asarray(nms_scan_blocked(jnp.asarray(ov), jnp.asarray(pre)))
+        same = np.array_equal(got, s)
+        print(f"nms_scan_blocked[n={n}]: "
+              f"{'exact keep-mask match' if same else 'MISMATCH'} "
+              f"({int(got.sum())} suppressed)")
+        ok &= same
+    return ok
+
+
 def check_soft_nms(rng):
     from d3d_tpu.ops import nms as N
     from d3d_tpu.ops.nms_pallas import soft_nms_scan
@@ -100,7 +121,8 @@ def main():
               "the CPU suite already covers interpret mode")
     rng = np.random.default_rng(20260817)
     ok = True
-    for fn in (check_iou_matrix, check_nms_scan, check_soft_nms):
+    for fn in (check_iou_matrix, check_nms_scan, check_nms_blocked,
+               check_soft_nms):
         ok &= bool(fn(rng))
     print("PARITY OK" if ok else "PARITY FAILURE")
     sys.exit(0 if ok else 1)
