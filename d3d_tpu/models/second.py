@@ -161,8 +161,13 @@ class _MaskedBN(nn.Module):
                 ra_var.value = 0.99 * ra_var.value + 0.01 * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (xf - mean) * jax.lax.rsqrt(var + 1e-3) * scale + bias
-        return y.astype(x.dtype) * valid[..., None].astype(x.dtype)
+        # normalize in the input dtype (stats stay f32 above): the f32
+        # xf intermediates fuse into the reductions, so no full-activation
+        # f32 copy is materialized for bf16 configs
+        dt = x.dtype
+        mul = (jax.lax.rsqrt(var + 1e-3) * scale).astype(dt)
+        y = (x - mean.astype(dt)) * mul + bias.astype(dt)
+        return y * valid[..., None].astype(dt)
 
 
 class _SpConv(nn.Module):

@@ -186,8 +186,11 @@ class _WindowBlock(nn.Module):
         c = tok.shape[-1]
         hd = c // self.num_heads
 
-        y = nn.LayerNorm(dtype=jnp.float32)(tok)
-        qkv = nn.Dense(3 * c, dtype=dt, name="qkv")(y.astype(dt))
+        # LayerNorm in the compute dtype (stats stay f32 inside flax):
+        # the pinned-f32 version round-tripped every token tensor through
+        # f32 before the cast-back at the next Dense
+        y = nn.LayerNorm(dtype=dt)(tok)
+        qkv = nn.Dense(3 * c, dtype=dt, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(*t.shape[:-1], self.num_heads, hd)
         q, k, v = split(q), split(k), split(v)
@@ -218,14 +221,14 @@ class _WindowBlock(nn.Module):
             }
             p = {k: v.astype(dt) if k != "router" else v
                  for k, v in p.items()}
-            y = nn.LayerNorm(dtype=jnp.float32)(pf)
-            y2, aux = moe_mlp(p, y.astype(dt), self.moe_capacity,
+            y = nn.LayerNorm(dtype=dt)(pf)
+            y2, aux = moe_mlp(p, y, self.moe_capacity,
                               mask=valid, constrain=self.moe_constrain,
                               group_size=self.moe_group)
             self.sow("losses", "moe_aux", aux)
             return pf + y2  # y2 is already zero on invalid rows
-        y = nn.LayerNorm(dtype=jnp.float32)(tok)
-        y = nn.Dense(self.mlp_ratio * c, dtype=dt, name="mlp1")(y.astype(dt))
+        y = nn.LayerNorm(dtype=dt)(tok)
+        y = nn.Dense(self.mlp_ratio * c, dtype=dt, name="mlp1")(y)
         y = nn.Dense(c, dtype=dt, name="mlp2")(nn.gelu(y))
         return tok + y
 
