@@ -148,6 +148,7 @@ def bench_sparse_family(rng, model_name, dtype, b, nsteps, m=16):
         from d3d_tpu.models.pointpillars import make_anchors
 
         cfg = presets.second_kitti(dtype=dtype)
+        print(f"  [{model_name}] voxelizing (compile)...", flush=True)
         feats, coords, valid = jax.vmap(
             lambda p: second_voxelize(p, cfg))(
                 jnp.asarray(_sparse_clouds(rng, cfg, b)))
@@ -160,6 +161,7 @@ def bench_sparse_family(rng, model_name, dtype, b, nsteps, m=16):
                                               voxelnext_voxelize)
 
         cfg = presets.voxelnext_nuscenes(dtype=dtype)
+        print(f"  [{model_name}] voxelizing (compile)...", flush=True)
         feats, coords, valid = jax.vmap(
             lambda p: voxelnext_voxelize(p, cfg))(
                 jnp.asarray(_sparse_clouds(rng, cfg, b)))
@@ -181,6 +183,7 @@ def bench_sparse_family(rng, model_name, dtype, b, nsteps, m=16):
                      rng.integers(0, num_classes, (b, m)), jnp.int32),
                  gt_mask=jnp.ones((b, m), bool))
 
+    print(f"  [{model_name}] init + train-step compile...", flush=True)
     variables = model.init(jax.random.PRNGKey(0), batch["features"],
                            batch["coords"], batch["valid"])
     opt = optax.adam(2e-4)
