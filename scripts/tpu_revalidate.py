@@ -53,28 +53,34 @@ STEPS = [
     # first tunnel contact regularly takes 60-120 s even when healthy
     # (observed round 3); 45 s misclassified a live tunnel as down
     ("probe", [sys.executable, "-c", PROBE], 300),
+    # round-5 priorities: kernel parity (incl. the new blocked NMS), the
+    # post-BN-fix train ladder, the scan-path tracking evaluator, serving
     ("kernels", [sys.executable, "scripts/tpu_kernel_parity.py"], 1200),
-    ("sparse_mosaic", [sys.executable, "scripts/tpu_sparse_parity.py"], 1200),
     ("bench", [sys.executable, "bench.py"], 1200),
-    ("bench_exact", [sys.executable, "bench.py", "--voxelizer", "exact"],
-     1200),
-    ("train", [sys.executable, "scripts/bench_train.py"], 2400),
-    ("eval", [sys.executable, "scripts/bench_eval.py", "--frames", "128"],
-     1200),
+    ("train_scaling", [sys.executable, "scripts/bench_train.py",
+                       "--scaling"], 3600),
     ("eval_tracking", [sys.executable, "scripts/bench_eval.py", "--tracking",
                        "--frames", "64"], 1200),
-    ("sparse", [sys.executable, "scripts/bench_sparse.py"], 1200),
     ("infer", [sys.executable, "scripts/bench_infer.py"], 1800),
+    ("nms", [sys.executable, "scripts/bench_nms.py"], 2400),
+    ("trace_b2", [sys.executable, "scripts/profile_train.py", "4",
+                  "--batch", "2", "--ext-targets"], 1800),
+    ("trace_b4", [sys.executable, "scripts/profile_train.py", "4",
+                  "--batch", "4", "--ext-targets"], 1800),
+    ("train_second", [sys.executable, "scripts/bench_train.py", "--model",
+                      "second", "--steps", "10"], 3600),
+    ("train_voxelnext", [sys.executable, "scripts/bench_train.py", "--model",
+                         "voxelnext", "--steps", "10"], 3600),
+    ("conv_layout", [sys.executable, "scripts/bench_conv_layout.py"], 1800),
+    ("bench_exact", [sys.executable, "bench.py", "--voxelizer", "exact"],
+     1200),
+    ("eval", [sys.executable, "scripts/bench_eval.py", "--frames", "128"],
+     1200),
+    ("sparse", [sys.executable, "scripts/bench_sparse.py"], 1200),
     ("track", [sys.executable, "scripts/bench_track.py"], 1200),
     ("serve", [sys.executable, "examples/serve_tracking.py",
                "--frames", "20"], 1200),
-    # round-4 additions — after the critical steps so a tunnel drop
-    # mid-chain still lands the headline numbers first
     ("roofline", [sys.executable, "scripts/roofline.py"], 2400),
-    ("exact_profile", [sys.executable, "scripts/profile_exact_voxel.py"],
-     1800),
-    ("riou_sweep", [sys.executable, "scripts/bench_riou_sweep.py",
-                    "--no-plot"], 3600),
 ]
 
 

@@ -5,7 +5,7 @@ This loop re-invokes scripts/tpu_revalidate.py, each time running only the
 steps that have not yet succeeded, and merges the per-step results into one
 report. It exits when every step has rc==0 or after --max-hours.
 
-Usage: python scripts/tpu_revalidate_loop.py [--out /tmp/tpu_revalidate_r4.json]
+Usage: python scripts/tpu_revalidate_loop.py [--out /tmp/tpu_revalidate_r5.json]
        [--max-hours 6] [--sleep 300]
 """
 
@@ -19,14 +19,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Step order mirrors tpu_revalidate.STEPS (critical numbers first).
-ALL_STEPS = ["probe", "kernels", "sparse_mosaic", "bench", "bench_exact",
-             "train", "eval", "eval_tracking", "sparse", "infer", "track",
-             "serve", "roofline", "exact_profile", "riou_sweep"]
+ALL_STEPS = ["probe", "kernels", "bench", "train_scaling", "eval_tracking",
+             "infer", "nms", "trace_b2", "trace_b4", "train_second",
+             "train_voxelnext", "conv_layout", "bench_exact", "eval",
+             "sparse", "track", "serve", "roofline"]
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/tpu_revalidate_r4.json")
+    ap.add_argument("--out", default="/tmp/tpu_revalidate_r5.json")
     ap.add_argument("--max-hours", type=float, default=6.0)
     ap.add_argument("--sleep", type=float, default=300.0)
     args = ap.parse_args()
