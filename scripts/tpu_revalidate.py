@@ -123,6 +123,17 @@ def main():
             if report[name]["rc"] != 0:
                 print("tunnel DOWN — aborting (re-run when it answers)")
                 break
+        elif report[name]["rc"] == -1:
+            # a step TIMED OUT mid-chain: distinguish a slow workload from
+            # a wedged tunnel with a cheap re-probe, else every remaining
+            # step burns its full timeout against a dead tunnel
+            reprobe = run_step("probe(recheck)",
+                               [sys.executable, "-c", PROBE], 300)
+            if reprobe["rc"] != 0:
+                print("tunnel WEDGED mid-chain — aborting this attempt")
+                with open(args.out, "w") as f:
+                    json.dump(report, f, indent=1)
+                break
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)
     print("report:", args.out)
