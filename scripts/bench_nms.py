@@ -106,7 +106,9 @@ def main():
                 def body(_, carry):
                     chk, = carry
                     sup = kern(o ^ (chk > jnp.int32(reps + 1)), p)
-                    return (jnp.sum(sup.astype(jnp.int32)),)
+                    # dtype pinned: x64 is on, jnp.sum(int32) promotes
+                    # the accumulator to int64 and breaks the scan carry
+                    return (jnp.sum(sup, dtype=jnp.int32),)
                 return lax.fori_loop(0, reps, body, (jnp.int32(0),))
 
             def run_scan(o, p):

@@ -205,6 +205,9 @@ def main():
     ap.add_argument("--scaling", action="store_true",
                     help="batch-scaling ladder: bf16 ext-targets at "
                          "b2/b4/b8 only (the MFU story)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="single bf16 ext-targets config at this batch "
+                         "size (re-measure one ladder point cleanly)")
     ap.add_argument("--model", default="pointpillars",
                     choices=("pointpillars", "second", "voxelnext"),
                     help="second/voxelnext: sparse-family train steps "
@@ -227,6 +230,10 @@ def main():
           f"(KITTI-scale: 432x496 grid, 12k pillars, 120k pts/frame)")
     if args.quick:
         bench_config(rng, "bfloat16", False, 2, args.steps, ext_targets=True)
+        return
+    if args.batch is not None:
+        bench_config(rng, "bfloat16", False, args.batch, args.steps,
+                     ext_targets=True)
         return
     if args.scaling:
         for b in (2, 4, 8):

@@ -67,7 +67,7 @@ def main():
     out = run(variables["params"], variables["batch_stats"], opt_state, batch)
     print("warm loss:", float(np.asarray(out[3]["total"])))
 
-    logdir = "/tmp/jaxtrace_train"
+    logdir = f"/tmp/jaxtrace_train_b{args.batch}_{args.dtype}"
     os.system(f"rm -rf {logdir}")
     with jax.profiler.trace(logdir):
         out = run(variables["params"], variables["batch_stats"], opt_state,

@@ -48,6 +48,17 @@ def _category(name):
 
 
 def report(path, reps=1, top=45, by_category=False):
+    """Per-op breakdown of the traced TPU timeline.
+
+    Line-aware (round 5): the xplane TPU plane carries separate lines —
+    'Steps'/'XLA Modules' (the true wall time of each dispatched program),
+    'XLA Ops' (compute-stream leaf events) and 'Async XLA Ops' (DMA
+    copy-start/done WINDOWS that overlap compute). Summing all lines
+    double-counts the async windows and misreads overlapped DMA as 81%+
+    "data-movement"; the breakdown below therefore uses the XLA Ops line
+    only, and the module wall time + async overlap total are printed
+    separately as context.
+    """
     xs = load(path)
     for plane in xs.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
@@ -55,14 +66,25 @@ def report(path, reps=1, top=45, by_category=False):
         metas = {m.id: m.name for m in plane.event_metadata.values()}
         totals = defaultdict(int)
         counts = defaultdict(int)
+        module_ps = 0
+        async_ps = 0
         for line in plane.lines:
             lname = line.name.lower()
-            if "step" in lname or "annotation" in lname:
+            if "module" in lname:
+                module_ps = sum(ev.duration_ps for ev in line.events)
+            if "async" in lname:
+                async_ps = sum(ev.duration_ps for ev in line.events)
+            if ("step" in lname or "annotation" in lname
+                    or "module" in lname or "async" in lname):
                 continue
             for ev in line.events:
                 name = metas.get(ev.metadata_id, "?")
                 totals[name] += ev.duration_ps
                 counts[name] += 1
+        if module_ps:
+            print(f"\nmodule wall time: {module_ps / 1e6 / reps:.1f} us/rep"
+                  f"  (async DMA overlap windows: "
+                  f"{async_ps / 1e6 / reps:.1f} us/rep, excluded below)")
         wrap = {n: ps for n, ps in totals.items()
                 if n.lstrip("%").startswith(_WRAPPERS)
                 or n.split("(")[0].startswith(_WRAPPERS)}
