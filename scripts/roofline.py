@@ -222,68 +222,73 @@ def workloads(quick):
                                              prepare_targets)
 
     cfg = dreplace(PointPillarsConfig(), dtype="bfloat16")
-    batch = bt.make_batch(np.random.default_rng(0), cfg, 2)
     model = PointPillars(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch["features"],
-                           batch["coords"], batch["valid"])
     opt = optax.adam(2e-4)
-    opt_state = opt.init(variables["params"])
     anchors = make_anchors(cfg)
     step = make_train_step(model, opt, cfg, anchors,
                            external_targets=True)
-    prepped = jax.jit(lambda b: prepare_targets(
-        jnp.asarray(anchors), b, cfg.pos_iou, cfg.neg_iou,
-        num_classes=cfg.num_classes, dense=True))(batch)
-    params, bs = variables["params"], variables.get("batch_stats", {})
-
-    def train_fn(params, bs, opt_state, batch):
-        return step(params, bs, opt_state, batch)
-
-    def train_chk(out):
-        p = jax.tree.leaves(out[0])[0]
-        return jnp.sum(p[..., :1].astype(jnp.float32))
-
-    # the generic device loop does not chain the train state between
-    # iterations, which lets XLA drop parts of the optimizer update —
-    # measure the train row with bench_train's chained fori_loop instead
-    # (state as the carry, everything consumed) so ms/step matches the
-    # steady-state training number
     nsteps = 5 if quick else 30
 
-    def train_ms():
-        import time as _t
+    # b2 is the flagship config; b8 is the full-sublane-tile batch where
+    # the MXU fraction (and hence MFU) peaks — see the train ladder in
+    # docs/performance.rst (b<8 gets space-to-batched convs)
+    for b in ((2,) if quick else (2, 8)):
+        batch = bt.make_batch(np.random.default_rng(0), cfg, b)
+        variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                               batch["coords"], batch["valid"])
+        opt_state = opt.init(variables["params"])
+        prepped = jax.jit(lambda bch: prepare_targets(
+            jnp.asarray(anchors), bch, cfg.pos_iou, cfg.neg_iou,
+            num_classes=cfg.num_classes, dense=True))(batch)
+        params, bs = variables["params"], variables.get("batch_stats", {})
 
-        @jax.jit
-        def run(params, bs, opt_state, batch):
-            def body(_, carry):
-                p, b, o, _ = carry
-                return step(p, b, o, batch)
+        def train_fn(params, bs, opt_state, batch):
+            return step(params, bs, opt_state, batch)
 
-            aux_shape = jax.eval_shape(step, params, bs, opt_state,
-                                       batch)[3]
-            init = (params, bs, opt_state,
-                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                 aux_shape))
-            return jax.lax.fori_loop(0, nsteps, body, init)
+        def train_chk(out):
+            p = jax.tree.leaves(out[0])[0]
+            return jnp.sum(p[..., :1].astype(jnp.float32))
 
-        out = run(params, bs, opt_state, prepped)  # compile + warm
-        float(np.asarray(jax.tree.leaves(out[0])[0]).ravel()[0])
-        t0 = _t.perf_counter()
-        out = run(params, bs, opt_state, prepped)
-        float(np.asarray(jax.tree.leaves(out[0])[0]).ravel()[0])
-        dt = _t.perf_counter() - t0
-        trivial = jax.jit(lambda x: x + 1.0)
-        float(np.asarray(trivial(jnp.float32(9.0))))
-        rtts = []
-        for i in range(3):
+        # the generic device loop does not chain the train state between
+        # iterations, which lets XLA drop parts of the optimizer update —
+        # measure the train row with bench_train's chained fori_loop
+        # instead (state as the carry, everything consumed) so ms/step
+        # matches the steady-state training number
+        def train_ms(params=params, bs=bs, opt_state=opt_state,
+                     prepped=prepped):
+            import time as _t
+
+            @jax.jit
+            def run(params, bs, opt_state, batch):
+                def body(_, carry):
+                    p, b, o, _ = carry
+                    return step(p, b, o, batch)
+
+                aux_shape = jax.eval_shape(step, params, bs, opt_state,
+                                           batch)[3]
+                init = (params, bs, opt_state,
+                        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                     aux_shape))
+                return jax.lax.fori_loop(0, nsteps, body, init)
+
+            out = run(params, bs, opt_state, prepped)  # compile + warm
+            float(np.asarray(jax.tree.leaves(out[0])[0]).ravel()[0])
             t0 = _t.perf_counter()
-            float(np.asarray(trivial(jnp.float32(i))))
-            rtts.append(_t.perf_counter() - t0)
-        return max(dt - min(rtts), 0.5 * dt) / nsteps * 1e3
+            out = run(params, bs, opt_state, prepped)
+            float(np.asarray(jax.tree.leaves(out[0])[0]).ravel()[0])
+            dt = _t.perf_counter() - t0
+            trivial = jax.jit(lambda x: x + 1.0)
+            float(np.asarray(trivial(jnp.float32(9.0))))
+            rtts = []
+            for i in range(3):
+                t0 = _t.perf_counter()
+                float(np.asarray(trivial(jnp.float32(i))))
+                rtts.append(_t.perf_counter() - t0)
+            return max(dt - min(rtts), 0.5 * dt) / nsteps * 1e3
 
-    yield ("PointPillars train step b2 bf16 ext-targets", train_fn,
-           (params, bs, opt_state, prepped), train_chk,
-           4 if quick else 10, "mxu", train_ms)
+        yield (f"PointPillars train step b{b} bf16 ext-targets", train_fn,
+               (params, bs, opt_state, prepped), train_chk,
+               4 if quick else 10, "mxu", train_ms)
 
 
 def main():

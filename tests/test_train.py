@@ -194,6 +194,76 @@ def test_trainer_eval_hook(rng):
     assert any("eval" in h for h in tr.history)
 
 
+def test_pfn_grad_jit_matches_eager_odd_batch(rng):
+    """Regression: the PFN's masked max formerly used jnp.max, whose VJP
+    routes cotangents through a float ``x == max`` equality. XLA:CPU's
+    fused backward recomputed the operand with different arithmetic than
+    the stored max and the whole PFN gradient came out 8-30% wrong at
+    every non-power-of-two batch (b=3/5/6/7; b=1/2/4/8 exact). The
+    integer argmax+take formulation has no equality to break — pin
+    jit == eager at an affected batch size."""
+    from d3d_tpu.models.pointpillars import _PFN
+
+    b = 3
+    pts = jnp.asarray(np.stack([np.stack([
+        rng.random(2048) * 16, rng.random(2048) * 16 - 8,
+        rng.random(2048) * 4 - 3, rng.random(2048)], axis=1)
+        for _ in range(b)]).astype(np.float32))
+    feats, _, _ = jax.vmap(lambda p: pillarize(p, TINY))(pts)
+    feats = feats.astype(jnp.float64)
+    pmask = jnp.any(feats != 0, axis=-1)
+    mod = _PFN(32, "float64")
+    variables = mod.init(jax.random.PRNGKey(0), feats, pmask, True)
+
+    def loss(params, x, m):
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, m, True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2) / x.shape[0]
+
+    g_eager = jax.grad(loss)(variables["params"], feats, pmask)
+    g_jit = jax.jit(jax.grad(loss))(variables["params"], feats, pmask)
+    for a, b_ in zip(jax.tree.leaves(g_eager), jax.tree.leaves(g_jit)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_repeat_batch_step_is_exact(rng):
+    """Tiling the batch inside the step (the v5e sub-sublane-batch
+    workaround, train.repeat_batch_step) must produce the SAME update:
+    sum/npos losses and BatchNorm batch stats are invariant under exact
+    batch duplication, so only float reduction order can differ."""
+    from d3d_tpu.train import repeat_batch_step
+
+    model = PointPillars(TINY)
+    batch = next(_batches(rng, 1, b=2))
+    variables = model.init(jax.random.PRNGKey(0), batch["features"],
+                           batch["coords"], batch["valid"])
+    anchors = make_anchors(TINY)
+    # sgd: the update is linear in the gradient, so the only admissible
+    # difference (float reduction order over the tiled batch) stays tiny;
+    # adam's g/sqrt(v) would amplify reduction noise on ~zero gradients
+    opt = optax.sgd(1e-3)
+    opt_state = opt.init(variables["params"])
+
+    base = jax.jit(make_train_step(model, opt, TINY, anchors))
+    rep = jax.jit(repeat_batch_step(
+        make_train_step(model, opt, TINY, anchors), 2))
+
+    p1, bs1, _, aux1 = base(variables["params"], variables["batch_stats"],
+                            opt_state, batch)
+    p2, bs2, _, aux2 = rep(variables["params"], variables["batch_stats"],
+                           opt_state, batch)
+    np.testing.assert_allclose(float(aux1["total"]), float(aux2["total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_training_converges_on_fixed_batch(rng):
     """Overfitting one fixed batch must drive the total loss down
     substantially — the ML sanity check that gradients, target
