@@ -138,10 +138,12 @@ def repeat_batch_step(step, repeat, batch_argnum=3):
     so gradients are identical, and BatchNorm means/variances over a
     duplicated batch equal the originals. The only cost is activation
     memory (``repeat``x) and the only difference is float reduction
-    order. Use it when the natural batch is stuck below the sublane
-    tile: ``step = repeat_batch_step(make_train_step(...), 2)`` runs a
-    batch-4 update through the batch-8 program (+20% measured
-    throughput at the config above, identical update).
+    order. It pays exactly when the native-batch program is slower in
+    *absolute* time than the tiled one — measured true at batch 4
+    (``repeat=2`` runs the b4 update through the b8 program at +20%
+    throughput, identical update) but false at batch 2 (paying the full
+    b8 program for 2 real frames loses to the native b2 program), so
+    measure before tiling batches below half the sublane count.
 
     :param batch_argnum: positional index of the batch pytree in
         ``step``'s signature (3 for every family's
