@@ -190,6 +190,33 @@ class TestSortJoinFallback:
         np.testing.assert_array_equal(dense, sort_join)
 
 
+    def test_big_grid_tpu_cap_parity(self, rng, monkeypatch):
+        """On TPU the dense-canvas cap is raised to 2^26 cells so the
+        VoxelNeXt-nuScenes grid (1080x1080x40 = 46.7M) skips the 27-way
+        sort join. Simulate the raised cap here and pin that the canvas
+        path at that real grid size agrees with the sort join exactly."""
+        import d3d_tpu.ops.sparse_conv as sc
+
+        grid = (1080, 1080, 40)
+        n = 64
+        coords = np.stack([rng.integers(0, g, n) for g in grid],
+                          axis=1).astype(np.int32)
+        coords = np.unique(coords, axis=0)
+        valid = np.ones(len(coords), bool)
+        valid[-3:] = False
+        import jax.numpy as jnp
+        coords, valid = jnp.asarray(coords), jnp.asarray(valid)
+        keys = linearize(coords, grid)
+        monkeypatch.setattr(sc, "_DENSE_CANVAS_MAX_CELLS",
+                            sc._DENSE_CANVAS_MAX_CELLS_TPU)
+        dense = np.asarray(sc._neighbor_map_impl(
+            coords, valid, keys, valid, grid, 3))
+        monkeypatch.setattr(sc, "_DENSE_CANVAS_MAX_CELLS", 0)
+        sort_join = np.asarray(sc._neighbor_map_impl(
+            coords, valid, keys, valid, grid, 3))
+        np.testing.assert_array_equal(dense, sort_join)
+
+
 class TestKernel5:
     def test_k5_neighbor_map_vs_brute_force(self, rng):
         coords, valid = _active_sites(rng, 40, 64)
